@@ -1,0 +1,176 @@
+"""Typed configuration for the whole framework.
+
+Every constant the reference hard-codes is carried here with the reference
+value as the default, so default-config behavior is parity behavior
+(citations point into /root/reference):
+
+  - sample rate 16 kHz                     audio_search.py:233
+  - peak-conditional normalization bounds  audio_search.py:237-242
+  - 10 s segments, drop < 3 s              audio_search.py:247,259
+  - ASR decode params                      audio_search.py:316-327
+  - caption decode params                  audio_search.py:366-375
+  - fusion threshold 0.1, top-10           audio_search.py:672,699
+  - query-weight bounds 0.2-0.8            audio_search.py:593-620
+  - model names                            audio_search.py:92-94
+
+Unlike the reference (constants scattered through one file), this is a typed,
+frozen dataclass tree that can be serialized, overridden per-call, and passed
+through jitted functions as static metadata.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """Ingest-time audio handling (reference L1)."""
+
+    sample_rate: int = 16_000        # audio_search.py:233
+    mono: bool = True
+    # peak-conditional normalization (audio_search.py:237-242)
+    quiet_peak: float = 0.1          # below this -> boost
+    quiet_target: float = 0.5
+    loud_peak: float = 0.95          # above this -> attenuate
+    loud_target: float = 0.8
+
+
+@dataclass(frozen=True)
+class SegmentConfig:
+    """Windowing of a waveform into search units (audio_search.py:247-260)."""
+
+    segment_seconds: float = 10.0    # audio_search.py:247
+    min_segment_seconds: float = 3.0  # audio_search.py:259
+    # historical variants used 5 s (clean_audio_search.py:141) and a
+    # 5-30 s slider (streamlit_app_backup.py:875); expose as plain config.
+
+
+@dataclass(frozen=True)
+class MelConfig:
+    """Whisper log-mel frontend (matches WhisperFeatureExtractor defaults)."""
+
+    n_fft: int = 400
+    hop_length: int = 160
+    n_mels: int = 80
+    padded_seconds: float = 30.0     # Whisper fixed 30 s context -> 3000 frames
+    sample_rate: int = 16_000
+
+    @property
+    def n_frames(self) -> int:
+        return int(self.padded_seconds * self.sample_rate) // self.hop_length
+
+    @property
+    def n_samples(self) -> int:
+        return int(self.padded_seconds * self.sample_rate)
+
+
+@dataclass(frozen=True)
+class DecodeConfig:
+    """Autoregressive decode controls.
+
+    The reference uses HF ``generate`` kwargs: sampling decode for ASR
+    (audio_search.py:316-327) and beam-2 for captions (audio_search.py:366-375).
+    The TPU-native default is KV-cached greedy decode (fixed shapes, one
+    compile); ``method`` selects greedy/sample/beam for parity modes.
+    """
+
+    method: str = "greedy"            # "greedy" | "sample" | "beam"
+    max_new_tokens: int = 100         # caption max_length=100 audio_search.py:368
+    num_beams: int = 1                # caption parity mode: 2 (audio_search.py:371)
+    temperature: float = 1.0          # ASR parity mode: 0.2 (audio_search.py:320)
+    repetition_penalty: float = 1.0   # ASR 1.05 (:323) / caption 1.3 (:372)
+    no_repeat_ngram_size: int = 0     # ASR 2 (:321) / caption 3 (:369)
+    length_penalty: float = 1.0       # ASR 0.8 (:322) / caption 1.0 (:373)
+    early_stopping: bool = True       # audio_search.py:374
+
+
+def asr_parity_decode() -> DecodeConfig:
+    """Reference ASR decode knobs (audio_search.py:316-327), greedy base."""
+    return DecodeConfig(
+        method="greedy", max_new_tokens=224, temperature=0.2,
+        repetition_penalty=1.05, no_repeat_ngram_size=2, length_penalty=0.8,
+    )
+
+
+def caption_parity_decode() -> DecodeConfig:
+    """Reference caption decode knobs (audio_search.py:366-375)."""
+    return DecodeConfig(
+        method="beam", max_new_tokens=100, num_beams=2,
+        repetition_penalty=1.3, no_repeat_ngram_size=3, length_penalty=1.0,
+        early_stopping=True,
+    )
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """Query-weighted score fusion (audio_search.py:586-699)."""
+
+    balanced_weight: float = 0.5          # audio_search.py:595
+    one_sided_gain: float = 0.3           # 0.5 + 0.3*strength  (:601,:608)
+    one_sided_saturation: float = 3.0     # strength = min(n/3, 1)  (:600,:607)
+    mixed_floor: float = 0.2              # 0.2 + 0.6*ratio  (:618)
+    mixed_span: float = 0.6
+    relevance_threshold: float = 0.1      # audio_search.py:672
+    top_k: int = 10                       # audio_search.py:699
+
+
+@dataclass(frozen=True)
+class ValidatorConfig:
+    """Text-quality gates (audio_search.py:399-455)."""
+
+    asr_min_chars: int = 2                # audio_search.py:401
+    asr_min_alnum_ratio: float = 0.2      # audio_search.py:423
+    caption_min_chars: int = 5            # audio_search.py:439
+    require_caption_keyword: bool = True  # audio_search.py:453
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """One model slot: architecture family + size + optional local weights."""
+
+    family: str                      # "whisper" | "minilm" | "clap" | "bridge"
+    preset: str                      # e.g. "base", "tiny", "L6"
+    hf_name: str = ""                # provenance only; weights load from disk
+    weights_path: str | None = None  # local converted-checkpoint dir (orbax/npz)
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Top-level engine configuration. Defaults reproduce the reference."""
+
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    segment: SegmentConfig = field(default_factory=SegmentConfig)
+    mel: MelConfig = field(default_factory=MelConfig)
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    validator: ValidatorConfig = field(default_factory=ValidatorConfig)
+    asr_decode: DecodeConfig = field(
+        default_factory=lambda: DecodeConfig(max_new_tokens=64)
+    )
+    caption_decode: DecodeConfig = field(
+        default_factory=lambda: DecodeConfig(max_new_tokens=64)
+    )
+    # model slots (names per audio_search.py:92-94)
+    text_embedder: ModelSpec = field(default_factory=lambda: ModelSpec(
+        family="minilm", preset="L6",
+        hf_name="sentence-transformers/all-MiniLM-L6-v2"))
+    asr_model: ModelSpec = field(default_factory=lambda: ModelSpec(
+        family="whisper", preset="base", hf_name="openai/whisper-base"))
+    caption_model: ModelSpec = field(default_factory=lambda: ModelSpec(
+        family="whisper", preset="tiny",
+        hf_name="cahya/whisper-tiny-audio-captioning-v2.0"))
+    # analyzer selection: "keyword" (production, audio_search.py:457) or
+    # "semantic" (historical prototype classifier, streamlit_app_backup.py:274)
+    analyzer: str = "keyword"
+    # ingest batching (TPU-native addition; reference is one segment at a time)
+    ingest_batch: int = 32
+    embed_dim: int = 384
+
+    def replace(self, **kw: Any) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config() -> EngineConfig:
+    return EngineConfig()

@@ -1,0 +1,122 @@
+"""Fusion search over a SegmentStore.
+
+Behavioral contract (audio_search.py:624-699): analyze the query for weights,
+embed it, score every segment with availability-renormalized weighted cosine
+fusion, keep scores > threshold, return the top-10 plus a weight-info dict.
+Here the scoring loop is a single jitted program (index/fusion.py) over the
+HBM-resident index.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FusionConfig
+from .analyzer import KeywordAnalyzer, WeightAnalysis
+from .fusion import NEG_INF, fused_topk
+from .store import SegmentStore
+
+
+class FusionSearcher:
+    """search(query) -> (results, weight_info) with reference-shaped rows."""
+
+    def __init__(
+        self,
+        store: SegmentStore,
+        embed_fn: Callable[[Sequence[str]], np.ndarray],
+        analyzer: Callable[[str], WeightAnalysis] | None = None,
+        cfg: FusionConfig | None = None,
+    ):
+        self.store = store
+        self.embed_fn = embed_fn
+        self.cfg = cfg or FusionConfig()
+        self.analyzer = analyzer or KeywordAnalyzer(self.cfg)
+
+    def __call__(
+        self, query: str, k: int | None = None
+    ) -> tuple[list[dict[str, Any]], dict[str, Any]]:
+        if len(self.store) == 0:
+            return [], {}
+        k = k or self.cfg.top_k
+        t0 = time.perf_counter()
+        wa = self.analyzer(query)
+        q = np.asarray(self.embed_fn([query]), np.float32)[0]
+        n = float(np.linalg.norm(q))
+        if n > 0:
+            q = q / n
+        emb, ok = self.store.device_index()
+        out = fused_topk(
+            jnp.asarray(q), emb, ok,
+            jnp.float32(wa.asr_weight), jnp.float32(wa.audio_weight),
+            k=min(k, emb.shape[0]), threshold=self.cfg.relevance_threshold)
+        out = {kk: np.asarray(v) for kk, v in out.items()}
+        results: list[dict[str, Any]] = []
+        for rank in range(len(out["indices"])):
+            if not out["valid"][rank] or out["scores"][rank] <= NEG_INF / 2:
+                continue
+            i = int(out["indices"][rank])
+            if i >= len(self.store):   # capacity padding
+                continue
+            row = dict(self.store.meta[i])
+            row.update(
+                index=i,
+                asr_similarity=float(out["sims"][rank, 0]),
+                audio_similarity=float(out["sims"][rank, 1]),
+                fusion_score=float(out["scores"][rank]),
+                effective_asr_weight=float(out["effective_weights"][rank, 0]),
+                effective_audio_weight=float(
+                    out["effective_weights"][rank, 1]),
+                query_asr_weight=wa.asr_weight,
+                query_audio_weight=wa.audio_weight,
+            )
+            results.append(row)
+        weight_info = {
+            "asr_weight": wa.asr_weight,
+            "audio_weight": wa.audio_weight,
+            "analysis": wa.analysis,
+            "query": query,
+            "latency_s": time.perf_counter() - t0,
+        }
+        return results, weight_info
+
+
+def reference_fusion_oracle(
+    query_emb: np.ndarray,
+    segments: list[dict[str, Any]],
+    asr_weight: float,
+    audio_weight: float,
+    threshold: float = 0.1,
+    k: int = 10,
+) -> list[dict[str, Any]]:
+    """Direct numpy transcription of the reference's per-segment loop
+    (audio_search.py:639-699), used as the parity oracle in tests."""
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+
+    out = []
+    for i, seg in enumerate(segments):
+        asr_sim = cos(query_emb, seg["asr_embedding"]) \
+            if seg.get("asr_embedding") is not None else 0.0
+        audio_sim = cos(query_emb, seg["audio_embedding"]) \
+            if seg.get("audio_embedding") is not None else 0.0
+        if asr_sim > 0 or audio_sim > 0:
+            ew_asr = asr_weight if seg["asr_success"] else 0.0
+            ew_audio = audio_weight if seg["audio_success"] else 0.0
+            total = ew_asr + ew_audio
+            if total > 0:
+                ew_asr, ew_audio = ew_asr / total, ew_audio / total
+                score = ew_asr * asr_sim + ew_audio * audio_sim
+                if score > threshold:
+                    out.append({
+                        "index": i, "fusion_score": score,
+                        "asr_similarity": asr_sim,
+                        "audio_similarity": audio_sim,
+                        "effective_asr_weight": ew_asr,
+                        "effective_audio_weight": ew_audio,
+                    })
+    out.sort(key=lambda r: r["fusion_score"], reverse=True)
+    return out[:k]

@@ -1,0 +1,172 @@
+"""Persistent segment index.
+
+The reference keeps its whole database as a Python list of dicts in Streamlit
+session state — lost on restart (audio_search.py:115,797). This store keeps:
+
+  * metadata rows (times, texts, success flags, provenance) host-side,
+  * a dense ``[capacity, 2, D]`` embedding matrix (unit-norm float32, zeros
+    where a pipeline failed) mirrored to device HBM in power-of-two capacity
+    buckets, so the jitted fused-search program compiles once per bucket,
+  * optional raw segment waveforms for playback parity (audio_search.py:292).
+
+Persistence is a directory: ``embeddings.npz`` + ``meta.jsonl`` (+ optional
+``audio.npz``) — restart-safe, mmap-friendly, and the unit of multi-chip
+sharding (parallel/sharding.py shards the N axis).
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+
+ASR, AUDIO = 0, 1  # pipeline slots in the [N, 2, D] index
+
+
+def _next_pow2(n: int, floor: int = 1024) -> int:
+    c = floor
+    while c < n:
+        c *= 2
+    return c
+
+
+class SegmentStore:
+    def __init__(self, embed_dim: int = 384, keep_audio: bool = True):
+        self.embed_dim = embed_dim
+        self.keep_audio = keep_audio
+        self.meta: list[dict[str, Any]] = []
+        self._cap = 1024
+        self._emb = np.zeros((self._cap, 2, embed_dim), np.float32)
+        self._success = np.zeros((self._cap, 2), bool)
+        self._audio: list[np.ndarray | None] = []
+        self._device_view: tuple[int, Any, Any] | None = None  # (cap, emb, ok)
+
+    def __len__(self) -> int:
+        return len(self.meta)
+
+    # ------------------------------------------------------------------ add
+    def add(
+        self,
+        meta: dict[str, Any],
+        asr_embedding: np.ndarray | None,
+        audio_embedding: np.ndarray | None,
+        audio_data: np.ndarray | None = None,
+    ) -> int:
+        """Append one segment. Embeddings are L2-normalized on the way in."""
+        i = len(self.meta)
+        if i >= self._cap:
+            self._grow(_next_pow2(i + 1, self._cap * 2))
+        for slot, e in ((ASR, asr_embedding), (AUDIO, audio_embedding)):
+            if e is not None:
+                e = np.asarray(e, np.float32).reshape(-1)
+                n = float(np.linalg.norm(e))
+                self._emb[i, slot] = e / n if n > 0 else e
+                self._success[i, slot] = True
+        row = dict(meta)
+        row.setdefault("segment_id", f"seg_{i}")
+        row["asr_success"] = bool(self._success[i, ASR])
+        row["audio_success"] = bool(self._success[i, AUDIO])
+        self.meta.append(row)
+        if self.keep_audio:
+            self._audio.append(
+                None if audio_data is None
+                else np.asarray(audio_data, np.float32))
+        self._device_view = None
+        return i
+
+    def extend(self, records: Sequence[dict[str, Any]]) -> list[int]:
+        """Append reference-shaped segment dicts (audio_search.py:275-294)."""
+        return [
+            self.add(
+                {k: v for k, v in r.items()
+                 if k not in ("asr_embedding", "audio_embedding",
+                              "audio_data")},
+                r.get("asr_embedding"),
+                r.get("audio_embedding"),
+                r.get("audio_data"),
+            )
+            for r in records
+        ]
+
+    def _grow(self, new_cap: int) -> None:
+        emb = np.zeros((new_cap, 2, self.embed_dim), np.float32)
+        ok = np.zeros((new_cap, 2), bool)
+        emb[: self._cap] = self._emb
+        ok[: self._cap] = self._success
+        self._emb, self._success, self._cap = emb, ok, new_cap
+        self._device_view = None
+
+    # ---------------------------------------------------------------- views
+    @property
+    def embeddings(self) -> np.ndarray:
+        return self._emb[: len(self.meta)]
+
+    @property
+    def success(self) -> np.ndarray:
+        return self._success[: len(self.meta)]
+
+    def audio(self, i: int) -> np.ndarray | None:
+        return self._audio[i] if self.keep_audio and i < len(self._audio) \
+            else None
+
+    def device_index(self) -> tuple[Any, Any]:
+        """(emb[cap,2,D], success[cap,2]) on the default device.
+
+        Padded to the capacity bucket; padding rows have success=False so the
+        fused kernel scores them invalid. Cached until the store mutates.
+        """
+        if self._device_view is None or self._device_view[0] != self._cap:
+            emb = jax.device_put(self._emb)
+            ok = jax.device_put(self._success)
+            self._device_view = (self._cap, emb, ok)
+        return self._device_view[1], self._device_view[2]
+
+    # ---------------------------------------------------------- persistence
+    def save(self, path: str | pathlib.Path) -> None:
+        p = pathlib.Path(path)
+        p.mkdir(parents=True, exist_ok=True)
+        n = len(self.meta)
+        np.savez_compressed(
+            p / "embeddings.npz",
+            emb=self._emb[:n], success=self._success[:n],
+            embed_dim=self.embed_dim)
+        with open(p / "meta.jsonl", "w") as f:
+            for row in self.meta:
+                f.write(json.dumps(row) + "\n")
+        if self.keep_audio and any(a is not None for a in self._audio):
+            flat = np.concatenate(
+                [a if a is not None else np.zeros(0, np.float32)
+                 for a in self._audio]) if self._audio else np.zeros(0)
+            lens = np.array(
+                [0 if a is None else len(a) for a in self._audio], np.int64)
+            np.savez_compressed(p / "audio.npz", flat=flat, lens=lens)
+
+    @classmethod
+    def load(cls, path: str | pathlib.Path) -> "SegmentStore":
+        p = pathlib.Path(path)
+        z = np.load(p / "embeddings.npz")
+        emb, ok = z["emb"], z["success"]
+        st = cls(embed_dim=int(z["embed_dim"]))
+        st._cap = _next_pow2(max(len(emb), 1))
+        st._emb = np.zeros((st._cap, 2, st.embed_dim), np.float32)
+        st._success = np.zeros((st._cap, 2), bool)
+        st._emb[: len(emb)] = emb
+        st._success[: len(ok)] = ok
+        with open(p / "meta.jsonl") as f:
+            st.meta = [json.loads(line) for line in f if line.strip()]
+        audio_file = p / "audio.npz"
+        if audio_file.exists():
+            za = np.load(audio_file)
+            flat, lens = za["flat"], za["lens"]
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            st._audio = [
+                flat[offs[i]: offs[i + 1]].astype(np.float32)
+                if lens[i] > 0 else None
+                for i in range(len(lens))
+            ]
+        else:
+            st._audio = [None] * len(st.meta)
+            st.keep_audio = False
+        return st

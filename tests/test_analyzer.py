@@ -1,0 +1,73 @@
+import numpy as np
+import pytest
+
+from multimodal_audio_search_tpu.index.analyzer import (
+    KeywordAnalyzer, SemanticAnalyzer)
+
+from reference_oracle import available, get_method
+
+QUERIES = [
+    "",
+    "random nonsense zzz",
+    "what did the person say",
+    "upbeat music with drums",
+    "person speaking clearly",
+    "guitar solo",
+    "lyrics about love with piano",   # mixed
+    "say speak talk tell words",      # many ASR hits
+    "drums guitar piano melody beat rhythm",  # many audio hits
+    "the word bass",                  # 'word' is ASR, 'bass' is audio
+    "CALL me maybe",                  # case folding; 'call' duplicated in lexicon
+    "recording",                      # appears in BOTH lexicons
+    "a calm voice reading a story",
+    "fast loud electronic techno",
+    "singing",                        # in both asr (sing/singing) and audio? check
+    "whisper",                        # substring of 'whispering' in both lists
+]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_keyword_analyzer_matches_reference(query):
+    if not available():
+        pytest.skip("reference not mounted")
+    ref = get_method("_analyze_query_for_weights")
+    exp_asr, exp_audio, exp_analysis = ref(query)
+    got = KeywordAnalyzer()(query)
+    assert got.asr_weight == pytest.approx(exp_asr, abs=1e-12)
+    assert got.audio_weight == pytest.approx(exp_audio, abs=1e-12)
+    assert got.analysis == exp_analysis
+
+
+def test_keyword_analyzer_spec():
+    a = KeywordAnalyzer()
+    r = a("completely unrelated xyz")
+    assert r.asr_weight == r.audio_weight == 0.5
+    # one-sided saturates at 0.8 after >= 3 matches
+    r = a("say speak talk tell told")
+    assert r.asr_weight == pytest.approx(0.8)
+    # weights always sum to 1 and stay within [0.2, 0.8]
+    for q in QUERIES:
+        r = a(q)
+        assert r.asr_weight + r.audio_weight == pytest.approx(1.0)
+        assert 0.2 - 1e-9 <= r.asr_weight <= 0.8 + 1e-9
+
+
+def test_duplicate_keywords_count_twice():
+    # 'call' appears twice in the reference asr lexicon (lines 465 & 499),
+    # so a query containing only 'call' yields 2 matches -> strength 2/3.
+    r = KeywordAnalyzer()("call")
+    assert r.asr_matches == 2
+    assert r.asr_weight == pytest.approx(0.5 + 0.3 * (2 / 3.0))
+
+
+def test_semantic_analyzer_bounds():
+    rng = np.random.default_rng(0)
+
+    def fake_embed(texts):
+        out = rng.normal(size=(len(texts), 16))
+        return out / np.linalg.norm(out, axis=-1, keepdims=True)
+
+    s = SemanticAnalyzer(fake_embed)
+    r = s("guitar music")
+    assert 0.1 <= r.asr_weight <= 0.9
+    assert r.asr_weight + r.audio_weight == pytest.approx(1.0)

@@ -1,0 +1,103 @@
+import numpy as np
+import pytest
+
+from multimodal_audio_search_tpu.index.search import (
+    FusionSearcher, reference_fusion_oracle)
+from multimodal_audio_search_tpu.index.store import SegmentStore
+
+
+def make_segments(rng, n=200, d=384):
+    """Random segments with all availability combinations."""
+    segs = []
+    for i in range(n):
+        has_asr = rng.random() > 0.25
+        has_audio = rng.random() > 0.25
+        if not (has_asr or has_audio):
+            has_asr = True
+        def emb():
+            e = rng.normal(size=d).astype(np.float32)
+            return e / np.linalg.norm(e)
+        segs.append({
+            "segment_id": f"seg_{i}",
+            "start_time": 10.0 * i, "end_time": 10.0 * i + 10.0,
+            "duration": 10.0,
+            "asr_text": "hello world" if has_asr else "",
+            "audio_description": "music playing" if has_audio else "",
+            "asr_embedding": emb() if has_asr else None,
+            "audio_embedding": emb() if has_audio else None,
+            "asr_success": has_asr, "audio_success": has_audio,
+        })
+    return segs
+
+
+@pytest.mark.parametrize("w_asr", [0.5, 0.8, 0.2, 0.64])
+def test_fused_topk_matches_reference_loop(rng, w_asr):
+    segs = make_segments(rng)
+    store = SegmentStore(embed_dim=384, keep_audio=False)
+    store.extend(segs)
+    q = rng.normal(size=384).astype(np.float32)
+    q /= np.linalg.norm(q)
+
+    class FixedAnalyzer:
+        def __call__(self, query):
+            from multimodal_audio_search_tpu.index.analyzer import (
+                WeightAnalysis)
+            return WeightAnalysis(w_asr, 1.0 - w_asr, "fixed")
+
+    searcher = FusionSearcher(
+        store, embed_fn=lambda texts: np.tile(q, (len(texts), 1)),
+        analyzer=FixedAnalyzer())
+    got, info = searcher("anything")
+    exp = reference_fusion_oracle(q, segs, w_asr, 1.0 - w_asr)
+
+    assert [r["index"] for r in got] == [r["index"] for r in exp]
+    for g, e in zip(got, exp):
+        assert g["fusion_score"] == pytest.approx(e["fusion_score"], abs=1e-5)
+        assert g["asr_similarity"] == pytest.approx(
+            e["asr_similarity"], abs=1e-5)
+        assert g["effective_asr_weight"] == pytest.approx(
+            e["effective_asr_weight"], abs=1e-6)
+
+
+def test_threshold_and_validity(rng):
+    # scores at/below 0.1 must be excluded; negative-sim rows excluded
+    store = SegmentStore(embed_dim=8, keep_audio=False)
+    q = np.zeros(8, np.float32); q[0] = 1.0
+    mk = lambda v: np.asarray(v, np.float32)
+    e_hi = mk([1, 0, 0, 0, 0, 0, 0, 0])          # sim 1.0
+    e_lo = mk([0.05, 1, 0, 0, 0, 0, 0, 0])        # sim ~0.05 -> below threshold
+    e_neg = mk([-1, 0, 0, 0, 0, 0, 0, 0])         # sim -1 -> invalid
+    store.add({"segment_id": "hi"}, e_hi, None)
+    store.add({"segment_id": "lo"}, e_lo, None)
+    store.add({"segment_id": "neg"}, e_neg, None)
+    searcher = FusionSearcher(
+        store, embed_fn=lambda t: np.tile(q, (len(t), 1)))
+    got, _ = searcher("no keywords here")
+    assert [r["segment_id"] for r in got] == ["hi"]
+
+
+def test_store_persistence_roundtrip(tmp_path, rng):
+    segs = make_segments(rng, n=37)
+    store = SegmentStore()
+    for s in segs:
+        store.add(
+            {k: v for k, v in s.items() if "embedding" not in k},
+            s["asr_embedding"], s["audio_embedding"],
+            audio_data=rng.normal(size=160).astype(np.float32))
+    store.save(tmp_path / "idx")
+    loaded = SegmentStore.load(tmp_path / "idx")
+    assert len(loaded) == len(store)
+    np.testing.assert_allclose(loaded.embeddings, store.embeddings)
+    np.testing.assert_array_equal(loaded.success, store.success)
+    assert loaded.meta[5]["segment_id"] == store.meta[5]["segment_id"]
+    np.testing.assert_allclose(loaded.audio(3), store.audio(3), atol=1e-7)
+
+
+def test_store_growth(rng):
+    store = SegmentStore(embed_dim=4, keep_audio=False)
+    e = np.ones(4, np.float32)
+    for i in range(3000):   # force capacity doubling past 1024/2048
+        store.add({}, e, None)
+    assert len(store) == 3000
+    assert store.embeddings.shape == (3000, 2, 4)
+    np.testing.assert_allclose(np.linalg.norm(store.embeddings[0, 0]), 1.0)
