@@ -1,0 +1,91 @@
+"""File -> 16 kHz mono float32 waveform (the reference's librosa.load).
+
+Behavioral contract (audio_search.py:227-233): accept an uploaded file,
+decode, downmix to mono, resample to the pipeline rate. Format support is a
+registry keyed by magic bytes — WAV ships in-tree (native C++ fast path with
+a pure-numpy fallback); other containers (mp3/flac/m4a, audio_search.py:776)
+can be plugged in via ``register_decoder`` since this image has no ffmpeg.
+"""
+from __future__ import annotations
+
+import io
+import pathlib
+from typing import Callable
+
+import numpy as np
+
+from ..config import AudioConfig
+from . import native
+from .resample import resample
+from .wav import read_wav, to_mono
+
+# decoder: bytes -> (mono_or_multichannel float32, rate)
+Decoder = Callable[[bytes], tuple[np.ndarray, int]]
+_DECODERS: dict[str, Decoder] = {}
+
+
+def register_decoder(name: str, fn: Decoder) -> None:
+    """Register a container decoder (e.g. an ffmpeg-backed mp3 decoder)."""
+    _DECODERS[name] = fn
+
+
+def sniff_format(data: bytes) -> str:
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if data[:4] == b"fLaC":
+        return "flac"
+    if data[:3] == b"ID3" or (len(data) > 1 and data[0] == 0xFF
+                              and (data[1] & 0xE0) == 0xE0):
+        return "mp3"
+    if data[4:8] == b"ftyp":
+        return "m4a"
+    return "unknown"
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    got = native.wav_decode_mono(data)
+    if got is not None:
+        return got
+    x, rate = read_wav(data)
+    return to_mono(x), rate
+
+
+def load_audio(
+    src: bytes | str | pathlib.Path | io.BufferedIOBase,
+    sample_rate: int = 16_000,
+    mono: bool = True,
+    cfg: AudioConfig | None = None,
+) -> tuple[np.ndarray, int]:
+    """Decode + downmix + resample. Returns (waveform float32, sample_rate).
+
+    Parity with librosa.load(path, sr=16000, mono=True)
+    (audio_search.py:233): mono is the channel mean, resampling is
+    high-quality polyphase, output length ceil(n*sr_out/sr_in).
+    """
+    cfg = cfg or AudioConfig()
+    if isinstance(src, (str, pathlib.Path)):
+        data = pathlib.Path(src).read_bytes()
+    elif isinstance(src, (bytes, bytearray)):
+        data = bytes(src)
+    else:
+        data = src.read()
+
+    kind = sniff_format(data)
+    if kind == "wav":
+        x, rate = _decode_wav(data)
+    elif kind in _DECODERS:
+        x, rate = _DECODERS[kind](data)
+    else:
+        raise ValueError(
+            f"unsupported audio container {kind!r}; WAV is built in, "
+            f"register others via "
+            f"multimodal_audio_search_tpu.audio.decode.register_decoder")
+
+    if mono and x.ndim == 2:
+        x = to_mono(x)
+    x = np.asarray(x, np.float32)
+    if rate != sample_rate:
+        y = native.resample(x, rate, sample_rate) \
+            if native.available() else None
+        x = y if y is not None else resample(x, rate, sample_rate)
+    return x, sample_rate

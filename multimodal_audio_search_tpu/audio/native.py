@@ -1,0 +1,139 @@
+"""ctypes bridge to the C++ audio runtime (native/audio_kernels.cc).
+
+Compiles the shared library on first use (g++ -O3, cached next to the
+source), and degrades gracefully to the pure-numpy implementations in
+wav.py / resample.py when a toolchain is unavailable. pybind11 is not in this
+image, so the ABI is plain C + ctypes by design.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import math
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO = pathlib.Path(__file__).resolve().parents[2]
+_SRC = _REPO / "native" / "audio_kernels.cc"
+_BUILD = _REPO / "native" / "build"
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_failed = False
+
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+
+
+def _build_and_load() -> ctypes.CDLL | None:
+    global _failed
+    if not _SRC.exists():
+        _failed = True
+        return None
+    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    so = _BUILD / f"audio_kernels_{tag}.so"
+    if not so.exists():
+        _BUILD.mkdir(parents=True, exist_ok=True)
+        tmp = so.with_suffix(".so.tmp")
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+               "-o", str(tmp), str(_SRC)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so)
+        except Exception:
+            _failed = True
+            return None
+    lib = ctypes.CDLL(str(so))
+    lib.mas_wav_probe.restype = ctypes.c_int
+    lib.mas_wav_probe.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        _i32p, _i32p, _i32p, _i32p, _i64p, _i64p]
+    lib.mas_wav_decode_mono.restype = ctypes.c_int
+    lib.mas_wav_decode_mono.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.mas_resample_poly.restype = None
+    lib.mas_resample_poly.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.mas_peak_abs.restype = ctypes.c_float
+    lib.mas_peak_abs.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    return lib
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _lib
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is None and not _failed:
+            _lib = _build_and_load()
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def wav_decode_mono(data: bytes) -> tuple[np.ndarray, int] | None:
+    """Native WAV -> (mono float32, rate); None if unsupported here."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    tag = ctypes.c_int32(); ch = ctypes.c_int32(); rate = ctypes.c_int32()
+    bits = ctypes.c_int32(); off = ctypes.c_int64(); dlen = ctypes.c_int64()
+    rc = lib.mas_wav_probe(
+        data, len(data), ctypes.byref(tag), ctypes.byref(ch),
+        ctypes.byref(rate), ctypes.byref(bits),
+        ctypes.byref(off), ctypes.byref(dlen))
+    if rc != 0 or bits.value % 8 != 0 or bits.value == 0:
+        return None
+    bytes_per = ch.value * bits.value // 8
+    frames = dlen.value // bytes_per
+    out = np.empty(frames, np.float32)
+    payload = data[off.value: off.value + dlen.value]
+    rc = lib.mas_wav_decode_mono(
+        payload, dlen.value, tag.value, ch.value, bits.value,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), frames)
+    if rc != 0:
+        return None
+    return out, rate.value
+
+
+def resample_poly(
+    x: np.ndarray, h: np.ndarray, up: int, down: int,
+    start: int, n_out: int,
+) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    xf = np.ascontiguousarray(x, np.float32)
+    hd = np.ascontiguousarray(h, np.float64)
+    y = np.empty(n_out, np.float32)
+    lib.mas_resample_poly(
+        xf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(xf),
+        hd.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(hd),
+        up, down, start,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_out)
+    return y
+
+
+def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray | None:
+    """Native end-to-end resample matching audio/resample.py semantics."""
+    from .resample import design_kaiser_lowpass
+    if sr_in == sr_out:
+        return np.asarray(x, np.float32)
+    g = math.gcd(sr_in, sr_out)
+    up, down = sr_out // g, sr_in // g
+    h = design_kaiser_lowpass(up, down)
+    n_out = -(-len(x) * sr_out // sr_in)
+    # group delay, rounded to an output-sample boundary so this path is
+    # bit-consistent with the python upfirdn slice in resample.py
+    start = (((len(h) - 1) // 2) // down) * down
+    return resample_poly(x, h, up, down, start, n_out)

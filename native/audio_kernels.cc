@@ -1,0 +1,153 @@
+// Native host-side audio runtime: WAV decode + polyphase resampling.
+//
+// The reference leans on librosa/soxr native wheels for this work
+// (audio_search.py:233); this image has neither, so the framework ships its
+// own. Exposed as a plain C ABI consumed via ctypes
+// (multimodal_audio_search_tpu/audio/native.py). Python fallbacks exist for
+// every entry point; this path exists because ingest decode/resample runs on
+// a single host core and feeds the TPU.
+//
+// Build: g++ -O3 -shared -fPIC (driven by audio/native.py).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------- WAV probe
+// Returns 0 on success. Fills format info and the byte offset/length of the
+// data payload. tag is the (resolved) format tag: 1=PCM, 3=IEEE float.
+int mas_wav_probe(const uint8_t* data, int64_t len,
+                  int32_t* tag, int32_t* channels, int32_t* rate,
+                  int32_t* bits, int64_t* data_off, int64_t* data_len) {
+  if (len < 12 || std::memcmp(data, "RIFF", 4) != 0 ||
+      std::memcmp(data + 8, "WAVE", 4) != 0)
+    return -1;
+  bool have_fmt = false, have_data = false;
+  int64_t pos = 12;
+  while (pos + 8 <= len) {
+    const uint8_t* cid = data + pos;
+    uint32_t size;
+    std::memcpy(&size, data + pos + 4, 4);
+    int64_t body = pos + 8;
+    int64_t avail = std::min<int64_t>(size, len - body);
+    if (std::memcmp(cid, "fmt ", 4) == 0 && avail >= 16) {
+      uint16_t t, ch, blk, b;
+      uint32_t r, br;
+      std::memcpy(&t, data + body, 2);
+      std::memcpy(&ch, data + body + 2, 2);
+      std::memcpy(&r, data + body + 4, 4);
+      std::memcpy(&br, data + body + 8, 4);
+      std::memcpy(&blk, data + body + 12, 2);
+      std::memcpy(&b, data + body + 14, 2);
+      if (t == 0xFFFE && avail >= 26)  // EXTENSIBLE: real tag in SubFormat
+        std::memcpy(&t, data + body + 24, 2);
+      *tag = t; *channels = ch; *rate = (int32_t)r; *bits = b;
+      have_fmt = true;
+    } else if (std::memcmp(cid, "data", 4) == 0) {
+      *data_off = body;
+      *data_len = avail;
+      have_data = true;
+    }
+    pos = body + size + (size & 1);
+  }
+  return (have_fmt && have_data && *channels > 0) ? 0 : -2;
+}
+
+// --------------------------------------------------------- WAV decode(mono)
+// Decodes the data payload to mono float32 (channel average). `frames` must
+// equal data_len / (channels * bytes_per_sample). Returns 0 on success.
+int mas_wav_decode_mono(const uint8_t* payload, int64_t data_len,
+                        int32_t tag, int32_t channels, int32_t bits,
+                        float* out, int64_t frames) {
+  const int ch = channels;
+  const double inv_ch = 1.0 / ch;
+  if (tag == 1 && bits == 16) {
+    const int16_t* p = reinterpret_cast<const int16_t*>(payload);
+    constexpr float k = 1.0f / 32768.0f;
+    for (int64_t i = 0; i < frames; ++i) {
+      double acc = 0;
+      for (int c = 0; c < ch; ++c) acc += p[i * ch + c];
+      out[i] = (float)(acc * inv_ch) * k;
+    }
+  } else if (tag == 1 && bits == 8) {
+    for (int64_t i = 0; i < frames; ++i) {
+      double acc = 0;
+      for (int c = 0; c < ch; ++c) acc += (int)payload[i * ch + c] - 128;
+      out[i] = (float)(acc * inv_ch / 128.0);
+    }
+  } else if (tag == 1 && bits == 24) {
+    for (int64_t i = 0; i < frames; ++i) {
+      double acc = 0;
+      for (int c = 0; c < ch; ++c) {
+        const uint8_t* b = payload + (i * ch + c) * 3;
+        int32_t v = (int32_t)(b[0] | (b[1] << 8) | (b[2] << 16));
+        if (v >= (1 << 23)) v -= (1 << 24);
+        acc += v;
+      }
+      out[i] = (float)(acc * inv_ch / 8388608.0);
+    }
+  } else if (tag == 1 && bits == 32) {
+    const int32_t* p = reinterpret_cast<const int32_t*>(payload);
+    for (int64_t i = 0; i < frames; ++i) {
+      double acc = 0;
+      for (int c = 0; c < ch; ++c) acc += p[i * ch + c];
+      out[i] = (float)(acc * inv_ch / 2147483648.0);
+    }
+  } else if (tag == 3 && bits == 32) {
+    const float* p = reinterpret_cast<const float*>(payload);
+    for (int64_t i = 0; i < frames; ++i) {
+      double acc = 0;
+      for (int c = 0; c < ch; ++c) acc += p[i * ch + c];
+      out[i] = (float)(acc * inv_ch);
+    }
+  } else if (tag == 3 && bits == 64) {
+    const double* p = reinterpret_cast<const double*>(payload);
+    for (int64_t i = 0; i < frames; ++i) {
+      double acc = 0;
+      for (int c = 0; c < ch; ++c) acc += p[i * ch + c];
+      out[i] = (float)(acc * inv_ch);
+    }
+  } else {
+    return -1;
+  }
+  return 0;
+}
+
+// ----------------------------------------------------- polyphase resampling
+// y[k] = sum_t h[t*up + phase(k)] * x[base(k) - t], the standard L/M
+// polyphase form of upfirdn. `start` is the group-delay offset in the
+// upsampled domain (matches audio/resample.py). Out-of-range x treated as 0.
+void mas_resample_poly(const float* x, int64_t n,
+                       const double* h, int64_t nh,
+                       int32_t up, int32_t down, int64_t start,
+                       float* y, int64_t n_out) {
+  const int64_t taps_per_phase = (nh + up - 1) / up;
+  for (int64_t k = 0; k < n_out; ++k) {
+    const int64_t m = k * (int64_t)down + start;
+    const int64_t phase = m % up;
+    const int64_t base = m / up;
+    double acc = 0.0;
+    int64_t t_lo = std::max<int64_t>(0, base - (n - 1));
+    int64_t t_hi = std::min<int64_t>(taps_per_phase - 1, base);
+    for (int64_t t = t_lo; t <= t_hi; ++t) {
+      const int64_t hi = t * up + phase;
+      if (hi < nh) acc += h[hi] * x[base - t];
+    }
+    y[k] = (float)acc;
+  }
+}
+
+// ------------------------------------------------- peak-scan (normalization)
+float mas_peak_abs(const float* x, int64_t n) {
+  float peak = 0.0f;
+  for (int64_t i = 0; i < n; ++i) {
+    float a = std::fabs(x[i]);
+    if (a > peak) peak = a;
+  }
+  return peak;
+}
+
+}  // extern "C"
