@@ -1,0 +1,232 @@
+"""Whisper encoder-decoder in functional JAX, parameterized tiny/base/small.
+
+One implementation serves both reference model slots: openai/whisper-base for
+ASR (audio_search.py:93) and the cahya whisper-tiny captioner
+(audio_search.py:94) — the captioner is architecturally a stock Whisper
+fine-tune, so it loads through the same conversion path (models/convert.py).
+
+Architecture parity with HF WhisperForConditionalGeneration:
+  * encoder: conv(k3,s1) -> gelu -> conv(k3,s2) -> gelu -> +learned positions
+    -> pre-norm transformer -> final LN (fixed 1500 positions for 30 s mel)
+  * decoder: tied token embeddings + learned positions -> pre-norm blocks of
+    causal self-attn, cross-attn, MLP -> final LN -> logits = h @ E^T
+  * attention k-projection has no bias; LN eps 1e-5; erf-GELU
+
+TPU shape discipline: everything is static-shape; generation uses a
+fixed-size KV cache [B, heads, max_len, hd] updated with dynamic_update_slice
+inside lax.while_loop (models/generate.py), so one compilation serves every
+decode call.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from . import layers as L
+
+
+@dataclass(frozen=True)
+class WhisperConfig:
+    vocab_size: int = 51865          # multilingual
+    d_model: int = 512
+    enc_layers: int = 6
+    dec_layers: int = 6
+    heads: int = 8
+    ffn: int = 2048
+    n_mels: int = 80
+    enc_positions: int = 1500
+    dec_positions: int = 448
+    ln_eps: float = 1e-5
+    # special ids (multilingual layout; HF generation_config)
+    bos_token_id: int = 50258        # <|startoftranscript|>
+    eos_token_id: int = 50257        # <|endoftext|>
+    pad_token_id: int = 50257
+    no_timestamps_id: int = 50363
+    transcribe_id: int = 50359
+    lang_en_id: int = 50259
+
+
+PRESETS = {
+    "tiny": WhisperConfig(d_model=384, enc_layers=4, dec_layers=4,
+                          heads=6, ffn=1536),
+    "base": WhisperConfig(d_model=512, enc_layers=6, dec_layers=6,
+                          heads=8, ffn=2048),
+    "small": WhisperConfig(d_model=768, enc_layers=12, dec_layers=12,
+                           heads=12, ffn=3072),
+}
+
+
+def config_for(preset: str, **overrides) -> WhisperConfig:
+    import dataclasses
+    return dataclasses.replace(PRESETS[preset], **overrides)
+
+
+# --------------------------------------------------------------------- init
+def _init_block(key, cfg: WhisperConfig, cross: bool):
+    ks = jax.random.split(key, 3)
+    blk = {
+        "self_attn": L.init_mha(ks[0], cfg.d_model, k_bias=False),
+        "self_ln": L.init_layer_norm(cfg.d_model),
+        "mlp_in": L.init_dense(ks[1], cfg.d_model, cfg.ffn),
+        "mlp_out": L.init_dense(ks[2], cfg.ffn, cfg.d_model),
+        "mlp_ln": L.init_layer_norm(cfg.d_model),
+    }
+    if cross:
+        k4 = jax.random.fold_in(key, 99)
+        blk["cross_attn"] = L.init_mha(k4, cfg.d_model, k_bias=False)
+        blk["cross_ln"] = L.init_layer_norm(cfg.d_model)
+    return blk
+
+
+def init_params(key, cfg: WhisperConfig):
+    ks = jax.random.split(key, cfg.enc_layers + cfg.dec_layers + 6)
+    d = cfg.d_model
+    enc = {
+        "conv1": {"w": jax.random.normal(ks[0], (3, cfg.n_mels, d)) * 0.02,
+                  "b": jnp.zeros((d,))},
+        "conv2": {"w": jax.random.normal(ks[1], (3, d, d)) * 0.02,
+                  "b": jnp.zeros((d,))},
+        "positions": jax.random.normal(ks[2], (cfg.enc_positions, d)) * 0.02,
+        "blocks": [_init_block(ks[3 + i], cfg, cross=False)
+                   for i in range(cfg.enc_layers)],
+        "ln": L.init_layer_norm(d),
+    }
+    off = 3 + cfg.enc_layers
+    dec = {
+        "embed_tokens": jax.random.normal(
+            ks[off], (cfg.vocab_size, d)) * 0.02,
+        "positions": jax.random.normal(
+            ks[off + 1], (cfg.dec_positions, d)) * 0.02,
+        "blocks": [_init_block(ks[off + 2 + i], cfg, cross=True)
+                   for i in range(cfg.dec_layers)],
+        "ln": L.init_layer_norm(d),
+    }
+    return {"encoder": enc, "decoder": dec}
+
+
+# ------------------------------------------------------------------ encoder
+def _conv1d(p, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """x: [B, T, C_in], w: [k, C_in, C_out], SAME-1 padding like HF."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), window_strides=(stride,),
+        padding=((1, 1),), dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32)
+    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def encode(params, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
+    """[B, n_mels, 3000] log-mel -> [B, 1500, d] encoder states."""
+    enc = params["encoder"]
+    x = mel.transpose(0, 2, 1)                       # [B, T, n_mels]
+    x = L.gelu(_conv1d(enc["conv1"], x, 1))
+    x = L.gelu(_conv1d(enc["conv2"], x, 2))          # [B, 1500, d]
+    x = x + enc["positions"][None].astype(x.dtype)
+    for blk in params["encoder"]["blocks"]:
+        h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
+        x = x + L.mha(blk["self_attn"], h, h, cfg.heads)
+        h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
+        x = x + L.dense(blk["mlp_out"], L.gelu(L.dense(blk["mlp_in"], h)))
+    return L.layer_norm(params["encoder"]["ln"], x, cfg.ln_eps)
+
+
+# ------------------------------------------------------------------ decoder
+def cross_kv(params, enc_out: jnp.ndarray, cfg: WhisperConfig):
+    """Precompute per-layer cross-attention K/V from encoder output."""
+    out = []
+    for blk in params["decoder"]["blocks"]:
+        k = L.split_heads(L.dense(blk["cross_attn"]["k"], enc_out), cfg.heads)
+        v = L.split_heads(L.dense(blk["cross_attn"]["v"], enc_out), cfg.heads)
+        out.append((k, v))
+    return out
+
+
+def _block_decode(blk, x, self_k, self_v, ck, cv, cfg, self_bias):
+    """One pre-norm decoder block given materialized self K/V."""
+    h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
+    q = L.split_heads(L.dense(blk["self_attn"]["q"], h), cfg.heads)
+    attn = L.merge_heads(L.attention_scores(q, self_k, self_v, self_bias))
+    x = x + L.dense(blk["self_attn"]["o"], attn)
+    h = L.layer_norm(blk["cross_ln"], x, cfg.ln_eps)
+    q = L.split_heads(L.dense(blk["cross_attn"]["q"], h), cfg.heads)
+    attn = L.merge_heads(L.attention_scores(q, ck, cv))
+    x = x + L.dense(blk["cross_attn"]["o"], attn)
+    h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
+    return x + L.dense(blk["mlp_out"], L.gelu(L.dense(blk["mlp_in"], h)))
+
+
+def decode_train(
+    params, enc_out: jnp.ndarray, tokens: jnp.ndarray, cfg: WhisperConfig,
+) -> jnp.ndarray:
+    """Teacher-forced full-sequence decode -> [B, T, vocab] logits."""
+    dec = params["decoder"]
+    t = tokens.shape[1]
+    x = dec["embed_tokens"][tokens] + dec["positions"][:t][None]
+    x = x.astype(enc_out.dtype)
+    ckv = cross_kv(params, enc_out, cfg)
+    bias = L.causal_bias(t, t)
+    for blk, (ck, cv) in zip(dec["blocks"], ckv):
+        # pre-norm: self K/V come from the layer-normed hidden (same h that
+        # _block_decode recomputes for the query)
+        h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
+        k = L.split_heads(L.dense(blk["self_attn"]["k"], h), cfg.heads)
+        v = L.split_heads(L.dense(blk["self_attn"]["v"], h), cfg.heads)
+        x = _block_decode(blk, x, k, v, ck, cv, cfg, bias)
+    x = L.layer_norm(dec["ln"], x, cfg.ln_eps)
+    return jnp.dot(
+        x, dec["embed_tokens"].T.astype(x.dtype),
+        preferred_element_type=jnp.float32)
+
+
+# ----------------------------------------------------------- cached decode
+def init_cache(cfg: WhisperConfig, batch: int, max_len: int, dtype):
+    hd = cfg.d_model // cfg.heads
+    return [
+        {"k": jnp.zeros((batch, cfg.heads, max_len, hd), dtype),
+         "v": jnp.zeros((batch, cfg.heads, max_len, hd), dtype)}
+        for _ in range(cfg.dec_layers)
+    ]
+
+
+def decode_step(
+    params, token: jnp.ndarray, pos: jnp.ndarray, cache, ckv,
+    cfg: WhisperConfig,
+):
+    """One KV-cached decode step.
+
+    token [B] int32, pos scalar int32 (current position), cache as from
+    init_cache, ckv from cross_kv. Returns (logits [B, vocab], new cache).
+    """
+    dec = params["decoder"]
+    x = dec["embed_tokens"][token][:, None, :] \
+        + jax.lax.dynamic_slice_in_dim(dec["positions"], pos, 1)[None]
+    x = x.astype(cache[0]["k"].dtype)
+    max_len = cache[0]["k"].shape[2]
+    # mask future (uninitialized) cache slots
+    kmask = (jnp.arange(max_len) <= pos)[None, None, None, :]
+    bias = jnp.where(kmask, 0.0, -1e9)
+    new_cache = []
+    for blk, layer_cache, (ck, cv) in zip(dec["blocks"], cache, ckv):
+        h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
+        k1 = L.split_heads(L.dense(blk["self_attn"]["k"], h), cfg.heads)
+        v1 = L.split_heads(L.dense(blk["self_attn"]["v"], h), cfg.heads)
+        k = jax.lax.dynamic_update_slice_in_dim(
+            layer_cache["k"], k1.astype(layer_cache["k"].dtype), pos, axis=2)
+        v = jax.lax.dynamic_update_slice_in_dim(
+            layer_cache["v"], v1.astype(layer_cache["v"].dtype), pos, axis=2)
+        new_cache.append({"k": k, "v": v})
+        x = _block_decode(blk, x, k, v, ck, cv, cfg, bias)
+    x = L.layer_norm(dec["ln"], x, cfg.ln_eps)
+    logits = jnp.dot(
+        x[:, 0, :], dec["embed_tokens"].T.astype(x.dtype),
+        preferred_element_type=jnp.float32)
+    return logits, new_cache
+
+
+def forced_prefix(cfg: WhisperConfig, task: str = "transcribe") -> list[int]:
+    """Decoder prompt: <sot> <lang en> <task> <notimestamps> — the ids the
+    reference forces via generate kwargs language='en', task='transcribe'
+    (audio_search.py:318-319)."""
+    return [cfg.bos_token_id, cfg.lang_en_id, cfg.transcribe_id,
+            cfg.no_timestamps_id]

@@ -1,0 +1,156 @@
+"""Whisper log-mel frontend as a batched XLA program.
+
+The reference computes this per segment on CPU inside the HF processor
+(audio_search.py:358-362). Here the whole batch is one jitted program shaped
+for the MXU: the STFT is a strided convolution whose filters are the
+window-scaled real-DFT basis (i.e. one [400 x 402] matmul per frame), the mel
+projection is another matmul, and the log/clamp/scale epilogue fuses in.
+
+Numerical contract (parity-tested against transformers'
+WhisperFeatureExtractor):
+  * n_fft 400, hop 160, periodic Hann, reflect center-padding of n_fft//2
+  * power spectrum, last STFT frame dropped -> 3000 frames for 30 s audio
+  * slaney-scale, slaney-normalized 80-bin mel filterbank, fmax 8 kHz
+  * log10(max(., 1e-10)); per-sample clamp at global max - 8; (x + 4) / 4
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MelConfig
+
+
+def hann_window(n_fft: int) -> np.ndarray:
+    """Periodic Hann window (matches torch.hann_window / HF)."""
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft))) \
+        .astype(np.float64)
+
+
+def _hz_to_mel_slaney(f: np.ndarray) -> np.ndarray:
+    """Slaney mel scale: linear below 1 kHz, log above."""
+    f = np.asarray(f, np.float64)
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz * 3.0 / 200.0
+    logstep = np.log(6.4) / 27.0
+    return np.where(
+        f >= min_log_hz,
+        min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep,
+        f * 3.0 / 200.0)
+
+
+def _mel_to_hz_slaney(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, np.float64)
+    min_log_mel = 15.0
+    logstep = np.log(6.4) / 27.0
+    return np.where(
+        m >= min_log_mel,
+        1000.0 * np.exp(logstep * (m - min_log_mel)),
+        m * 200.0 / 3.0)
+
+
+def mel_filterbank(
+    n_mels: int = 80, n_fft: int = 400, sample_rate: int = 16_000,
+    fmin: float = 0.0, fmax: float | None = None,
+) -> np.ndarray:
+    """[n_mels, n_fft//2+1] slaney-normalized triangular filterbank."""
+    fmax = fmax if fmax is not None else sample_rate / 2.0
+    n_freqs = n_fft // 2 + 1
+    fft_freqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
+    mel_pts = np.linspace(
+        _hz_to_mel_slaney(np.float64(fmin)),
+        _hz_to_mel_slaney(np.float64(fmax)), n_mels + 2)
+    hz_pts = _mel_to_hz_slaney(mel_pts)
+    # triangular filters between consecutive center frequencies
+    fdiff = np.diff(hz_pts)
+    slopes = hz_pts[None, :] - fft_freqs[:, None]         # [F, n_mels+2]
+    down = -slopes[:, :-2] / fdiff[None, :-1]
+    up = slopes[:, 2:] / fdiff[None, 1:]
+    fb = np.maximum(0.0, np.minimum(down, up)).T          # [n_mels, F]
+    # slaney normalization: 2 / bandwidth
+    enorm = 2.0 / (hz_pts[2:] - hz_pts[:-2])
+    return (fb * enorm[:, None]).astype(np.float64)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_mel_weights(cfg: MelConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(stft_filters [n_fft, 2*n_freqs], mel [n_freqs, n_mels]) in float32.
+
+    The STFT filters bake the Hann window into the real-DFT basis so framing
+    + windowing + DFT is a single strided conv / matmul.
+    """
+    n_fft = cfg.n_fft
+    n_freqs = n_fft // 2 + 1
+    win = hann_window(n_fft)
+    t = np.arange(n_fft)[:, None]                 # [n_fft, 1]
+    k = np.arange(n_freqs)[None, :]               # [1, n_freqs]
+    ang = -2.0 * np.pi * t * k / n_fft
+    basis = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)  # [n_fft, 2F]
+    filt = win[:, None] * basis                       # float64
+    mel = mel_filterbank(cfg.n_mels, n_fft, cfg.sample_rate).T
+    return filt, mel
+
+
+def log_mel_spectrogram(
+    wave: jnp.ndarray, cfg: MelConfig = MelConfig(), dtype=jnp.float32
+) -> jnp.ndarray:
+    """[B, n_samples] float32 -> [B, n_mels, n_frames] Whisper features.
+
+    ``wave`` must already be padded/truncated to ``cfg.n_samples``
+    (Whisper's fixed 30 s context). Jit-friendly: all shapes static.
+
+    Precision: HF computes this in numpy float64; in float32 the STFT's
+    400-tap cancellation leaves ~1e-4 mean / ~3e-2 worst-case deviation in
+    near-silent bins after the log (parity-bounded in tests; exact parity is
+    verified under x64). The encoder consumes bf16 downstream, so f32 is the
+    production dtype.
+    """
+    filt_np, mel_np = _dft_mel_weights(cfg)
+    filt = jnp.asarray(filt_np, dtype)            # [n_fft, 2F]
+    mel = jnp.asarray(mel_np, dtype)              # [F, n_mels]
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    half = n_fft // 2
+    n_freqs = n_fft // 2 + 1
+
+    x = wave.astype(dtype)
+    x = jnp.pad(x, ((0, 0), (half, half)), mode="reflect")
+    if dtype == jnp.float64:
+        # exactness path (CPU/x64 only): explicit frame gather + matmul —
+        # the f64 strided conv takes minutes to compile on CPU
+        n_frames = (x.shape[1] - n_fft) // hop + 1
+        idx = (jnp.arange(n_frames)[:, None] * hop
+               + jnp.arange(n_fft)[None, :])
+        frames = x[:, idx]                        # [B, T+1, n_fft]
+        spec = jnp.einsum("btf,fk->bkt", frames, filt,
+                          precision=jax.lax.Precision.HIGHEST)
+        spec = spec[:, :, :-1]
+        # HF's numpy path stores the FFT result as complex64 before the
+        # float64 power/mel/log steps; reproduce that rounding for exactness
+        spec = spec.astype(jnp.float32).astype(jnp.float64)
+    else:
+        # production path: framing + windowing + DFT as one strided conv so
+        # XLA feeds the MXU directly instead of materializing a gather
+        spec = jax.lax.conv_general_dilated(
+            x[:, None, :], filt.T[:, None, :],    # [2F, 1, n_fft]
+            window_strides=(hop,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype)         # [B, 2F, n_frames+1]
+        spec = spec[:, :, :-1]                    # HF drops the last frame
+    re, im = spec[:, :n_freqs], spec[:, n_freqs:]
+    power = re * re + im * im                     # [B, F, T]
+    melspec = jnp.einsum(
+        "fm,bft->bmt", mel, power,
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=dtype)
+    log_spec = jnp.log10(jnp.maximum(melspec, 1e-10))
+    gmax = jnp.max(log_spec, axis=(1, 2), keepdims=True)
+    log_spec = jnp.maximum(log_spec, gmax - 8.0)
+    return ((log_spec + 4.0) / 4.0).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def log_mel_batch(wave: jnp.ndarray, cfg: MelConfig = MelConfig()):
+    return log_mel_spectrogram(wave, cfg)
