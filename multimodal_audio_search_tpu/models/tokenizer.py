@@ -29,7 +29,8 @@ class HashWordTokenizer:
                  add_cls_sep: bool = True, eos_id: int | None = None):
         self.vocab_size = vocab_size
         self.cls_id, self.sep_id, self.pad_id = cls_id, sep_id, pad_id
-        self.reserved = reserved
+        # special-id space can't exceed a quarter of a tiny test vocab
+        self.reserved = min(reserved, max(vocab_size // 4, 8))
         self.add_cls_sep = add_cls_sep
         self.eos_id = eos_id
 
@@ -56,10 +57,13 @@ class HashWordTokenizer:
 
     def decode(self, ids: Sequence[int],
                skip_special_tokens: bool = True) -> str:
+        special = {self.cls_id, self.sep_id, self.pad_id}
+        if self.eos_id is not None:
+            special.add(self.eos_id)
         out = []
         for t in ids:
             t = int(t)
-            if skip_special_tokens and t < self.reserved:
+            if skip_special_tokens and (t < self.reserved or t in special):
                 continue
             out.append(f"tok{t}")
         return " ".join(out)

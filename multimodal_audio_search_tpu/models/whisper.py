@@ -121,8 +121,10 @@ def encode(params, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
     enc = params["encoder"]
     x = mel.transpose(0, 2, 1)                       # [B, T, n_mels]
     x = L.gelu(_conv1d(enc["conv1"], x, 1))
-    x = L.gelu(_conv1d(enc["conv2"], x, 2))          # [B, 1500, d]
-    x = x + enc["positions"][None].astype(x.dtype)
+    x = L.gelu(_conv1d(enc["conv2"], x, 2))          # [B, T/2, d]
+    # slice positions to the actual context: full 1500 for 30 s parity, or
+    # fewer under the short-context speed mode (mel padded_seconds < 30)
+    x = x + enc["positions"][: x.shape[1]][None].astype(x.dtype)
     for blk in params["encoder"]["blocks"]:
         h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
         x = x + L.mha(blk["self_attn"], h, h, cfg.heads)

@@ -1,0 +1,164 @@
+"""Dual-pipeline ingest assembly (the reference's hot path, batched).
+
+Behavioral contract (audio_search.py:223-307): decode/resample -> peak-
+conditional normalization -> 10 s windows (drop < 3 s) -> per segment run ASR
+and captioning -> validate texts -> embed valid texts -> keep the segment iff
+at least one pipeline produced text. The reference runs one segment at a
+time; here the whole file's segments run as fixed-shape batches through two
+jitted XLA programs, and all surviving texts embed in one MiniLM batch.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Sequence
+
+import numpy as np
+
+from ..audio.decode import load_audio
+from ..audio.segment import pad_segment_batch, segment_audio
+from ..config import EngineConfig
+from ..service.stats import StatsRegistry
+from .embed import TextEmbedder
+from .validators import validate_asr_text, validate_audio_description
+from .whisper_pipeline import WhisperTextPipeline
+
+
+class DualPipelineIngest:
+    def __init__(
+        self,
+        asr: WhisperTextPipeline,
+        caption: WhisperTextPipeline,
+        embedder: TextEmbedder,
+        cfg: EngineConfig | None = None,
+        stats: StatsRegistry | None = None,
+    ):
+        self.asr = asr
+        self.caption = caption
+        self.embedder = embedder
+        self.cfg = cfg or EngineConfig()
+        self.stats = stats
+
+    def process_file(
+        self, src, source_name: str = "upload"
+    ) -> list[dict[str, Any]]:
+        wave, sr = load_audio(src, self.cfg.audio.sample_rate)
+        return self.process_waveform(wave, sr, source_name)
+
+    def process_waveform(
+        self, wave: np.ndarray, sr: int, source_name: str = "waveform"
+    ) -> list[dict[str, Any]]:
+        """Returns reference-shaped segment records (audio_search.py:275-294).
+
+        Records carry raw segment audio for playback parity; drop them via
+        SegmentStore(keep_audio=False) if undesired.
+        """
+        cfg = self.cfg
+        wins, waves = segment_audio(wave, sr, cfg.segment, cfg.audio)
+        if not wins:
+            return []
+        n_samples = self.asr.mel_cfg.n_samples
+        records: list[dict[str, Any]] = []
+        for lo in range(0, len(wins), cfg.ingest_batch):
+            hi = min(lo + cfg.ingest_batch, len(wins))
+            batch, _lens = pad_segment_batch(waves[lo:hi], n_samples)
+
+            t0 = time.perf_counter()
+            asr_texts = self.asr.transcribe_batch(batch)
+            t1 = time.perf_counter()
+            cap_texts = self.caption.transcribe_batch(batch)
+            t2 = time.perf_counter()
+
+            asr_ok = [bool(validate_asr_text(t, cfg.validator))
+                      for t in asr_texts]
+            cap_ok = [bool(validate_audio_description(t, cfg.validator))
+                      for t in cap_texts]
+            if self.stats is not None:
+                self.stats.pipelines["asr_pipeline"].update_batch(
+                    t1 - t0, asr_ok.count(True), asr_ok.count(False))
+                self.stats.pipelines["audio_pipeline"].update_batch(
+                    t2 - t1, cap_ok.count(True), cap_ok.count(False))
+
+            # one embed batch for every surviving text
+            to_embed: list[str] = []
+            slots: list[tuple[int, int]] = []  # (segment idx in batch, slot)
+            for i in range(hi - lo):
+                if asr_ok[i]:
+                    slots.append((i, 0))
+                    to_embed.append(asr_texts[i])
+                if cap_ok[i]:
+                    slots.append((i, 1))
+                    to_embed.append(cap_texts[i])
+            embs = self.embedder(to_embed) if to_embed else \
+                np.zeros((0, self.embedder.dim), np.float32)
+            emb_map: dict[tuple[int, int], np.ndarray] = {
+                s: embs[j] for j, s in enumerate(slots)}
+
+            for i in range(hi - lo):
+                w = wins[lo + i]
+                a_text = asr_texts[i] if asr_ok[i] else ""
+                c_text = cap_texts[i] if cap_ok[i] else ""
+                if not (a_text.strip() or c_text.strip()):
+                    continue  # audio_search.py:274
+                records.append({
+                    "segment_id": f"seg_{len(records)}",
+                    "source": source_name,
+                    "start_time": w.start_time,
+                    "end_time": w.end_time,
+                    "duration": w.duration,
+                    "asr_text": a_text,
+                    "asr_embedding": emb_map.get((i, 0)),
+                    "asr_success": asr_ok[i],
+                    "audio_description": c_text,
+                    "audio_embedding": emb_map.get((i, 1)),
+                    "audio_success": cap_ok[i],
+                    "audio_data": waves[lo + i],
+                    "sample_rate": sr,
+                })
+        return records
+
+
+def make_default_ingest(
+    cfg: EngineConfig | None = None,
+    stats: StatsRegistry | None = None,
+    seed: int = 0,
+    dtype=None,
+) -> DualPipelineIngest:
+    """Build the reference-configured dual pipeline (random-init weights
+    unless ModelSpec.weights_path points at converted checkpoints)."""
+    import jax.numpy as jnp
+    from ..models import whisper as W
+    from ..models.minilm import PRESETS as MLM_PRESETS
+    dtype = dtype or jnp.bfloat16
+    cfg = cfg or EngineConfig()
+    stats_reg = stats or StatsRegistry()
+
+    def load_whisper(spec, decode, name, prefix=None):
+        wcfg = W.PRESETS[spec.preset]
+        params = None
+        if spec.weights_path:
+            from ..models.convert import (
+                convert_whisper, load_state_dict_from_dir)
+            params = convert_whisper(
+                load_state_dict_from_dir(spec.weights_path), wcfg)
+        # the ingest loop does the reference-style stats update (timing +
+        # validation outcome); the pipeline keeps its own internal counter
+        return WhisperTextPipeline(
+            params=params, cfg=wcfg, decode=decode, dtype=dtype, seed=seed,
+            name=name, prefix_ids=prefix)
+
+    asr = load_whisper(cfg.asr_model, cfg.asr_decode, "asr")
+    # the captioner is conditioned with a bare <sot> prompt
+    cap_cfg = W.PRESETS[cfg.caption_model.preset]
+    caption = load_whisper(
+        cfg.caption_model, cfg.caption_decode, "caption",
+        prefix=[cap_cfg.bos_token_id])
+    mcfg = MLM_PRESETS[cfg.text_embedder.preset]
+    params = None
+    if cfg.text_embedder.weights_path:
+        from ..models.convert import convert_bert, load_state_dict_from_dir
+        params = convert_bert(
+            load_state_dict_from_dir(cfg.text_embedder.weights_path), mcfg)
+    embedder = TextEmbedder(
+        params=params, cfg=mcfg, seed=seed,
+        stats=stats_reg.pipelines["text_embedder"])
+    return DualPipelineIngest(asr, caption, embedder, cfg, stats_reg)

@@ -1,0 +1,105 @@
+"""Audio -> text extraction pipeline (shared by ASR and captioning).
+
+The reference runs two HF pipelines one segment at a time
+(audio_search.py:309-397). Here one jitted XLA program per batch bucket runs
+log-mel -> encoder -> KV-cached generation for a whole segment batch; the two
+pipeline instances differ only in weights, decode config, and decoder prompt:
+
+  * ASR: whisper-base, en-transcribe prompt (audio_search.py:316-327)
+  * caption: whisper-tiny captioner, plain <sot> prompt
+    (audio_search.py:365-375)
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DecodeConfig, MelConfig
+from ..models import whisper as W
+from ..models.generate import generate
+from ..models.layers import cast_floats
+from ..models.tokenizer import load_tokenizer
+from ..ops.mel import log_mel_spectrogram
+from ..service.stats import PipelineStats
+
+
+def _bucket(n: int, floor: int = 8) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+class WhisperTextPipeline:
+    """transcribe(waves[B, n_samples]) -> list[str] (empty on EOS-at-start)."""
+
+    def __init__(
+        self,
+        params=None,
+        cfg: W.WhisperConfig | None = None,
+        tokenizer=None,
+        decode: DecodeConfig | None = None,
+        mel_cfg: MelConfig | None = None,
+        prefix_ids: Sequence[int] | None = None,
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+        stats: PipelineStats | None = None,
+        name: str = "whisper",
+    ):
+        self.cfg = cfg or W.PRESETS["base"]
+        if params is None:
+            params = W.init_params(jax.random.PRNGKey(seed), self.cfg)
+        self.params = cast_floats(params, dtype)
+        self.dtype = dtype
+        self.decode = decode or DecodeConfig(max_new_tokens=64)
+        self.mel_cfg = mel_cfg or MelConfig(n_mels=self.cfg.n_mels)
+        self.tokenizer = tokenizer or load_tokenizer(
+            vocab_size=self.cfg.vocab_size, add_cls_sep=False,
+            pad_id=self.cfg.pad_token_id, eos_id=self.cfg.eos_token_id)
+        self.prefix_ids = tuple(
+            prefix_ids if prefix_ids is not None
+            else W.forced_prefix(self.cfg))
+        self.stats = stats if stats is not None else PipelineStats(
+            f"{name} pipeline", name)
+        self.name = name
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _run(params, waves, prefix, rng):
+            mel = log_mel_spectrogram(waves, self.mel_cfg).astype(dtype)
+            enc = W.encode(params, mel, self.cfg)
+            out = generate(
+                params, enc, prefix, cfg=self.cfg, decode=self.decode,
+                prefix_len=len(self.prefix_ids),
+                max_new_tokens=self.decode.max_new_tokens, rng=rng)
+            return out.tokens, out.lengths
+
+        self._run = _run
+        self._step = 0
+
+    def transcribe_batch(self, waves: np.ndarray) -> list[str]:
+        """waves: [B, mel_cfg.n_samples] float32 (already padded)."""
+        t0 = time.perf_counter()
+        n = len(waves)
+        b = _bucket(n)
+        if b > n:
+            waves = np.pad(waves, ((0, b - n), (0, 0)))
+        prefix = np.tile(np.asarray(self.prefix_ids, np.int32), (b, 1))
+        self._step += 1
+        rng = jax.random.PRNGKey(self._step)
+        tokens, lengths = self._run(
+            self.params, jnp.asarray(waves, jnp.float32), prefix, rng)
+        tokens = np.asarray(tokens)[:n]
+        lengths = np.asarray(lengths)[:n]
+        texts = []
+        p = len(self.prefix_ids)
+        for i in range(n):
+            gen = tokens[i, p: p + max(int(lengths[i]) - 1, 0)]  # drop EOS
+            texts.append(self.tokenizer.decode(
+                gen, skip_special_tokens=True).strip())
+        self.stats.update(time.perf_counter() - t0, success=True, n=n)
+        return texts

@@ -1,0 +1,105 @@
+"""End-to-end ingest + search through the public engine.
+
+Runs with tiny random-init models (no weights available offline) — texts are
+hash-tokenizer strings, but every structural contract is exercised: decode ->
+segment -> dual pipeline -> validate -> embed -> index -> fused search.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multimodal_audio_search_tpu import AudioSearchEngine, EngineConfig
+from multimodal_audio_search_tpu.audio.wav import write_wav
+from multimodal_audio_search_tpu.config import DecodeConfig, MelConfig
+from multimodal_audio_search_tpu.models import whisper as W
+from multimodal_audio_search_tpu.models.minilm import MiniLMConfig
+from multimodal_audio_search_tpu.pipelines.embed import TextEmbedder
+from multimodal_audio_search_tpu.pipelines.ingest import DualPipelineIngest
+from multimodal_audio_search_tpu.pipelines.whisper_pipeline import (
+    WhisperTextPipeline)
+from multimodal_audio_search_tpu.service.stats import StatsRegistry
+
+
+def tiny_whisper_cfg():
+    return W.WhisperConfig(
+        vocab_size=128, d_model=32, enc_layers=1, dec_layers=1, heads=2,
+        ffn=64, enc_positions=150, dec_positions=32,
+        bos_token_id=100, eos_token_id=101, pad_token_id=101,
+        no_timestamps_id=103, transcribe_id=104, lang_en_id=105)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = EngineConfig(ingest_batch=4)
+    mel = MelConfig(padded_seconds=3.0)  # 3 s context keeps CPU tests fast
+    wcfg = tiny_whisper_cfg()
+    decode = DecodeConfig(method="greedy", max_new_tokens=6)
+    stats = StatsRegistry()
+    asr = WhisperTextPipeline(
+        cfg=wcfg, decode=decode, mel_cfg=mel, dtype=jnp.float32, seed=0,
+        name="asr")
+    cap = WhisperTextPipeline(
+        cfg=wcfg, decode=decode, mel_cfg=mel, dtype=jnp.float32, seed=1,
+        name="caption", prefix_ids=[wcfg.bos_token_id])
+    emb = TextEmbedder(
+        cfg=MiniLMConfig(vocab_size=2048, hidden=64, layers=1, heads=2,
+                         intermediate=128),
+        stats=stats.pipelines["text_embedder"])
+    ingest = DualPipelineIngest(asr, cap, emb, cfg, stats)
+    eng = AudioSearchEngine(cfg=cfg, ingest_pipeline=ingest)
+    eng.cfg = eng.cfg.replace(embed_dim=64)
+    eng.store.embed_dim = 64
+    eng.store._emb = np.zeros((eng.store._cap, 2, 64), np.float32)
+    return eng
+
+
+def test_ingest_and_search_roundtrip(engine, rng, tmp_path):
+    sr = 16000
+    wave = (rng.normal(size=sr * 25) * 0.3).astype(np.float32)
+    p = str(tmp_path / "x.wav")
+    write_wav(p, wave, sr)
+    segments = engine.ingest(p, source_name="x.wav")
+    # 25 s -> 3 windows; random models rarely produce validator-passing text,
+    # so segment count is <= 3, but window bookkeeping must hold for kept ones
+    assert len(engine.store) == len(segments)
+    for s in segments:
+        assert s["end_time"] - s["start_time"] >= 3.0
+        assert s["asr_success"] or s["audio_success"]
+        assert s["sample_rate"] == sr
+
+    results, info = engine.search("anything at all")
+    if len(engine.store) > 0:
+        assert set(info) >= {"asr_weight", "audio_weight", "analysis",
+                             "query"}
+    else:  # reference behavior on an empty DB (audio_search.py:626)
+        assert (results, info) == ([], {})
+    for r in results:
+        assert r["fusion_score"] > 0.1
+
+    js = engine.export_stats_json()
+    import json
+    parsed = json.loads(js)
+    assert parsed["database"]["total_segments"] == len(engine.store)
+
+    engine.save_index(tmp_path / "idx")
+    n = len(engine.store)
+    engine.load_index(tmp_path / "idx")
+    assert len(engine.store) == n
+
+
+def test_ingest_waveform_and_search_consistency(engine, rng):
+    sr = 16000
+    wave = (rng.normal(size=sr * 12) * 0.2).astype(np.float32)
+    before = len(engine.store)
+    segs = engine.ingest_waveform(wave, sr, "direct")
+    assert len(engine.store) == before + len(segs)
+    # search twice -> identical results (deterministic greedy + fixed index)
+    r1, _ = engine.search("music with drums")
+    r2, _ = engine.search("music with drums")
+    assert [x["segment_id"] for x in r1] == [x["segment_id"] for x in r2]
+
+
+def test_empty_and_too_short_audio(engine):
+    segs = engine.ingest_waveform(np.zeros(16000, np.float32), 16000, "tiny")
+    assert segs == []  # 1 s < min 3 s -> no windows
