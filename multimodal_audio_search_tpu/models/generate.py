@@ -65,9 +65,11 @@ def ban_repeated_ngrams(
         return logits
     b, l = tokens.shape
     v = logits.shape[1]
-    # probe window: tokens[cur_len-(n-1) .. cur_len-1]
-    probe_idx = cur_len - (n - 1) + jnp.arange(n - 1)          # [n-1]
-    probe = tokens[:, jnp.clip(probe_idx, 0, l - 1)]           # [B, n-1]
+    # probe window: tokens[cur_len-(n-1) .. cur_len-1], per row
+    probe_idx = (cur_len[:, None] - (n - 1)
+                 + jnp.arange(n - 1)[None, :])                 # [B, n-1]
+    probe = tokens[jnp.arange(b)[:, None],
+                   jnp.clip(probe_idx, 0, l - 1)]              # [B, n-1]
     # candidate start positions i: ngram tokens[i..i+n-2], next tokens[i+n-1]
     pos = jnp.arange(l)                                        # starts
     # window at each start: [B, L, n-1]

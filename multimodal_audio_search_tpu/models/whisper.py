@@ -116,8 +116,16 @@ def _conv1d(p, x: jnp.ndarray, stride: int) -> jnp.ndarray:
     return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
 
 
-def encode(params, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
-    """[B, n_mels, 3000] log-mel -> [B, 1500, d] encoder states."""
+def encode(
+    params, mel: jnp.ndarray, cfg: WhisperConfig,
+    fused_attention: bool | None = None,
+) -> jnp.ndarray:
+    """[B, n_mels, 3000] log-mel -> [B, 1500, d] encoder states.
+
+    ``fused_attention``: route self-attention through the Pallas fused
+    kernel (ops/attention.py). None = auto (real TPU and T >= 512).
+    """
+    from ..ops.attention import fused_encoder_attention, use_pallas_attention
     enc = params["encoder"]
     x = mel.transpose(0, 2, 1)                       # [B, T, n_mels]
     x = L.gelu(_conv1d(enc["conv1"], x, 1))
@@ -125,9 +133,19 @@ def encode(params, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
     # slice positions to the actual context: full 1500 for 30 s parity, or
     # fewer under the short-context speed mode (mel padded_seconds < 30)
     x = x + enc["positions"][: x.shape[1]][None].astype(x.dtype)
+    if fused_attention is None:
+        fused_attention = use_pallas_attention(x.shape[1])
     for blk in params["encoder"]["blocks"]:
         h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
-        x = x + L.mha(blk["self_attn"], h, h, cfg.heads)
+        if fused_attention:
+            a = blk["self_attn"]
+            q = L.split_heads(L.dense(a["q"], h), cfg.heads)
+            k = L.split_heads(L.dense(a["k"], h), cfg.heads)
+            v = L.split_heads(L.dense(a["v"], h), cfg.heads)
+            attn = L.merge_heads(fused_encoder_attention(q, k, v))
+            x = x + L.dense(a["o"], attn)
+        else:
+            x = x + L.mha(blk["self_attn"], h, h, cfg.heads)
         h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
         x = x + L.dense(blk["mlp_out"], L.gelu(L.dense(blk["mlp_in"], h)))
     return L.layer_norm(params["encoder"]["ln"], x, cfg.ln_eps)
