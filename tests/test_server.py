@@ -1,0 +1,107 @@
+"""HTTP service boundary test: real server, real requests."""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multimodal_audio_search_tpu import AudioSearchEngine, EngineConfig
+from multimodal_audio_search_tpu.audio.wav import write_wav
+from multimodal_audio_search_tpu.config import DecodeConfig, MelConfig
+from multimodal_audio_search_tpu.models import whisper as W
+from multimodal_audio_search_tpu.models.minilm import MiniLMConfig
+from multimodal_audio_search_tpu.pipelines.embed import TextEmbedder
+from multimodal_audio_search_tpu.pipelines.ingest import DualPipelineIngest
+from multimodal_audio_search_tpu.pipelines.whisper_pipeline import (
+    WhisperTextPipeline)
+from multimodal_audio_search_tpu.service.server import serve
+
+
+@pytest.fixture(scope="module")
+def server():
+    wcfg = W.WhisperConfig(
+        vocab_size=128, d_model=32, enc_layers=1, dec_layers=1, heads=2,
+        ffn=64, enc_positions=150, dec_positions=16,
+        bos_token_id=100, eos_token_id=101, pad_token_id=101)
+    mel = MelConfig(padded_seconds=3.0)
+    decode = DecodeConfig(max_new_tokens=4)
+    cfg = EngineConfig(ingest_batch=4)
+    asr = WhisperTextPipeline(cfg=wcfg, decode=decode, mel_cfg=mel,
+                              dtype=jnp.float32, name="asr")
+    cap = WhisperTextPipeline(cfg=wcfg, decode=decode, mel_cfg=mel,
+                              dtype=jnp.float32, name="caption",
+                              prefix_ids=[wcfg.bos_token_id], seed=1)
+    emb = TextEmbedder(cfg=MiniLMConfig(vocab_size=512, hidden=384,
+                                        layers=1, heads=4,
+                                        intermediate=256))
+    engine = AudioSearchEngine(
+        cfg=cfg, ingest_pipeline=DualPipelineIngest(asr, cap, emb, cfg))
+    srv = serve(engine, host="127.0.0.1", port=0, block=False)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_full_http_flow(server, rng, tmp_path):
+    wave = (rng.normal(size=16000 * 8) * 0.3).astype(np.float32)
+    p = tmp_path / "u.wav"
+    write_wav(str(p), wave, 16000)
+    req = urllib.request.Request(
+        server + "/api/ingest?name=u.wav", data=p.read_bytes(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        body = json.loads(r.read())
+    assert r.status == 200
+    assert body["total"] == len(body["segments"])
+    for s in body["segments"]:
+        assert "asr_embedding" not in s  # embeddings not serialized
+
+    st, out = _get(server + "/api/search?q=music%20with%20drums&k=5")
+    assert st == 200
+    assert "results" in out and "weight_info" in out
+
+    st, stats = _get(server + "/api/stats")
+    assert st == 200 and "models" in stats
+
+    st, segs = _get(server + "/api/segments")
+    assert st == 200 and segs["total"] == body["total"]
+
+    if body["total"]:
+        with urllib.request.urlopen(server + "/api/audio/0",
+                                    timeout=60) as r:
+            wav_bytes = r.read()
+        assert wav_bytes[:4] == b"RIFF"
+
+    # UI page served
+    with urllib.request.urlopen(server + "/", timeout=60) as r:
+        html = r.read().decode()
+    assert "Dual Pipeline Audio Search" in html
+
+    # error paths
+    req = urllib.request.Request(
+        server + "/api/ingest?name=junk", data=b"\0" * 32, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(server + "/api/nope", timeout=60)
+    assert e.value.code == 404
+
+    # persistence over HTTP
+    req = urllib.request.Request(
+        server + f"/api/save?path={tmp_path/'idx'}", method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200
+    req = urllib.request.Request(
+        server + f"/api/load?path={tmp_path/'idx'}", method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert json.loads(r.read())["total"] == body["total"]
