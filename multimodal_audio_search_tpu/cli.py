@@ -1,0 +1,77 @@
+"""Command-line interface.
+
+The reference ships only a Streamlit launcher (setup_unix.sh:36). This CLI
+exposes the full engine surface:
+
+    python -m multimodal_audio_search_tpu ingest a.wav b.wav --index ./idx
+    python -m multimodal_audio_search_tpu search "upbeat music" --index ./idx
+    python -m multimodal_audio_search_tpu serve --port 8527 --index ./idx
+    python -m multimodal_audio_search_tpu stats --index ./idx
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _engine(args):
+    from . import AudioSearchEngine
+    eng = AudioSearchEngine()
+    if args.index:
+        import pathlib
+        if (pathlib.Path(args.index) / "embeddings.npz").exists():
+            eng.load_index(args.index)
+    return eng
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="multimodal_audio_search_tpu")
+    p.add_argument("--index", default=None,
+                   help="index directory to load/save")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="process audio files into the index")
+    pi.add_argument("files", nargs="+")
+
+    ps = sub.add_parser("search", help="fusion search")
+    ps.add_argument("query")
+    ps.add_argument("-k", type=int, default=10)
+
+    pv = sub.add_parser("serve", help="run the HTTP service + UI")
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8527)
+
+    sub.add_parser("stats", help="print stats JSON")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "serve":
+        from .service.server import serve
+        serve(_engine(args), host=args.host, port=args.port)
+        return 0
+
+    eng = _engine(args)
+    if args.cmd == "ingest":
+        for f in args.files:
+            segs = eng.ingest(f, source_name=f)
+            print(f"{f}: {len(segs)} segments "
+                  f"(index total {len(eng.store)})")
+        if args.index:
+            eng.save_index(args.index)
+            print(f"saved index to {args.index}")
+    elif args.cmd == "search":
+        results, info = eng.search(args.query, args.k)
+        print(json.dumps({
+            "weight_info": info,
+            "results": [
+                {k: v for k, v in r.items()
+                 if k not in ("audio_data",)} for r in results],
+        }, indent=2, default=str))
+    elif args.cmd == "stats":
+        print(eng.export_stats_json())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,8 +21,6 @@ MiniLM pipeline also emits unit vectors, so its sklearn cosine matches).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -58,8 +56,7 @@ def fused_scores(
     return jnp.where(valid, score, NEG_INF), valid
 
 
-@functools.partial(jax.jit, static_argnames=("k", "threshold"))
-def fused_topk(
+def fused_topk_impl(
     query_emb: jnp.ndarray,
     emb: jnp.ndarray,
     success: jnp.ndarray,
@@ -69,7 +66,7 @@ def fused_topk(
     k: int = 10,
     threshold: float = 0.1,
 ) -> dict[str, jnp.ndarray]:
-    """One-shot fused search over the whole index.
+    """One-shot fused search over the whole index (trace-time body).
 
     Returns top-k indices/scores plus per-hit sims and effective weights
     (the reference surfaces all of these per result, audio_search.py:673-682).
@@ -93,3 +90,6 @@ def fused_topk(
         "effective_weights": eff,    # [k, 2]
         "num_valid": jnp.sum(valid.astype(jnp.int32)),
     }
+
+
+fused_topk = jax.jit(fused_topk_impl, static_argnames=("k", "threshold"))

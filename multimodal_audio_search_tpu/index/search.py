@@ -16,7 +16,7 @@ import numpy as np
 
 from ..config import FusionConfig
 from .analyzer import KeywordAnalyzer, WeightAnalysis
-from .fusion import NEG_INF, fused_topk
+from .fusion import NEG_INF, fused_topk, fused_topk_impl
 from .store import SegmentStore
 
 
@@ -34,6 +34,33 @@ class FusionSearcher:
         self.embed_fn = embed_fn
         self.cfg = cfg or FusionConfig()
         self.analyzer = analyzer or KeywordAnalyzer(self.cfg)
+        self._combined = self._build_combined(embed_fn)
+
+    def _build_combined(self, embed_fn):
+        """Single-dispatch query program: MiniLM embed + fused top-k in ONE
+        jitted call (halves tunnel/dispatch roundtrips vs embed-then-search;
+        the reference pays a model call plus N sklearn calls,
+        audio_search.py:635-651)."""
+        try:
+            from ..pipelines.embed import TextEmbedder
+            from ..models import minilm
+        except ImportError:  # pragma: no cover
+            return None
+        if not isinstance(embed_fn, TextEmbedder):
+            return None
+        emb = embed_fn
+        import functools
+        import jax
+
+        @functools.partial(jax.jit, static_argnames=("k", "threshold"))
+        def program(params, ids, mask, index_emb, success,
+                    w_asr, w_audio, *, k, threshold):
+            q = minilm.sentence_embed(params, ids, mask, emb.cfg)[0]
+            return fused_topk_impl(
+                q, index_emb, success, w_asr, w_audio,
+                k=k, threshold=threshold)
+
+        return (program, emb)
 
     def __call__(
         self, query: str, k: int | None = None
@@ -43,15 +70,27 @@ class FusionSearcher:
         k = k or self.cfg.top_k
         t0 = time.perf_counter()
         wa = self.analyzer(query)
-        q = np.asarray(self.embed_fn([query]), np.float32)[0]
-        n = float(np.linalg.norm(q))
-        if n > 0:
-            q = q / n
         emb, ok = self.store.device_index()
-        out = fused_topk(
-            jnp.asarray(q), emb, ok,
-            jnp.float32(wa.asr_weight), jnp.float32(wa.audio_weight),
-            k=min(k, emb.shape[0]), threshold=self.cfg.relevance_threshold)
+        if self._combined is not None:
+            program, embedder = self._combined
+            ids, mask = embedder.tokenizer.encode(
+                [query], embedder.max_tokens)
+            out = program(
+                embedder.params, jnp.asarray(ids), jnp.asarray(mask),
+                emb, ok,
+                jnp.float32(wa.asr_weight), jnp.float32(wa.audio_weight),
+                k=min(k, emb.shape[0]),
+                threshold=self.cfg.relevance_threshold)
+        else:
+            q = np.asarray(self.embed_fn([query]), np.float32)[0]
+            n = float(np.linalg.norm(q))
+            if n > 0:
+                q = q / n
+            out = fused_topk(
+                jnp.asarray(q), emb, ok,
+                jnp.float32(wa.asr_weight), jnp.float32(wa.audio_weight),
+                k=min(k, emb.shape[0]),
+                threshold=self.cfg.relevance_threshold)
         out = {kk: np.asarray(v) for kk, v in out.items()}
         results: list[dict[str, Any]] = []
         for rank in range(len(out["indices"])):

@@ -57,15 +57,37 @@ class DualPipelineIngest:
         if not wins:
             return []
         n_samples = self.asr.mel_cfg.n_samples
+        # both pipelines consume the same log-mel features when their mel
+        # configs agree: transfer the wave batch and run the mel frontend
+        # ONCE, then feed both encoders from device-resident features
+        shared_mel = (self.asr.mel_cfg == self.caption.mel_cfg)
+        if shared_mel and not hasattr(self, "_mel_fn"):
+            import functools
+            import jax
+            from ..ops.mel import log_mel_spectrogram
+            self._mel_fn = jax.jit(functools.partial(
+                log_mel_spectrogram, cfg=self.asr.mel_cfg))
         records: list[dict[str, Any]] = []
         for lo in range(0, len(wins), cfg.ingest_batch):
             hi = min(lo + cfg.ingest_batch, len(wins))
             batch, _lens = pad_segment_batch(waves[lo:hi], n_samples)
 
             t0 = time.perf_counter()
-            asr_texts = self.asr.transcribe_batch(batch)
-            t1 = time.perf_counter()
-            cap_texts = self.caption.transcribe_batch(batch)
+            if shared_mel:
+                import jax.numpy as jnp
+                from .whisper_pipeline import _bucket
+                n = hi - lo
+                b = _bucket(n)
+                if b > n:
+                    batch = np.pad(batch, ((0, b - n), (0, 0)))
+                mel = self._mel_fn(jnp.asarray(batch, jnp.float32))
+                asr_texts = self.asr.transcribe_mel(mel, n)
+                t1 = time.perf_counter()
+                cap_texts = self.caption.transcribe_mel(mel, n)
+            else:
+                asr_texts = self.asr.transcribe_batch(batch)
+                t1 = time.perf_counter()
+                cap_texts = self.caption.transcribe_batch(batch)
             t2 = time.perf_counter()
 
             asr_ok = [bool(validate_asr_text(t, cfg.validator))

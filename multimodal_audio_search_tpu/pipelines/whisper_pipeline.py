@@ -78,21 +78,40 @@ class WhisperTextPipeline:
                 max_new_tokens=self.decode.max_new_tokens, rng=rng)
             return out.tokens, out.lengths
 
+        @functools.partial(jax.jit, static_argnames=())
+        def _run_mel(params, mel, prefix, rng):
+            enc = W.encode(params, mel.astype(dtype), self.cfg)
+            out = generate(
+                params, enc, prefix, cfg=self.cfg, decode=self.decode,
+                prefix_len=len(self.prefix_ids),
+                max_new_tokens=self.decode.max_new_tokens, rng=rng)
+            return out.tokens, out.lengths
+
         self._run = _run
+        self._run_mel = _run_mel
         self._step = 0
 
     def transcribe_batch(self, waves: np.ndarray) -> list[str]:
         """waves: [B, mel_cfg.n_samples] float32 (already padded)."""
-        t0 = time.perf_counter()
         n = len(waves)
         b = _bucket(n)
         if b > n:
             waves = np.pad(waves, ((0, b - n), (0, 0)))
+        return self._decode_to_texts(
+            self._run, jnp.asarray(waves, jnp.float32), n, b)
+
+    def transcribe_mel(self, mel: jnp.ndarray, n: int) -> list[str]:
+        """mel: [B_bucket, n_mels, frames] device array (precomputed once
+        per ingest batch and shared between the ASR and caption pipelines);
+        n = true row count."""
+        return self._decode_to_texts(self._run_mel, mel, n, mel.shape[0])
+
+    def _decode_to_texts(self, run, model_in, n: int, b: int) -> list[str]:
+        t0 = time.perf_counter()
         prefix = np.tile(np.asarray(self.prefix_ids, np.int32), (b, 1))
         self._step += 1
         rng = jax.random.PRNGKey(self._step)
-        tokens, lengths = self._run(
-            self.params, jnp.asarray(waves, jnp.float32), prefix, rng)
+        tokens, lengths = run(self.params, model_in, prefix, rng)
         tokens = np.asarray(tokens)[:n]
         lengths = np.asarray(lengths)[:n]
         texts = []
