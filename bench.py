@@ -86,15 +86,31 @@ def main() -> None:
                      jnp.float32(0.4), k=10)
     jax.block_until_ready(out)
 
+    # production query path: ONE dispatch (tokenize host-side, then a single
+    # jitted MiniLM-embed + fused-top-k program; index/search.py does the
+    # same); sync via a host read of the scores
+    import functools
+    from multimodal_audio_search_tpu.index.fusion import fused_topk_impl
+    from multimodal_audio_search_tpu.models import minilm
+
+    @functools.partial(jax.jit, static_argnames=("k", "threshold"))
+    def query_program(params, ids, mask, index_emb, success, w_a, w_b,
+                      *, k, threshold):
+        qv = minilm.sentence_embed(params, ids, mask, emb.cfg)[0]
+        return fused_topk_impl(qv, index_emb, success, w_a, w_b,
+                               k=k, threshold=threshold)
+
     lat = []
     for i in range(n_queries):
         t0 = time.perf_counter()
-        qe = emb([f"query about music and drums number {i}"])[0]
-        out = fused_topk(jnp.asarray(qe), emb_d, ok_d, jnp.float32(0.6),
-                         jnp.float32(0.4), k=10)
-        jax.block_until_ready(out["scores"])
+        ids, mask = emb.tokenizer.encode(
+            [f"query about music and drums number {i}"], emb.max_tokens)
+        out = query_program(
+            emb.params, jnp.asarray(ids), jnp.asarray(mask), emb_d, ok_d,
+            jnp.float32(0.6), jnp.float32(0.4), k=10, threshold=0.1)
+        _ = np.asarray(out["scores"])
         lat.append(time.perf_counter() - t0)
-    p50_ms = float(np.percentile(lat, 50) * 1e3)
+    p50_ms = float(np.percentile(lat[1:] or lat, 50) * 1e3)
 
     baseline = 60.0  # audio-sec/sec/chip target (BASELINE.md)
     print(json.dumps({

@@ -57,34 +57,65 @@ class DualPipelineIngest:
         if not wins:
             return []
         n_samples = self.asr.mel_cfg.n_samples
-        # both pipelines consume the same log-mel features when their mel
-        # configs agree: transfer the wave batch and run the mel frontend
-        # ONCE, then feed both encoders from device-resident features
+        # Transfer/compute pipelining. Both models consume the same log-mel
+        # features when their mel configs agree, so per batch we ship the
+        # waveform ONCE — as int16 at the true segment length (6x fewer
+        # bytes than padded f32; the host link is the bottleneck on tunneled
+        # chips) — dequantize + zero-pad + mel on device, then dispatch both
+        # decoders asynchronously so batch k+1's transfer overlaps batch k's
+        # compute.
         shared_mel = (self.asr.mel_cfg == self.caption.mel_cfg)
-        if shared_mel and not hasattr(self, "_mel_fn"):
-            import functools
+        seg_len = min(int(cfg.segment.segment_seconds * sr), n_samples)
+        if shared_mel and getattr(self, "_mel16_key", None) != \
+                (seg_len, self.asr.mel_cfg):
             import jax
             from ..ops.mel import log_mel_spectrogram
-            self._mel_fn = jax.jit(functools.partial(
-                log_mel_spectrogram, cfg=self.asr.mel_cfg))
-        records: list[dict[str, Any]] = []
+
+            mel_cfg = self.asr.mel_cfg
+
+            @jax.jit
+            def _mel16(w_i16):
+                w = w_i16.astype(jnp.float32) / 32767.0
+                w = jnp.pad(w, ((0, 0), (0, n_samples - w.shape[1])))
+                return log_mel_spectrogram(w, mel_cfg)
+
+            self._mel16_fn = _mel16
+            self._mel16_key = (seg_len, mel_cfg)
+
+        import jax
+        import jax.numpy as jnp
+        from .whisper_pipeline import _bucket
+
+        pending = []  # (lo, hi, t0, asr_future, cap_future) per batch
         for lo in range(0, len(wins), cfg.ingest_batch):
             hi = min(lo + cfg.ingest_batch, len(wins))
-            batch, _lens = pad_segment_batch(waves[lo:hi], n_samples)
-
+            n = hi - lo
             t0 = time.perf_counter()
             if shared_mel:
-                import jax.numpy as jnp
-                from .whisper_pipeline import _bucket
-                n = hi - lo
                 b = _bucket(n)
-                if b > n:
-                    batch = np.pad(batch, ((0, b - n), (0, 0)))
-                mel = self._mel_fn(jnp.asarray(batch, jnp.float32))
-                asr_texts = self.asr.transcribe_mel(mel, n)
-                t1 = time.perf_counter()
-                cap_texts = self.caption.transcribe_mel(mel, n)
+                q = np.zeros((b, seg_len), np.int16)
+                for i, w in enumerate(waves[lo:hi]):
+                    m = min(len(w), seg_len)
+                    q[i, :m] = np.clip(w[:m], -1.0, 1.0) * 32767.0
+                mel = self._mel16_fn(jax.device_put(q))
+                a_fut = self.asr.dispatch_mel(mel)
+                c_fut = self.caption.dispatch_mel(mel)
             else:
+                batch, _ = pad_segment_batch(waves[lo:hi], n_samples)
+                a_fut, c_fut = None, batch
+            pending.append((lo, hi, t0, a_fut, c_fut))
+
+        records: list[dict[str, Any]] = []
+        for lo, hi, t0, a_fut, c_fut in pending:
+            n = hi - lo
+            if a_fut is not None:
+                asr_texts = self.asr.texts_from_tokens(
+                    np.asarray(a_fut[0]), np.asarray(a_fut[1]), n)
+                t1 = time.perf_counter()
+                cap_texts = self.caption.texts_from_tokens(
+                    np.asarray(c_fut[0]), np.asarray(c_fut[1]), n)
+            else:
+                batch = c_fut
                 asr_texts = self.asr.transcribe_batch(batch)
                 t1 = time.perf_counter()
                 cap_texts = self.caption.transcribe_batch(batch)

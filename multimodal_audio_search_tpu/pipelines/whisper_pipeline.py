@@ -106,19 +106,34 @@ class WhisperTextPipeline:
         n = true row count."""
         return self._decode_to_texts(self._run_mel, mel, n, mel.shape[0])
 
-    def _decode_to_texts(self, run, model_in, n: int, b: int) -> list[str]:
-        t0 = time.perf_counter()
+    def dispatch_mel(self, mel: jnp.ndarray):
+        """Async: launch encode+generate on device-resident mel, returning
+        (tokens, lengths) futures — no host sync. Lets the ingest loop
+        overlap the next batch's host->device transfer with this compute."""
+        b = mel.shape[0]
         prefix = np.tile(np.asarray(self.prefix_ids, np.int32), (b, 1))
         self._step += 1
         rng = jax.random.PRNGKey(self._step)
-        tokens, lengths = run(self.params, model_in, prefix, rng)
-        tokens = np.asarray(tokens)[:n]
-        lengths = np.asarray(lengths)[:n]
+        return self._run_mel(self.params, mel, prefix, rng)
+
+    def texts_from_tokens(
+        self, tokens: np.ndarray, lengths: np.ndarray, n: int
+    ) -> list[str]:
         texts = []
         p = len(self.prefix_ids)
         for i in range(n):
             gen = tokens[i, p: p + max(int(lengths[i]) - 1, 0)]  # drop EOS
             texts.append(self.tokenizer.decode(
                 gen, skip_special_tokens=True).strip())
+        return texts
+
+    def _decode_to_texts(self, run, model_in, n: int, b: int) -> list[str]:
+        t0 = time.perf_counter()
+        prefix = np.tile(np.asarray(self.prefix_ids, np.int32), (b, 1))
+        self._step += 1
+        rng = jax.random.PRNGKey(self._step)
+        tokens, lengths = run(self.params, model_in, prefix, rng)
+        texts = self.texts_from_tokens(
+            np.asarray(tokens), np.asarray(lengths), n)
         self.stats.update(time.perf_counter() - t0, success=True, n=n)
         return texts
