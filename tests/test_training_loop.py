@@ -1,0 +1,59 @@
+import numpy as np
+import pytest
+
+from multimodal_audio_search_tpu.models import whisper as W
+from multimodal_audio_search_tpu.training.finetune import TrainConfig
+from multimodal_audio_search_tpu.training.loop import finetune_captioner
+from multimodal_audio_search_tpu.utils.loader import PrefetchLoader, batched
+
+
+def tiny_cfg():
+    return W.WhisperConfig(
+        vocab_size=64, d_model=16, enc_layers=1, dec_layers=1, heads=2,
+        ffn=32, enc_positions=20, dec_positions=12,
+        bos_token_id=60, eos_token_id=61, pad_token_id=61)
+
+
+def make_batches(rng, n_batches, b):
+    for _ in range(n_batches):
+        yield {
+            "mel": rng.normal(size=(b, 80, 40)).astype(np.float32),
+            "tokens": np.tile(np.arange(8, dtype=np.int32), (b, 1)),
+            "loss_mask": np.ones((b, 7), np.float32),
+        }
+
+
+def test_finetune_loop_with_checkpoint_resume(rng, tmp_path):
+    cfg = tiny_cfg()
+    res = finetune_captioner(
+        make_batches(rng, 6, 8), cfg,
+        TrainConfig(learning_rate=3e-3),
+        n_devices=4, model_parallel=2,
+        checkpoint_dir=str(tmp_path), checkpoint_every=3,
+        log_fn=lambda s: None)
+    assert res.steps == 6
+    assert res.losses[-1] < res.losses[0]
+
+    # resume continues the step counter from the checkpoint
+    res2 = finetune_captioner(
+        make_batches(rng, 2, 8), cfg,
+        TrainConfig(learning_rate=3e-3),
+        n_devices=4, model_parallel=2,
+        checkpoint_dir=str(tmp_path), resume=True,
+        log_fn=lambda s: None)
+    assert res2.steps == 8
+
+
+def test_prefetch_loader_order_and_errors():
+    assert list(PrefetchLoader(range(5))) == [0, 1, 2, 3, 4]
+
+    def boom():
+        yield 1
+        raise RuntimeError("broken source")
+    it = PrefetchLoader(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="broken source"):
+        list(it)
+
+    chunks = list(batched(list(range(7)), 3, tuple))
+    assert chunks == [(0, 1, 2), (3, 4, 5), (6,)]
