@@ -111,16 +111,21 @@ class SegmentStore:
         return self._audio[i] if self.keep_audio and i < len(self._audio) \
             else None
 
-    def device_index(self) -> tuple[Any, Any]:
+    def device_index(self, dtype="float32") -> tuple[Any, Any]:
         """(emb[cap,2,D], success[cap,2]) on the default device.
 
         Padded to the capacity bucket; padding rows have success=False so the
-        fused kernel scores them invalid. Cached until the store mutates.
+        fused kernel scores them invalid. Cached until the store mutates or
+        the requested dtype changes. float32 keeps exact top-k parity with
+        the reference (the north-star contract); pass "bfloat16" to halve
+        per-query HBM traffic when close-rank flips are acceptable.
         """
-        if self._device_view is None or self._device_view[0] != self._cap:
-            emb = jax.device_put(self._emb)
+        key = (self._cap, str(dtype))
+        if self._device_view is None or self._device_view[0] != key:
+            import jax.numpy as jnp
+            emb = jax.device_put(jnp.asarray(self._emb, dtype))
             ok = jax.device_put(self._success)
-            self._device_view = (self._cap, emb, ok)
+            self._device_view = (key, emb, ok)
         return self._device_view[1], self._device_view[2]
 
     # ---------------------------------------------------------- persistence

@@ -139,6 +139,18 @@ class AudioSearchEngine:
             query=query, hits=len(results))
         return results, weight_info
 
+    def search_combined(
+        self, query: str, mode: str = "combined", k: int = 10
+    ) -> list[dict[str, Any]]:
+        """Historical combined-text search modes (raw dot product over
+        combined/asr/caption spaces, clean_audio_search.py:305-310)."""
+        from ..index.combined import CombinedTextSearcher
+        if getattr(self, "_combined_searcher", None) is None or \
+                self._combined_searcher.store is not self.store:
+            self._combined_searcher = CombinedTextSearcher(
+                self.store, self.embedder)
+        return self._combined_searcher(query, mode, k)
+
     # --------------------------------------------------------- persistence
     def save_index(self, path) -> None:
         self.store.save(path)
@@ -146,6 +158,15 @@ class AudioSearchEngine:
     def load_index(self, path) -> None:
         self.store = SegmentStore.load(path)
         self._searcher = None
+
+    def reset_index(self) -> None:
+        """Model-comparison mode support: clear the database so a different
+        embedder/model set can be A/B'd (streamlit_app_backup.py:1419-1433).
+        Swap models by constructing a new ingest pipeline or EngineConfig."""
+        self.store = SegmentStore(
+            embed_dim=self.cfg.embed_dim, keep_audio=self.store.keep_audio)
+        self._searcher = None
+        self._combined_searcher = None
 
     # --------------------------------------------------------------- stats
     def export_stats_json(self) -> str:

@@ -144,6 +144,32 @@ class MetricsLog:
         return buf.getvalue()
 
 
+class ProfilerSession:
+    """jax.profiler trace capture around any engine operation.
+
+    Usage::
+
+        with ProfilerSession("/tmp/trace"):
+            engine.ingest("clip.wav")
+
+    Produces a TensorBoard-loadable trace (the reference's telemetry is
+    wall-clock-only; this exposes true device timelines, SURVEY.md §5).
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+        jax.profiler.stop_trace()
+        return False
+
+
 class StatsRegistry:
     """The engine's stats registry (audio_search.py:103-108 equivalent)."""
 
