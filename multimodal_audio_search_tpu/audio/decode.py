@@ -73,12 +73,18 @@ def load_audio(
     kind = sniff_format(data)
     if kind == "wav":
         x, rate = _decode_wav(data)
+    elif kind == "flac" and kind not in _DECODERS:
+        got = native.flac_decode_mono(data)
+        if got is None:
+            raise ValueError("FLAC decode failed (native decoder "
+                             "unavailable or unsupported stream feature)")
+        x, rate = got
     elif kind in _DECODERS:
         x, rate = _DECODERS[kind](data)
     else:
         raise ValueError(
-            f"unsupported audio container {kind!r}; WAV is built in, "
-            f"register others via "
+            f"unsupported audio container {kind!r}; WAV and FLAC are built "
+            f"in, register others via "
             f"multimodal_audio_search_tpu.audio.decode.register_decoder")
 
     if mono and x.ndim == 2:

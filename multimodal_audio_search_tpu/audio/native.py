@@ -19,6 +19,7 @@ import numpy as np
 
 _REPO = pathlib.Path(__file__).resolve().parents[2]
 _SRC = _REPO / "native" / "audio_kernels.cc"
+_FLAC_SRC = _REPO / "native" / "flac_decode.cc"
 _BUILD = _REPO / "native" / "build"
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -30,16 +31,18 @@ _i64p = ctypes.POINTER(ctypes.c_int64)
 
 def _build_and_load() -> ctypes.CDLL | None:
     global _failed
-    if not _SRC.exists():
+    srcs = [s for s in (_SRC, _FLAC_SRC) if s.exists()]
+    if not srcs:
         _failed = True
         return None
-    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    tag = hashlib.sha256(
+        b"".join(s.read_bytes() for s in srcs)).hexdigest()[:16]
     so = _BUILD / f"audio_kernels_{tag}.so"
     if not so.exists():
         _BUILD.mkdir(parents=True, exist_ok=True)
         tmp = so.with_suffix(".so.tmp")
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-               "-o", str(tmp), str(_SRC)]
+               "-o", str(tmp)] + [str(s) for s in srcs]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             os.replace(tmp, so)
@@ -64,6 +67,14 @@ def _build_and_load() -> ctypes.CDLL | None:
     lib.mas_peak_abs.restype = ctypes.c_float
     lib.mas_peak_abs.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    if hasattr(lib, "mas_flac_probe"):
+        lib.mas_flac_probe.restype = ctypes.c_int
+        lib.mas_flac_probe.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, _i32p, _i32p, _i32p, _i64p]
+        lib.mas_flac_decode_mono.restype = ctypes.c_int64
+        lib.mas_flac_decode_mono.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
     return lib
 
 
@@ -122,6 +133,29 @@ def resample_poly(
         up, down, start,
         y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_out)
     return y
+
+
+def flac_decode_mono(data: bytes) -> tuple[np.ndarray, int] | None:
+    """Native FLAC -> (mono float32, rate); None if unsupported here."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mas_flac_probe"):
+        return None
+    rate = ctypes.c_int32(); ch = ctypes.c_int32()
+    bps = ctypes.c_int32(); total = ctypes.c_int64()
+    rc = lib.mas_flac_probe(
+        data, len(data), ctypes.byref(rate), ctypes.byref(ch),
+        ctypes.byref(bps), ctypes.byref(total))
+    if rc != 0:
+        return None
+    # if STREAMINFO lacks a total, bound by worst-case bytes->samples
+    cap = int(total.value) if total.value > 0 else len(data) * 8
+    out = np.empty(cap, np.float32)
+    n = lib.mas_flac_decode_mono(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap)
+    if n < 0:
+        return None
+    return out[:n].copy(), rate.value
 
 
 def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray | None:
