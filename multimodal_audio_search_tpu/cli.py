@@ -17,7 +17,8 @@ import sys
 
 def _engine(args):
     from . import AudioSearchEngine
-    eng = AudioSearchEngine()
+    from .config import config_from_env
+    eng = AudioSearchEngine(cfg=config_from_env())
     if args.index:
         import pathlib
         if (pathlib.Path(args.index) / "embeddings.npz").exists():
@@ -53,10 +54,9 @@ def main(argv: list[str] | None = None) -> int:
 
     eng = _engine(args)
     if args.cmd == "ingest":
-        for f in args.files:
-            segs = eng.ingest(f, source_name=f)
-            print(f"{f}: {len(segs)} segments "
-                  f"(index total {len(eng.store)})")
+        segs = eng.ingest_many(args.files, source_names=args.files)
+        print(f"{len(args.files)} file(s): {len(segs)} segments "
+              f"(index total {len(eng.store)})")
         if args.index:
             eng.save_index(args.index)
             print(f"saved index to {args.index}")

@@ -174,3 +174,63 @@ class EngineConfig:
 
 def default_config() -> EngineConfig:
     return EngineConfig()
+
+
+def config_from_env(base: EngineConfig | None = None) -> EngineConfig:
+    """Environment-variable overrides (MAS_*).
+
+    Realizes the reference's aspirational .env sketch that no code ever read
+    (previous_iterations/DEPLOYMENT.md:61-70). Unset variables keep the
+    reference-parity defaults.
+
+      MAS_SAMPLE_RATE, MAS_SEGMENT_SECONDS, MAS_MIN_SEGMENT_SECONDS,
+      MAS_TOP_K, MAS_THRESHOLD, MAS_INGEST_BATCH, MAS_ANALYZER,
+      MAS_ASR_PRESET, MAS_CAPTION_PRESET, MAS_MAX_NEW_TOKENS,
+      MAS_ASR_WEIGHTS, MAS_CAPTION_WEIGHTS, MAS_EMBEDDER_WEIGHTS
+    """
+    import os
+    cfg = base or EngineConfig()
+
+    def env(name, cast, default):
+        v = os.environ.get(f"MAS_{name}")
+        return cast(v) if v is not None else default
+
+    audio = dataclasses.replace(
+        cfg.audio, sample_rate=env("SAMPLE_RATE", int,
+                                   cfg.audio.sample_rate))
+    segment = dataclasses.replace(
+        cfg.segment,
+        segment_seconds=env("SEGMENT_SECONDS", float,
+                            cfg.segment.segment_seconds),
+        min_segment_seconds=env("MIN_SEGMENT_SECONDS", float,
+                                cfg.segment.min_segment_seconds))
+    fusion = dataclasses.replace(
+        cfg.fusion,
+        top_k=env("TOP_K", int, cfg.fusion.top_k),
+        relevance_threshold=env("THRESHOLD", float,
+                                cfg.fusion.relevance_threshold))
+    max_new = env("MAX_NEW_TOKENS", int, None)
+    asr_decode = cfg.asr_decode if max_new is None else \
+        dataclasses.replace(cfg.asr_decode, max_new_tokens=max_new)
+    cap_decode = cfg.caption_decode if max_new is None else \
+        dataclasses.replace(cfg.caption_decode, max_new_tokens=max_new)
+    return cfg.replace(
+        audio=audio, segment=segment, fusion=fusion,
+        asr_decode=asr_decode, caption_decode=cap_decode,
+        analyzer=env("ANALYZER", str, cfg.analyzer),
+        ingest_batch=env("INGEST_BATCH", int, cfg.ingest_batch),
+        asr_model=dataclasses.replace(
+            cfg.asr_model,
+            preset=env("ASR_PRESET", str, cfg.asr_model.preset),
+            weights_path=env("ASR_WEIGHTS", str,
+                             cfg.asr_model.weights_path)),
+        caption_model=dataclasses.replace(
+            cfg.caption_model,
+            preset=env("CAPTION_PRESET", str, cfg.caption_model.preset),
+            weights_path=env("CAPTION_WEIGHTS", str,
+                             cfg.caption_model.weights_path)),
+        text_embedder=dataclasses.replace(
+            cfg.text_embedder,
+            weights_path=env("EMBEDDER_WEIGHTS", str,
+                             cfg.text_embedder.weights_path)),
+    )

@@ -107,6 +107,26 @@ class AudioSearchEngine:
             segments=len(segments), source=source_name)
         return segments
 
+    def ingest_many(
+        self, sources: list, source_names: list[str] | None = None
+    ) -> list[dict]:
+        """Ingest many files with decode/resample on a background thread
+        while the device processes the previous file (the host is typically
+        one core; decode must not serialize with TPU compute)."""
+        from ..audio.decode import load_audio
+        from ..utils.loader import PrefetchLoader
+        names = source_names or [str(s)[:80] for s in sources]
+
+        def decoded():
+            for src, name in zip(sources, names):
+                wave, sr = load_audio(src, self.cfg.audio.sample_rate)
+                yield name, wave, sr
+
+        out: list[dict] = []
+        for name, wave, sr in PrefetchLoader(decoded(), depth=2):
+            out.extend(self.ingest_waveform(wave, sr, name))
+        return out
+
     def ingest_waveform(
         self, wave: np.ndarray, sr: int, source_name: str = "waveform"
     ) -> list[dict]:

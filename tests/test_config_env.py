@@ -1,0 +1,41 @@
+from multimodal_audio_search_tpu.config import (
+    EngineConfig, config_from_env, default_config)
+
+
+def test_defaults_are_reference_values():
+    c = default_config()
+    assert c.audio.sample_rate == 16000            # audio_search.py:233
+    assert c.segment.segment_seconds == 10.0       # :247
+    assert c.segment.min_segment_seconds == 3.0    # :259
+    assert c.fusion.relevance_threshold == 0.1     # :672
+    assert c.fusion.top_k == 10                    # :699
+    assert c.fusion.mixed_floor == 0.2             # :618
+    assert c.validator.caption_min_chars == 5      # :439
+    assert c.asr_model.preset == "base"
+    assert c.caption_model.preset == "tiny"
+
+
+def test_env_overrides(monkeypatch):
+    monkeypatch.setenv("MAS_SEGMENT_SECONDS", "5")
+    monkeypatch.setenv("MAS_TOP_K", "25")
+    monkeypatch.setenv("MAS_THRESHOLD", "0.05")
+    monkeypatch.setenv("MAS_ANALYZER", "semantic")
+    monkeypatch.setenv("MAS_INGEST_BATCH", "64")
+    monkeypatch.setenv("MAS_ASR_PRESET", "small")
+    monkeypatch.setenv("MAS_MAX_NEW_TOKENS", "96")
+    c = config_from_env()
+    assert c.segment.segment_seconds == 5.0
+    assert c.fusion.top_k == 25
+    assert c.fusion.relevance_threshold == 0.05
+    assert c.analyzer == "semantic"
+    assert c.ingest_batch == 64
+    assert c.asr_model.preset == "small"
+    assert c.asr_decode.max_new_tokens == 96
+    assert c.caption_decode.max_new_tokens == 96
+    # untouched values keep parity defaults
+    assert c.audio.sample_rate == 16000
+    assert c.segment.min_segment_seconds == 3.0
+
+
+def test_env_noop_without_vars():
+    assert config_from_env() == EngineConfig()
