@@ -167,6 +167,13 @@ class EngineConfig:
     # ingest batching (TPU-native addition; reference is one segment at a time)
     ingest_batch: int = 32
     embed_dim: int = 384
+    # short-context mode (whisper.cpp's audio_ctx trick): run the Whisper
+    # encoder on a segment-length mel context instead of the padded 30 s —
+    # 3x less encoder work and 3x less cross-attention K/V traffic per
+    # decode step for 10 s segments. Positional embeddings are sliced;
+    # known-good accuracy trade in practice, but OFF by default because the
+    # parity contract is the exact 30 s pipeline.
+    short_context: bool = False
 
     def replace(self, **kw: Any) -> "EngineConfig":
         return dataclasses.replace(self, **kw)
@@ -219,6 +226,9 @@ def config_from_env(base: EngineConfig | None = None) -> EngineConfig:
         asr_decode=asr_decode, caption_decode=cap_decode,
         analyzer=env("ANALYZER", str, cfg.analyzer),
         ingest_batch=env("INGEST_BATCH", int, cfg.ingest_batch),
+        short_context=env("SHORT_CONTEXT",
+                          lambda v: v.lower() in ("1", "true", "yes"),
+                          cfg.short_context),
         asr_model=dataclasses.replace(
             cfg.asr_model,
             preset=env("ASR_PRESET", str, cfg.asr_model.preset),

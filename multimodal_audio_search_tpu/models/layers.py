@@ -18,6 +18,9 @@ import numpy as np
 
 
 def dense(params, x: jnp.ndarray) -> jnp.ndarray:
+    if "wq" in params:   # int8-quantized weights (ops/quant.py)
+        from ..ops.quant import quant_dense_apply
+        return quant_dense_apply(params, x)
     y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
     if "b" in params:
         y = y + params["b"].astype(jnp.float32)

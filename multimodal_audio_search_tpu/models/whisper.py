@@ -194,6 +194,15 @@ def decode_train(
         v = L.split_heads(L.dense(blk["self_attn"]["v"], h), cfg.heads)
         x = _block_decode(blk, x, k, v, ck, cv, cfg, bias)
     x = L.layer_norm(dec["ln"], x, cfg.ln_eps)
+    return _tied_logits(dec, x)
+
+
+def _tied_logits(dec, x: jnp.ndarray) -> jnp.ndarray:
+    """h @ E^T; uses the int8 table when the decoder is quantized."""
+    if "embed_tokens_q" in dec:
+        from ..ops.quant import quant_dense_apply
+        return quant_dense_apply(dec["embed_tokens_q"], x,
+                                 out_dtype=jnp.float32)
     return jnp.dot(
         x, dec["embed_tokens"].T.astype(x.dtype),
         preferred_element_type=jnp.float32)

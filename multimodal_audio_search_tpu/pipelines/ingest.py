@@ -179,11 +179,16 @@ def make_default_ingest(
     """Build the reference-configured dual pipeline (random-init weights
     unless ModelSpec.weights_path points at converted checkpoints)."""
     import jax.numpy as jnp
+    from ..config import MelConfig
     from ..models import whisper as W
     from ..models.minilm import PRESETS as MLM_PRESETS
     dtype = dtype or jnp.bfloat16
     cfg = cfg or EngineConfig()
     stats_reg = stats or StatsRegistry()
+    mel_cfg = MelConfig(
+        padded_seconds=cfg.segment.segment_seconds,
+        sample_rate=cfg.audio.sample_rate,
+    ) if cfg.short_context else MelConfig(sample_rate=cfg.audio.sample_rate)
 
     def load_whisper(spec, decode, name, prefix=None):
         wcfg = W.PRESETS[spec.preset]
@@ -197,7 +202,7 @@ def make_default_ingest(
         # validation outcome); the pipeline keeps its own internal counter
         return WhisperTextPipeline(
             params=params, cfg=wcfg, decode=decode, dtype=dtype, seed=seed,
-            name=name, prefix_ids=prefix)
+            name=name, prefix_ids=prefix, mel_cfg=mel_cfg)
 
     asr = load_whisper(cfg.asr_model, cfg.asr_decode, "asr")
     # the captioner is conditioned with a bare <sot> prompt
