@@ -56,6 +56,18 @@ PRESETS = {
     "small": WhisperConfig(d_model=768, enc_layers=12, dec_layers=12,
                            heads=12, ffn=3072),
 }
+# English-only variants: 51864-token vocab, shifted special ids
+_EN = dict(vocab_size=51864, bos_token_id=50257, eos_token_id=50256,
+           pad_token_id=50256, no_timestamps_id=50362,
+           transcribe_id=50358, lang_en_id=50258)
+PRESETS.update({
+    "tiny.en": WhisperConfig(d_model=384, enc_layers=4, dec_layers=4,
+                             heads=6, ffn=1536, **_EN),
+    "base.en": WhisperConfig(d_model=512, enc_layers=6, dec_layers=6,
+                             heads=8, ffn=2048, **_EN),
+    "small.en": WhisperConfig(d_model=768, enc_layers=12, dec_layers=12,
+                              heads=12, ffn=3072, **_EN),
+})
 
 
 def config_for(preset: str, **overrides) -> WhisperConfig:
@@ -256,6 +268,9 @@ def decode_step(
 def forced_prefix(cfg: WhisperConfig, task: str = "transcribe") -> list[int]:
     """Decoder prompt: <sot> <lang en> <task> <notimestamps> — the ids the
     reference forces via generate kwargs language='en', task='transcribe'
-    (audio_search.py:318-319)."""
+    (audio_search.py:318-319). English-only checkpoints (vocab 51864) take
+    no language/task tokens."""
+    if cfg.vocab_size == 51864:  # *.en models
+        return [cfg.bos_token_id, cfg.no_timestamps_id]
     return [cfg.bos_token_id, cfg.lang_en_id, cfg.transcribe_id,
             cfg.no_timestamps_id]

@@ -159,6 +159,16 @@ class AudioSearchEngine:
             query=query, hits=len(results))
         return results, weight_info
 
+    def transcribe_long(self, src, chunk_s: float = 10.0,
+                        stride_s: float = 2.0) -> str:
+        """Overlap-stitched long-form ASR (the reference's chunk/stride
+        capability, pipelines/longform.py) over a whole file."""
+        from ..audio.decode import load_audio
+        from ..pipelines.longform import transcribe_long
+        wave, sr = load_audio(src, self.cfg.audio.sample_rate)
+        return transcribe_long(
+            self.ingest_pipeline.asr, wave, sr, chunk_s, stride_s)
+
     def search_combined(
         self, query: str, mode: str = "combined", k: int = 10
     ) -> list[dict[str, Any]]:
