@@ -20,7 +20,7 @@ from typing import Callable
 
 import numpy as np
 
-from .analyzer import KeywordAnalyzer, SemanticAnalyzer, WeightAnalysis
+from .analyzer import KeywordAnalyzer, WeightAnalysis
 
 STRATEGIES = ("audio_only", "fixed_5050", "dynamic_selection",
               "adaptive_weighting")

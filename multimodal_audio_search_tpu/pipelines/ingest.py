@@ -10,7 +10,7 @@ jitted XLA programs, and all surviving texts embed in one MiniLM batch.
 from __future__ import annotations
 
 import time
-from typing import Any, Sequence
+from typing import Any
 
 import numpy as np
 
