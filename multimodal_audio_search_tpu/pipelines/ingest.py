@@ -64,11 +64,14 @@ class DualPipelineIngest:
         # chips) — dequantize + zero-pad + mel on device, then dispatch both
         # decoders asynchronously so batch k+1's transfer overlaps batch k's
         # compute.
+        import jax
+        import jax.numpy as jnp
+        from .whisper_pipeline import _bucket
+
         shared_mel = (self.asr.mel_cfg == self.caption.mel_cfg)
         seg_len = min(int(cfg.segment.segment_seconds * sr), n_samples)
         if shared_mel and getattr(self, "_mel16_key", None) != \
                 (seg_len, self.asr.mel_cfg):
-            import jax
             from ..ops.mel import log_mel_spectrogram
 
             mel_cfg = self.asr.mel_cfg
@@ -81,10 +84,6 @@ class DualPipelineIngest:
 
             self._mel16_fn = _mel16
             self._mel16_key = (seg_len, mel_cfg)
-
-        import jax
-        import jax.numpy as jnp
-        from .whisper_pipeline import _bucket
 
         pending = []  # (lo, hi, t0, asr_future, cap_future) per batch
         for lo in range(0, len(wins), cfg.ingest_batch):
