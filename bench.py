@@ -37,7 +37,7 @@ def main() -> None:
 
     if on_tpu:
         audio_seconds = 1280.0          # 128 x 10 s segments
-        batch, max_new, n_index, n_queries = 32, 64, 100_000, 30
+        batch, max_new, n_index, n_queries = 64, 64, 100_000, 30
         asr_preset, cap_preset = "base", "tiny"
         # short-context production mode (whisper.cpp audio_ctx trick):
         # 10 s mel context -> 500 encoder positions, 3x less cross-attn

@@ -135,6 +135,7 @@ class ModelSpec:
     hf_name: str = ""                # provenance only; weights load from disk
     weights_path: str | None = None  # local converted-checkpoint dir (orbax/npz)
     dtype: str = "bfloat16"
+    quantize_decoder: bool = False   # int8 decoder weights (ops/quant.py)
 
 
 @dataclass(frozen=True)

@@ -124,10 +124,17 @@ def init_mha(key, d_model: int, bias: bool = True, k_bias: bool = True):
 
 
 def cast_floats(tree, dtype):
-    """Cast all floating leaves of a pytree to ``dtype``."""
-    def f(x):
+    """Cast floating leaves of a pytree to ``dtype``.
+
+    Quantization scales (leaves keyed 'scale' next to int8 'wq' weights)
+    stay float32 — they carry the dynamic range of an entire channel.
+    """
+    def f(path, x):
+        keys = [getattr(k, "key", None) for k in path]
+        if keys and keys[-1] == "scale":
+            return x
         if isinstance(x, (jnp.ndarray, np.ndarray)) and \
                 jnp.issubdtype(x.dtype, jnp.floating):
             return jnp.asarray(x, dtype)
         return x
-    return jax.tree_util.tree_map(f, tree)
+    return jax.tree_util.tree_map_with_path(f, tree)

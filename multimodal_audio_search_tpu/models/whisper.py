@@ -56,6 +56,13 @@ PRESETS = {
     "small": WhisperConfig(d_model=768, enc_layers=12, dec_layers=12,
                            heads=12, ffn=3072),
 }
+# large-v3 shape (128 mel bins, 51866 vocab with shifted specials) — the
+# biggest published Whisper; conversion path identical
+PRESETS["large-v3"] = WhisperConfig(
+    d_model=1280, enc_layers=32, dec_layers=32, heads=20, ffn=5120,
+    n_mels=128, vocab_size=51866, bos_token_id=50258, eos_token_id=50257,
+    pad_token_id=50257, no_timestamps_id=50364, transcribe_id=50360,
+    lang_en_id=50259)
 # English-only variants: 51864-token vocab, shifted special ids
 _EN = dict(vocab_size=51864, bos_token_id=50257, eos_token_id=50256,
            pad_token_id=50256, no_timestamps_id=50362,

@@ -177,6 +177,7 @@ def make_default_ingest(
 ) -> DualPipelineIngest:
     """Build the reference-configured dual pipeline (random-init weights
     unless ModelSpec.weights_path points at converted checkpoints)."""
+    import jax
     import jax.numpy as jnp
     from ..config import MelConfig
     from ..models import whisper as W
@@ -197,6 +198,11 @@ def make_default_ingest(
                 convert_whisper, load_state_dict_from_dir)
             params = convert_whisper(
                 load_state_dict_from_dir(spec.weights_path), wcfg)
+        if spec.quantize_decoder:
+            from ..ops.quant import quantize_whisper_decoder
+            if params is None:
+                params = W.init_params(jax.random.PRNGKey(seed), wcfg)
+            params = quantize_whisper_decoder(params)
         # the ingest loop does the reference-style stats update (timing +
         # validation outcome); the pipeline keeps its own internal counter
         return WhisperTextPipeline(
