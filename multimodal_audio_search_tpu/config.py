@@ -84,6 +84,9 @@ class DecodeConfig:
     no_repeat_ngram_size: int = 0     # ASR 2 (:321) / caption 3 (:369)
     length_penalty: float = 1.0       # ASR 0.8 (:322) / caption 1.0 (:373)
     early_stopping: bool = True       # audio_search.py:374
+    # int8-quantized cross-attention K/V (ops/cached_attention.py): halves
+    # the dominant per-step HBM traffic of KV-cached decode
+    int8_cross_kv: bool = False
 
 
 def asr_parity_decode() -> DecodeConfig:

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from ..config import DecodeConfig
 from .generate import apply_repetition_penalty, ban_repeated_ngrams
-from .whisper import WhisperConfig, cross_kv, decode_step, init_cache
+from .whisper import (
+    WhisperConfig, cross_kv, cross_kv_quantized, decode_step, init_cache)
 
 NEG_INF = -1e9
 
@@ -57,7 +58,8 @@ def beam_generate(
 
     # expand encoder state to beams: [B*k, ...]
     enc_k = jnp.repeat(enc_out, k, axis=0)
-    ckv = cross_kv(params, enc_k, cfg)
+    ckv = cross_kv_quantized(params, enc_k, cfg) \
+        if decode.int8_cross_kv else cross_kv(params, enc_k, cfg)
     cache = init_cache(cfg, b * k, total, dtype)
     tokens = jnp.full((b * k, total), cfg.pad_token_id, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(

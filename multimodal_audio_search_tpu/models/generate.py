@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..config import DecodeConfig
 from .whisper import (
-    WhisperConfig, cross_kv, decode_step, init_cache)
+    WhisperConfig, cross_kv, cross_kv_quantized, decode_step, init_cache)
 
 NEG_INF = -1e9
 
@@ -123,7 +123,8 @@ def generate(
     b = enc_out.shape[0]
     total = prefix_len + max_new_tokens
     dtype = enc_out.dtype
-    ckv = cross_kv(params, enc_out, cfg)
+    ckv = cross_kv_quantized(params, enc_out, cfg) \
+        if decode.int8_cross_kv else cross_kv(params, enc_out, cfg)
     cache = init_cache(cfg, b, total, dtype)
     tokens = jnp.full((b, total), cfg.pad_token_id, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prefix.astype(jnp.int32),

@@ -181,16 +181,49 @@ def cross_kv(params, enc_out: jnp.ndarray, cfg: WhisperConfig):
     return out
 
 
-def _block_decode(blk, x, self_k, self_v, ck, cv, cfg, self_bias):
+def cross_kv_quantized(params, enc_out: jnp.ndarray, cfg: WhisperConfig):
+    """Int8 cross-attention K/V (ops/cached_attention.py): computed once per
+    segment batch, read 64+ times during decode at half the HBM traffic."""
+    from ..ops.cached_attention import quantize_kv
+    out = []
+    for k, v in cross_kv(params, enc_out, cfg):
+        out.append(quantize_kv(k, v))
+    return out
+
+
+def _cross_attend(blk, h, ckv_entry, cfg):
+    """Cross-attention for one block; dispatches on the K/V cache format
+    (len-2 tuple: bf16; len-4: int8-quantized single-query path)."""
+    q = L.split_heads(L.dense(blk["cross_attn"]["q"], h), cfg.heads)
+    if len(ckv_entry) == 4:
+        from ..ops.cached_attention import (
+            int8_cached_attention, xla_int8_cached_attention)
+        if q.shape[2] != 1:
+            raise ValueError(
+                "int8 cross-KV supports single-query decode steps only; "
+                "use cross_kv() for teacher-forced decoding")
+        k8, ks, v8, vs = ckv_entry
+        # single-query decode path only (q time dim == 1)
+        q1 = q[:, :, 0, :]
+        if jax.devices()[0].platform == "tpu":
+            o = int8_cached_attention(q1, k8, ks, v8, vs)
+        else:
+            o = xla_int8_cached_attention(q1, k8, ks, v8, vs)
+        attn = L.merge_heads(o[:, :, None, :].astype(h.dtype))
+    else:
+        ck, cv = ckv_entry
+        attn = L.merge_heads(L.attention_scores(q, ck, cv))
+    return L.dense(blk["cross_attn"]["o"], attn)
+
+
+def _block_decode(blk, x, self_k, self_v, ckv_entry, cfg, self_bias):
     """One pre-norm decoder block given materialized self K/V."""
     h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
     q = L.split_heads(L.dense(blk["self_attn"]["q"], h), cfg.heads)
     attn = L.merge_heads(L.attention_scores(q, self_k, self_v, self_bias))
     x = x + L.dense(blk["self_attn"]["o"], attn)
     h = L.layer_norm(blk["cross_ln"], x, cfg.ln_eps)
-    q = L.split_heads(L.dense(blk["cross_attn"]["q"], h), cfg.heads)
-    attn = L.merge_heads(L.attention_scores(q, ck, cv))
-    x = x + L.dense(blk["cross_attn"]["o"], attn)
+    x = x + _cross_attend(blk, h, ckv_entry, cfg)
     h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
     return x + L.dense(blk["mlp_out"], L.gelu(L.dense(blk["mlp_in"], h)))
 
@@ -205,13 +238,13 @@ def decode_train(
     x = x.astype(enc_out.dtype)
     ckv = cross_kv(params, enc_out, cfg)
     bias = L.causal_bias(t, t)
-    for blk, (ck, cv) in zip(dec["blocks"], ckv):
+    for blk, ckv_entry in zip(dec["blocks"], ckv):
         # pre-norm: self K/V come from the layer-normed hidden (same h that
         # _block_decode recomputes for the query)
         h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
         k = L.split_heads(L.dense(blk["self_attn"]["k"], h), cfg.heads)
         v = L.split_heads(L.dense(blk["self_attn"]["v"], h), cfg.heads)
-        x = _block_decode(blk, x, k, v, ck, cv, cfg, bias)
+        x = _block_decode(blk, x, k, v, ckv_entry, cfg, bias)
     x = L.layer_norm(dec["ln"], x, cfg.ln_eps)
     return _tied_logits(dec, x)
 
@@ -255,7 +288,7 @@ def decode_step(
     kmask = (jnp.arange(max_len) <= pos)[None, None, None, :]
     bias = jnp.where(kmask, 0.0, -1e9)
     new_cache = []
-    for blk, layer_cache, (ck, cv) in zip(dec["blocks"], cache, ckv):
+    for blk, layer_cache, ckv_entry in zip(dec["blocks"], cache, ckv):
         h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
         k1 = L.split_heads(L.dense(blk["self_attn"]["k"], h), cfg.heads)
         v1 = L.split_heads(L.dense(blk["self_attn"]["v"], h), cfg.heads)
@@ -264,7 +297,7 @@ def decode_step(
         v = jax.lax.dynamic_update_slice_in_dim(
             layer_cache["v"], v1.astype(layer_cache["v"].dtype), pos, axis=2)
         new_cache.append({"k": k, "v": v})
-        x = _block_decode(blk, x, k, v, ck, cv, cfg, bias)
+        x = _block_decode(blk, x, k, v, ckv_entry, cfg, bias)
     x = L.layer_norm(dec["ln"], x, cfg.ln_eps)
     logits = jnp.dot(
         x[:, 0, :], dec["embed_tokens"].T.astype(x.dtype),
