@@ -51,7 +51,8 @@ def main() -> None:
         mel_cfg = MelConfig(padded_seconds=10.0)
         dtype = jnp.float32
 
-    decode = DecodeConfig(method="greedy", max_new_tokens=max_new)
+    decode = DecodeConfig(method="greedy", max_new_tokens=max_new,
+                          int8_cross_kv=on_tpu)
     cfg = EngineConfig(ingest_batch=batch, asr_decode=decode,
                        caption_decode=decode)
     asr_cfg = W.PRESETS[asr_preset]
@@ -128,6 +129,7 @@ def main() -> None:
             "query_p50_ms_100k": round(p50_ms, 2),
             "decode_steps": max_new,
             "short_context": mel_cfg.padded_seconds < 30.0,
+            "int8_cross_kv": on_tpu,
             "batch": batch,
         },
     }))

@@ -37,26 +37,31 @@ def quantize_kv(k: jnp.ndarray, v: jnp.ndarray):
     return k8, ks, v8, vs
 
 
-def _kernel(q_ref, k8_ref, ks_ref, v8_ref, vs_ref, o_ref, *, scale: float):
-    """One (batch*head): q [1, 1, D], k8/v8 [1, T, D], ks/vs [1, T].
+GRP = 8  # (batch*head) rows per grid step — satisfies the TPU sublane rule
 
-    All intermediates stay 2-D (TPU-friendly shapes)."""
-    qv = q_ref[0].astype(jnp.bfloat16)                 # [1, D]
-    k8 = k8_ref[0]                                     # [T, D] int8
-    logits = jax.lax.dot_general(
-        qv, k8.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [1, T]
-    logits = logits * ks_ref[...] * scale              # ks [1, T]
-    m = jnp.max(logits, axis=1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)
-    pw = (p * vs_ref[...]).astype(jnp.bfloat16)        # fold v scales
-    out = jax.lax.dot_general(
-        pw, v8_ref[0].astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [1, D]
-    o_ref[0] = out.astype(o_ref.dtype)
+
+def _kernel(q_ref, k8_ref, ks_ref, v8_ref, vs_ref, o_ref, *, scale: float):
+    """GRP (batch, head) rows at once: q [G, D], k8/v8 [G, T, D],
+    ks/vs [G, T] -> o [G, D]. The per-row matvecs unroll statically
+    (Mosaic has no batched dot); scales stay factored out of the int8
+    data, so K/V are never dequantized outside VMEM."""
+    grp = q_ref.shape[0]
+    for g in range(grp):                               # static unroll
+        q = q_ref[g][None, :].astype(jnp.bfloat16)     # [1, D]
+        logits = jax.lax.dot_general(
+            q, k8_ref[g].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [1, T]
+        logits = logits * ks_ref[g][None, :] * scale
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        pw = (p * vs_ref[g][None, :]).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            pw, v8_ref[g].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [1, D]
+        o_ref[g] = out[0].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -71,35 +76,43 @@ def int8_cached_attention(
     b, h, d = q.shape
     t = k8.shape[2]
     scale = 1.0 / math.sqrt(d)
-    qf = q.reshape(b * h, 1, d)
+    bh = b * h
+    bh_pad = (bh + GRP - 1) // GRP * GRP
+
+    def flat(x, shape):
+        x = x.reshape(shape)
+        if bh_pad != bh:
+            pad = [(0, bh_pad - bh)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, pad)
+        return x
+
     kernel = functools.partial(_kernel, scale=scale)
     out = pl.pallas_call(
         kernel,
-        grid=(b * h,),
+        grid=(bh_pad // GRP,),
         in_specs=[
-            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((GRP, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((GRP, t, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t), lambda i: (i, 0),
+            pl.BlockSpec((GRP, t), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((GRP, t, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t), lambda i: (i, 0),
+            pl.BlockSpec((GRP, t), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((GRP, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, 1, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bh_pad, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * t * d,
-            bytes_accessed=b * h * t * (2 * d + 8),
-            transcendentals=b * h * t),
+            flops=4 * bh * t * d,
+            bytes_accessed=bh * t * (2 * d + 8),
+            transcendentals=bh * t),
         interpret=interpret,
-    )(qf.reshape(b * h, 1, d), k8.reshape(b * h, t, d),
-      ks.reshape(b * h, t), v8.reshape(b * h, t, d),
-      vs.reshape(b * h, t))
-    return out.reshape(b, h, d)
+    )(flat(q, (bh, d)), flat(k8, (bh, t, d)), flat(ks, (bh, t)),
+      flat(v8, (bh, t, d)), flat(vs, (bh, t)))
+    return out[:bh].reshape(b, h, d)
 
 
 def xla_int8_cached_attention(q, k8, ks, v8, vs):
