@@ -103,7 +103,8 @@ def _select_next(logits, method, temperature, key):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "decode", "prefix_len", "max_new_tokens"))
+    static_argnames=("cfg", "decode", "prefix_len", "max_new_tokens",
+                     "with_scores"))
 def generate(
     params,
     enc_out: jnp.ndarray,           # [B, T_enc, d]
@@ -114,6 +115,7 @@ def generate(
     prefix_len: int,
     max_new_tokens: int,
     rng: jnp.ndarray | None = None,
+    with_scores: bool = False,
 ) -> DecodeOut:
     """Batched KV-cached generation (greedy or sampling).
 
@@ -154,9 +156,10 @@ def generate(
         forced = tokens[:, jnp.minimum(pos + 1, total - 1)]
         nxt = jnp.where(in_prefix, forced, nxt.astype(jnp.int32))
         nxt = jnp.where(finished, cfg.pad_token_id, nxt)
-        logprob = jax.nn.log_softmax(logits, axis=-1)[
-            jnp.arange(b), nxt]
-        scores = scores + jnp.where(finished | in_prefix, 0.0, logprob)
+        if with_scores:  # full-vocab log-softmax costs ~0.3 ms/step at B=64
+            logprob = jax.nn.log_softmax(logits, axis=-1)[
+                jnp.arange(b), nxt]
+            scores = scores + jnp.where(finished | in_prefix, 0.0, logprob)
         tokens = jax.lax.dynamic_update_slice(
             tokens, nxt[:, None], (0, pos + 1))
         finished = finished | (~in_prefix & (nxt == cfg.eos_token_id))
