@@ -49,7 +49,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "serve":
         from .service.server import serve
-        serve(_engine(args), host=args.host, port=args.port)
+        serve(_engine(args), host=args.host, port=args.port, warmup=True)
         return 0
 
     eng = _engine(args)

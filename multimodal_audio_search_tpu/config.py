@@ -178,6 +178,10 @@ class EngineConfig:
     # known-good accuracy trade in practice, but OFF by default because the
     # parity contract is the exact 30 s pipeline.
     short_context: bool = False
+    # host->device waveform encoding: "float32" (exact), "int16" (default;
+    # 96 dB SNR, inaudible), or "mulaw8" (telephony-grade 8-bit companding
+    # for bandwidth-starved hosts)
+    transfer_dtype: str = "int16"
 
     def replace(self, **kw: Any) -> "EngineConfig":
         return dataclasses.replace(self, **kw)
@@ -233,6 +237,7 @@ def config_from_env(base: EngineConfig | None = None) -> EngineConfig:
         short_context=env("SHORT_CONTEXT",
                           lambda v: v.lower() in ("1", "true", "yes"),
                           cfg.short_context),
+        transfer_dtype=env("TRANSFER_DTYPE", str, cfg.transfer_dtype),
         asr_model=dataclasses.replace(
             cfg.asr_model,
             preset=env("ASR_PRESET", str, cfg.asr_model.preset),

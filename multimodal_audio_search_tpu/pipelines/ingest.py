@@ -70,20 +70,50 @@ class DualPipelineIngest:
 
         shared_mel = (self.asr.mel_cfg == self.caption.mel_cfg)
         seg_len = min(int(cfg.segment.segment_seconds * sr), n_samples)
+        transfer = getattr(cfg, "transfer_dtype", "int16")
         if shared_mel and getattr(self, "_mel16_key", None) != \
-                (seg_len, self.asr.mel_cfg):
+                (seg_len, self.asr.mel_cfg, transfer):
             from ..ops.mel import log_mel_spectrogram
 
             mel_cfg = self.asr.mel_cfg
 
             @jax.jit
-            def _mel16(w_i16):
-                w = w_i16.astype(jnp.float32) / 32767.0
+            def _mel16(wq):
+                if transfer == "mulaw8":
+                    # mu-law expansion (mu=255): telephony-grade 8-bit
+                    y = wq.astype(jnp.float32) / 127.0
+                    w = jnp.sign(y) * (jnp.power(256.0, jnp.abs(y)) - 1.0) \
+                        / 255.0
+                elif transfer == "int16":
+                    w = wq.astype(jnp.float32) / 32767.0
+                else:
+                    w = wq.astype(jnp.float32)
                 w = jnp.pad(w, ((0, 0), (0, n_samples - w.shape[1])))
                 return log_mel_spectrogram(w, mel_cfg)
 
             self._mel16_fn = _mel16
-            self._mel16_key = (seg_len, mel_cfg)
+            self._mel16_key = (seg_len, mel_cfg, transfer)
+
+        def encode_transfer(chunk, b):
+            if transfer == "mulaw8":
+                q = np.zeros((b, seg_len), np.int8)
+                for i, w in enumerate(chunk):
+                    m = min(len(w), seg_len)
+                    x = np.clip(w[:m], -1.0, 1.0)
+                    y = np.sign(x) * np.log1p(255.0 * np.abs(x)) \
+                        / np.log(256.0)
+                    q[i, :m] = np.round(y * 127.0)
+            elif transfer == "int16":
+                q = np.zeros((b, seg_len), np.int16)
+                for i, w in enumerate(chunk):
+                    m = min(len(w), seg_len)
+                    q[i, :m] = np.clip(w[:m], -1.0, 1.0) * 32767.0
+            else:
+                q = np.zeros((b, seg_len), np.float32)
+                for i, w in enumerate(chunk):
+                    m = min(len(w), seg_len)
+                    q[i, :m] = w[:m]
+            return q
 
         pending = []  # (lo, hi, t0, asr_future, cap_future) per batch
         for lo in range(0, len(wins), cfg.ingest_batch):
@@ -92,10 +122,7 @@ class DualPipelineIngest:
             t0 = time.perf_counter()
             if shared_mel:
                 b = _bucket(n)
-                q = np.zeros((b, seg_len), np.int16)
-                for i, w in enumerate(waves[lo:hi]):
-                    m = min(len(w), seg_len)
-                    q[i, :m] = np.clip(w[:m], -1.0, 1.0) * 32767.0
+                q = encode_transfer(waves[lo:hi], b)
                 mel = self._mel16_fn(jax.device_put(q))
                 a_fut = self.asr.dispatch_mel(mel)
                 c_fut = self.caption.dispatch_mel(mel)

@@ -68,22 +68,32 @@ class AudioSearchEngine:
         self._searcher: FusionSearcher | None = None
 
     # -------------------------------------------------------------- models
-    def load_all_models(self) -> bool:
+    def load_all_models(self, warmup: bool = False) -> bool:
         """Build/jit all pipelines (ordering + degraded-mode semantics of
         audio_search.py:142-221: embedder failure is fatal, extractor
-        failures degrade)."""
-        if self._ingest is not None:
-            return True
-        t0 = time.perf_counter()
-        try:
-            self._ingest = make_default_ingest(
-                self.cfg, self.stats, seed=self._seed)
-        except Exception:
+        failures degrade).
+
+        ``warmup=True`` additionally compiles the ingest and query programs
+        now (minutes on a cold TPU) so the first real request doesn't pay
+        the XLA compile — the analog of the reference's up-front model
+        download/load step.
+        """
+        if self._ingest is None:
+            t0 = time.perf_counter()
             # embedder is built first inside make_default_ingest; a failure
             # there leaves the engine unable to search at all
-            raise
-        self.stats.pipelines["text_embedder"].load_time = \
-            time.perf_counter() - t0
+            self._ingest = make_default_ingest(
+                self.cfg, self.stats, seed=self._seed)
+            self.stats.pipelines["text_embedder"].load_time = \
+                time.perf_counter() - t0
+        if warmup:
+            t0 = time.perf_counter()
+            sr = self.cfg.audio.sample_rate
+            silent = np.zeros(
+                int(sr * self.cfg.segment.segment_seconds), np.float32)
+            self._ingest.process_waveform(silent, sr, "__warmup__")
+            self.search("warmup query")
+            self.stats.log.log("warmup", time.perf_counter() - t0)
         return True
 
     @property

@@ -188,9 +188,10 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 8527,                      # reference port (README.md:59-66)
     block: bool = True,
+    warmup: bool = False,
 ) -> ThreadingHTTPServer:
     engine = engine or AudioSearchEngine()
-    engine.load_all_models()
+    engine.load_all_models(warmup=warmup)
     handler = type("Handler", (AudioSearchHandler,),
                    {"engine": engine, "lock": threading.Lock()})
     srv = ThreadingHTTPServer((host, port), handler)

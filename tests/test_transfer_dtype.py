@@ -1,0 +1,55 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multimodal_audio_search_tpu import EngineConfig
+from multimodal_audio_search_tpu.config import DecodeConfig, MelConfig
+from multimodal_audio_search_tpu.models import whisper as W
+from multimodal_audio_search_tpu.models.minilm import MiniLMConfig
+from multimodal_audio_search_tpu.pipelines.embed import TextEmbedder
+from multimodal_audio_search_tpu.pipelines.ingest import DualPipelineIngest
+from multimodal_audio_search_tpu.pipelines.whisper_pipeline import (
+    WhisperTextPipeline)
+
+
+def make_ingest(transfer):
+    wcfg = W.WhisperConfig(
+        vocab_size=128, d_model=32, enc_layers=1, dec_layers=1, heads=2,
+        ffn=64, enc_positions=150, dec_positions=12,
+        bos_token_id=100, eos_token_id=101, pad_token_id=101)
+    mel = MelConfig(padded_seconds=3.0)
+    d = DecodeConfig(max_new_tokens=3)
+    cfg = EngineConfig(ingest_batch=4, transfer_dtype=transfer)
+    return DualPipelineIngest(
+        WhisperTextPipeline(cfg=wcfg, decode=d, mel_cfg=mel,
+                            dtype=jnp.float32, name="asr"),
+        WhisperTextPipeline(cfg=wcfg, decode=d, mel_cfg=mel,
+                            dtype=jnp.float32, name="caption", seed=1,
+                            prefix_ids=[100]),
+        TextEmbedder(cfg=MiniLMConfig(vocab_size=512, hidden=64, layers=1,
+                                      heads=2, intermediate=128)),
+        cfg)
+
+
+@pytest.mark.parametrize("transfer", ["float32", "int16", "mulaw8"])
+def test_transfer_dtypes_agree(rng, transfer):
+    """All transfer encodings produce identical decoded tokens on the same
+    audio (the models are coarse enough that 8/16-bit waveform quantization
+    must not change argmax decode on this input)."""
+    wave = (rng.normal(size=16000 * 7) * 0.3).astype(np.float32)
+    segs = make_ingest(transfer).process_waveform(wave, 16000, "x")
+    texts = [(s["asr_text"], s["audio_description"]) for s in segs]
+    ref = make_ingest("float32").process_waveform(wave, 16000, "x")
+    ref_texts = [(s["asr_text"], s["audio_description"]) for s in ref]
+    assert texts == ref_texts
+
+
+def test_mulaw_roundtrip_accuracy(rng):
+    x = np.clip(rng.normal(size=4096) * 0.3, -1, 1).astype(np.float32)
+    y = np.sign(x) * np.log1p(255 * np.abs(x)) / np.log(256)
+    q = np.round(y * 127).astype(np.int8)
+    yd = q.astype(np.float32) / 127.0
+    xd = np.sign(yd) * (np.power(256.0, np.abs(yd)) - 1) / 255.0
+    # companded 8-bit: relative error small for mid/large amplitudes
+    big = np.abs(x) > 0.05
+    assert np.max(np.abs(xd[big] - x[big]) / np.abs(x[big])) < 0.04
