@@ -91,7 +91,13 @@ def load_audio(
         x = to_mono(x)
     x = np.asarray(x, np.float32)
     if rate != sample_rate:
-        y = native.resample(x, rate, sample_rate) \
-            if native.available() else None
-        x = y if y is not None else resample(x, rate, sample_rate)
+        def rs(ch):
+            y = native.resample(ch, rate, sample_rate) \
+                if native.available() else None
+            return y if y is not None else resample(ch, rate, sample_rate)
+        if x.ndim == 2:  # resample each channel along time
+            x = np.stack([rs(np.ascontiguousarray(x[:, c]))
+                          for c in range(x.shape[1])], axis=1)
+        else:
+            x = rs(x)
     return x, sample_rate

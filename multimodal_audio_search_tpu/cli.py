@@ -27,23 +27,27 @@ def _engine(args):
 
 
 def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser(prog="multimodal_audio_search_tpu")
-    p.add_argument("--index", default=None,
-                   help="index directory to load/save")
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--index", default=None,
+                        help="index directory to load/save")
+    p = argparse.ArgumentParser(prog="multimodal_audio_search_tpu",
+                                parents=[common])
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    pi = sub.add_parser("ingest", help="process audio files into the index")
+    pi = sub.add_parser("ingest", parents=[common],
+                        help="process audio files into the index")
     pi.add_argument("files", nargs="+")
 
-    ps = sub.add_parser("search", help="fusion search")
+    ps = sub.add_parser("search", parents=[common], help="fusion search")
     ps.add_argument("query")
     ps.add_argument("-k", type=int, default=10)
 
-    pv = sub.add_parser("serve", help="run the HTTP service + UI")
+    pv = sub.add_parser("serve", parents=[common],
+                        help="run the HTTP service + UI")
     pv.add_argument("--host", default="127.0.0.1")
     pv.add_argument("--port", type=int, default=8527)
 
-    sub.add_parser("stats", help="print stats JSON")
+    sub.add_parser("stats", parents=[common], help="print stats JSON")
 
     args = p.parse_args(argv)
 

@@ -55,7 +55,11 @@ def apply(
     """[B, 128] features -> [B, 384] unit-norm bridge embeddings."""
     x = feats.astype(jnp.float32)
     if cfg.standardize:
-        x = (x - params["feat_mean"]) / jnp.maximum(params["feat_std"], 1e-6)
+        # fitted-then-fixed scaler (streamlit_app_lightweight.py:171):
+        # stop_gradient keeps Adam from drifting the statistics
+        mean = jax.lax.stop_gradient(params["feat_mean"])
+        std = jax.lax.stop_gradient(params["feat_std"])
+        x = (x - mean) / jnp.maximum(std, 1e-6)
     n = len(params["layers"])
     for i, lyr in enumerate(params["layers"]):
         x = L.dense(lyr, x)

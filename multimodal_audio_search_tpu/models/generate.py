@@ -65,6 +65,12 @@ def ban_repeated_ngrams(
         return logits
     b, l = tokens.shape
     v = logits.shape[1]
+    if n == 1:  # HF semantics: ban every token already generated
+        valid = jnp.arange(l)[None, :] < cur_len[:, None]
+        oob = jnp.where(valid, tokens, v)
+        mask = jnp.zeros((b, v + 1), bool).at[
+            jnp.arange(b)[:, None], oob].set(True)[:, :v]
+        return jnp.where(mask, NEG_INF, logits)
     # probe window: tokens[cur_len-(n-1) .. cur_len-1], per row
     probe_idx = (cur_len[:, None] - (n - 1)
                  + jnp.arange(n - 1)[None, :])                 # [B, n-1]

@@ -299,9 +299,7 @@ def decode_step(
         new_cache.append({"k": k, "v": v})
         x = _block_decode(blk, x, k, v, ckv_entry, cfg, bias)
     x = L.layer_norm(dec["ln"], x, cfg.ln_eps)
-    logits = jnp.dot(
-        x[:, 0, :], dec["embed_tokens"].T.astype(x.dtype),
-        preferred_element_type=jnp.float32)
+    logits = _tied_logits(dec, x[:, 0, :])
     return logits, new_cache
 
 

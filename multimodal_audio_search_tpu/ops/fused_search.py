@@ -60,12 +60,16 @@ def pallas_fused_scores(
     assert two == 2
     if n % blk:
         blk = 128 if n % 128 == 0 else 8
+    n_pad = (n + blk - 1) // blk * blk
+    if n_pad != n:  # pad tail rows; success=0 scores them NEG_INF
+        emb = jnp.pad(emb, ((0, n_pad - n), (0, 0), (0, 0)))
+        success = jnp.pad(success, ((0, n_pad - n), (0, 0)))
     w = jnp.stack([asr_weight, audio_weight]).astype(jnp.float32)[None]
     ok = success.astype(jnp.float32)
     kernel = functools.partial(_score_kernel, threshold=threshold)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(n // blk,),
+        grid=(n_pad // blk,),
         in_specs=[
             pl.BlockSpec((1, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -78,10 +82,11 @@ def pallas_fused_scores(
         ],
         out_specs=pl.BlockSpec((blk,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * 2 * d,
             bytes_accessed=n * 2 * d * emb.dtype.itemsize + n * 4,
             transcendentals=0),
         interpret=interpret,
     )(query[None].astype(jnp.float32), w, emb, ok)
+    return out[:n]

@@ -53,6 +53,17 @@ class DualPipelineIngest:
         SegmentStore(keep_audio=False) if undesired.
         """
         cfg = self.cfg
+        target_sr = self.asr.mel_cfg.sample_rate
+        if sr != target_sr:
+            # the mel frontend is calibrated for its configured rate; a raw
+            # waveform at any other rate must be resampled first (parity
+            # with the reference's librosa.load(sr=16000))
+            from ..audio import native
+            from ..audio.resample import resample
+            y = native.resample(wave, sr, target_sr) \
+                if native.available() else None
+            wave = y if y is not None else resample(wave, sr, target_sr)
+            sr = target_sr
         wins, waves = segment_audio(wave, sr, cfg.segment, cfg.audio)
         if not wins:
             return []

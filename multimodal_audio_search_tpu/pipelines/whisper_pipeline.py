@@ -122,7 +122,11 @@ class WhisperTextPipeline:
         texts = []
         p = len(self.prefix_ids)
         for i in range(n):
-            gen = tokens[i, p: p + max(int(lengths[i]) - 1, 0)]  # drop EOS
+            # lengths includes the EOS token when one was emitted; the
+            # tokenizer's skip_special_tokens drops it, so the slice must
+            # NOT subtract 1 (that truncated the last real token whenever
+            # decode ran to max_new_tokens without an EOS)
+            gen = tokens[i, p: p + int(lengths[i])]
             texts.append(self.tokenizer.decode(
                 gen, skip_special_tokens=True).strip())
         return texts

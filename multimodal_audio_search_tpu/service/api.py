@@ -89,10 +89,23 @@ class AudioSearchEngine:
         if warmup:
             t0 = time.perf_counter()
             sr = self.cfg.audio.sample_rate
+            # a full ingest_batch of segments compiles the production bucket
             silent = np.zeros(
-                int(sr * self.cfg.segment.segment_seconds), np.float32)
+                int(sr * self.cfg.segment.segment_seconds
+                    * self.cfg.ingest_batch), np.float32)
             self._ingest.process_waveform(silent, sr, "__warmup__")
-            self.search("warmup query")
+            # the query program short-circuits on an empty store: compile it
+            # against a throwaway store at the default capacity bucket
+            if len(self.store) > 0:
+                self.search("warmup query")
+            else:
+                from ..index.search import FusionSearcher
+                tmp = SegmentStore(embed_dim=self.cfg.embed_dim,
+                                   keep_audio=False)
+                tmp.add({"segment_id": "w"},
+                        np.ones(self.cfg.embed_dim, np.float32), None)
+                FusionSearcher(tmp, self.embedder,
+                               cfg=self.cfg.fusion)("warmup query")
             self.stats.log.log("warmup", time.perf_counter() - t0)
         return True
 
