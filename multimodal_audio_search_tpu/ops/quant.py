@@ -74,7 +74,8 @@ def quantize_whisper_decoder(params: dict) -> dict:
 
 # ------------------------------------------------------------------ kernel
 def _qmm_kernel(x_ref, wq_ref, s_ref, o_ref):
-    """o[B, blk_n] = x[B, K] @ dequant(wq[K, blk_n]); dequant in VMEM."""
+    """o[blk_b, blk_n] = x[blk_b, K] @ dequant(wq[K, blk_n]);
+    dequant happens in VMEM."""
     x = x_ref[...]
     w = wq_ref[...].astype(x.dtype)               # int8 -> bf16 in VMEM
     acc = jax.lax.dot_general(
@@ -83,12 +84,14 @@ def _qmm_kernel(x_ref, wq_ref, s_ref, o_ref):
     o_ref[...] = acc * s_ref[0][None, :].astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("blk_n", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("blk_n", "blk_b", "interpret"))
 def quant_matmul(
     x: jnp.ndarray,        # [B, K] (bf16/f32)
     wq: jnp.ndarray,       # [K, N] int8
     scale: jnp.ndarray,    # [N] f32
     blk_n: int = 512,
+    blk_b: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:          # [B, N] f32
     b, k = x.shape
@@ -101,27 +104,33 @@ def quant_matmul(
         n_pad = n + pad
     else:
         n_pad = n
+    # tile the activation rows too: x can be a whole encoder output
+    # (B*T rows for the quantized cross-K/V projections)
+    blk_b = min(blk_b, (b + 7) // 8 * 8)
+    b_pad = (b + blk_b - 1) // blk_b * blk_b
+    if b_pad != b:
+        x = jnp.pad(x, ((0, b_pad - b), (0, 0)))
     out = pl.pallas_call(
         _qmm_kernel,
-        grid=(n_pad // blk_n,),
+        grid=(b_pad // blk_b, n_pad // blk_n),
         in_specs=[
-            pl.BlockSpec((b, k), lambda i: (0, 0),
+            pl.BlockSpec((blk_b, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, blk_n), lambda i: (0, i),
+            pl.BlockSpec((k, blk_n), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_n), lambda i: (0, i),
+            pl.BlockSpec((1, blk_n), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, blk_n), lambda i: (0, i),
+        out_specs=pl.BlockSpec((blk_b, blk_n), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * n_pad,
             bytes_accessed=k * n_pad + b * k * 2 + b * n_pad * 4,
             transcendentals=0),
         interpret=interpret,
     )(x, wq, scale[None, :])
-    return out[:, :n]
+    return out[:b, :n]
 
 
 def quant_dense_apply(p: dict, x: jnp.ndarray,
