@@ -129,14 +129,24 @@ class SegmentStore:
         return self._device_view[1], self._device_view[2]
 
     # ---------------------------------------------------------- persistence
-    def save(self, path: str | pathlib.Path) -> None:
+    def save(self, path: str | pathlib.Path, mmap: bool = False) -> None:
+        """Persist the index. ``mmap=True`` writes raw .npy arrays instead
+        of a compressed npz so load() can memory-map them — the right format
+        past ~100k segments where decompress-on-load dominates cold start."""
         p = pathlib.Path(path)
         p.mkdir(parents=True, exist_ok=True)
         n = len(self.meta)
-        np.savez_compressed(
-            p / "embeddings.npz",
-            emb=self._emb[:n], success=self._success[:n],
-            embed_dim=self.embed_dim)
+        if mmap:
+            np.save(p / "emb.npy", self._emb[:n])
+            np.save(p / "success.npy", self._success[:n])
+            (p / "embeddings.npz").unlink(missing_ok=True)
+        else:
+            np.savez_compressed(
+                p / "embeddings.npz",
+                emb=self._emb[:n], success=self._success[:n],
+                embed_dim=self.embed_dim)
+            (p / "emb.npy").unlink(missing_ok=True)
+            (p / "success.npy").unlink(missing_ok=True)
         with open(p / "meta.jsonl", "w") as f:
             for row in self.meta:
                 f.write(json.dumps(row) + "\n")
@@ -151,9 +161,14 @@ class SegmentStore:
     @classmethod
     def load(cls, path: str | pathlib.Path) -> "SegmentStore":
         p = pathlib.Path(path)
-        z = np.load(p / "embeddings.npz")
-        emb, ok = z["emb"], z["success"]
-        st = cls(embed_dim=int(z["embed_dim"]))
+        if (p / "emb.npy").exists():          # mmap format
+            emb = np.load(p / "emb.npy", mmap_mode="r")
+            ok = np.load(p / "success.npy", mmap_mode="r")
+            st = cls(embed_dim=int(emb.shape[-1]))
+        else:
+            z = np.load(p / "embeddings.npz")
+            emb, ok = z["emb"], z["success"]
+            st = cls(embed_dim=int(z["embed_dim"]))
         st._cap = _next_pow2(max(len(emb), 1))
         st._emb = np.zeros((st._cap, 2, st.embed_dim), np.float32)
         st._success = np.zeros((st._cap, 2), bool)

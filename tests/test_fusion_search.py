@@ -101,3 +101,19 @@ def test_store_growth(rng):
     assert len(store) == 3000
     assert store.embeddings.shape == (3000, 2, 4)
     np.testing.assert_allclose(np.linalg.norm(store.embeddings[0, 0]), 1.0)
+
+
+def test_store_mmap_persistence(tmp_path, rng):
+    segs = make_segments(rng, n=21)
+    store = SegmentStore(keep_audio=False)
+    store.extend(segs)
+    store.save(tmp_path / "idx", mmap=True)
+    assert (tmp_path / "idx" / "emb.npy").exists()
+    loaded = SegmentStore.load(tmp_path / "idx")
+    assert len(loaded) == 21
+    np.testing.assert_allclose(loaded.embeddings, store.embeddings)
+    np.testing.assert_array_equal(loaded.success, store.success)
+    # mmap store can keep growing (copy-on-append into owned buffers)
+    loaded.add({"segment_id": "extra"},
+               np.ones(384, np.float32) / np.sqrt(384), None)
+    assert len(loaded) == 22
