@@ -82,6 +82,54 @@ def run_strategy(
     return {"scores": scores, "top": top, "info": info}
 
 
+def quality_adaptive_search(
+    store,
+    embed_fn,
+    query: str,
+    k: int = 10,
+    long_threshold: int = 10,
+    w_long: float = 0.7,
+    w_short: float = 0.3,
+):
+    """Transcription-quality adaptive fusion (historical per-SEGMENT rule).
+
+    The lightweight iterations weighted each segment by its own transcript
+    quality: ASR weight 0.7 when the transcript is longer than 10 chars,
+    else 0.3 (lightweight_audio_search.py:232-237; streamlit_app.py:216-219
+    used 0.2/0.8). Unlike the production analyzer this keys on the segment,
+    not the query — weights vary per row, computed as one vectorized pass.
+    """
+    import numpy as np
+    n = len(store)
+    if n == 0:
+        return []
+    q = np.asarray(embed_fn([query]), np.float32)[0]
+    nq = np.linalg.norm(q)
+    if nq > 0:
+        q = q / nq
+    sims = store.embeddings @ q                       # [N, 2]
+    ok = store.success.astype(np.float32)
+    lens = np.asarray(
+        [len((m.get("asr_text") or "").strip()) for m in store.meta])
+    w_asr = np.where(lens > long_threshold, w_long, w_short)
+    w = np.stack([w_asr, 1.0 - w_asr], axis=1) * ok   # [N, 2]
+    total = w.sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w = np.where(total[:, None] > 0, w / total[:, None], 0.0)
+    scores = (w * sims).sum(axis=1)
+    scores = np.where(total > 0, scores, -np.inf)
+    top = np.argsort(-scores)[:k]
+    out = []
+    for i in top:
+        if not np.isfinite(scores[i]):
+            continue
+        row = dict(store.meta[int(i)])
+        row.update(index=int(i), score=float(scores[i]),
+                   asr_weight=float(w[i, 0]), audio_weight=float(w[i, 1]))
+        out.append(row)
+    return out
+
+
 def compare_all(
     query: str, text_query_z, audio_query_z, text_index_z, audio_index_z,
     analyzer=None, k: int = 10,

@@ -71,3 +71,23 @@ def test_semantic_analyzer_bounds():
     r = s("guitar music")
     assert 0.1 <= r.asr_weight <= 0.9
     assert r.asr_weight + r.audio_weight == pytest.approx(1.0)
+
+
+def test_keyword_analyzer_fuzz_parity(rng):
+    """Broad random-phrase parity sweep against the reference's own
+    analyzer (AST-extracted oracle)."""
+    if not available():
+        pytest.skip("reference not mounted")
+    ref = get_method("_analyze_query_for_weights")
+    from multimodal_audio_search_tpu.index.lexicon import (
+        ASR_QUERY_KEYWORDS, AUDIO_QUERY_KEYWORDS)
+    pool = (list(ASR_QUERY_KEYWORDS)[::7] + list(AUDIO_QUERY_KEYWORDS)[::11]
+            + ["xyzzy", "flurb", "random", "words", "THE", "Person!"])
+    a = KeywordAnalyzer()
+    for i in range(150):
+        n = int(rng.integers(0, 7))
+        q = " ".join(rng.choice(pool, size=n)) if n else ""
+        exp_asr, exp_audio, exp_analysis = ref(q)
+        got = a(q)
+        assert got.asr_weight == pytest.approx(exp_asr, abs=1e-12), q
+        assert got.analysis == exp_analysis, q

@@ -73,3 +73,47 @@ def test_adaptive_weights_bounds():
     # balanced -> base weights
     w_asr, _ = adaptive_weights(WeightAnalysis(0.5, 0.5, "x"))
     assert w_asr == pytest.approx(0.7)  # ties go toward ASR base
+
+
+def test_quality_adaptive_search(rng):
+    from multimodal_audio_search_tpu.index.store import SegmentStore
+    from multimodal_audio_search_tpu.index.strategies import (
+        quality_adaptive_search)
+
+    d = 16
+
+    def embed(texts):
+        out = np.zeros((len(texts), d), np.float32)
+        for i, t in enumerate(texts):
+            for w in t.lower().split():
+                out[i, hash(w) % d] += 1.0
+            n = np.linalg.norm(out[i])
+            if n:
+                out[i] /= n
+        return out
+
+    store = SegmentStore(embed_dim=d, keep_audio=False)
+    rows = [
+        # long transcript -> ASR weight 0.7
+        ("a very long transcript about the topic", "music playing"),
+        # short transcript -> ASR weight 0.3
+        ("hi", "music playing"),
+        # caption only -> weight renormalizes to audio
+        ("", "drums playing loudly"),
+    ]
+    for i, (a, c) in enumerate(rows):
+        store.add({"segment_id": f"s{i}", "asr_text": a,
+                   "audio_description": c},
+                  embed([a])[0] if a else None,
+                  embed([c])[0] if c else None)
+    hits = quality_adaptive_search(store, embed, "long transcript topic")
+    assert hits[0]["segment_id"] == "s0"
+    assert hits[0]["asr_weight"] == pytest.approx(0.7)
+    by_id = {h["segment_id"]: h for h in hits}
+    if "s1" in by_id:
+        assert by_id["s1"]["asr_weight"] == pytest.approx(0.3)
+    if "s2" in by_id:
+        assert by_id["s2"]["audio_weight"] == pytest.approx(1.0)
+    # empty store
+    assert quality_adaptive_search(
+        SegmentStore(embed_dim=d), embed, "x") == []
