@@ -131,22 +131,43 @@ class AudioSearchEngine:
         return segments
 
     def ingest_many(
-        self, sources: list, source_names: list[str] | None = None
+        self, sources: list, source_names: list[str] | None = None,
+        retries: int = 1, on_error: str = "skip",
     ) -> list[dict]:
         """Ingest many files with decode/resample on a background thread
         while the device processes the previous file (the host is typically
-        one core; decode must not serialize with TPU compute)."""
+        one core; decode must not serialize with TPU compute).
+
+        Per-file failures retry ``retries`` times, then follow ``on_error``:
+        "skip" logs and continues (the reference's graceful-degradation
+        spirit, SURVEY §5 + an ingest-job retry), "raise" propagates.
+        """
         from ..audio.decode import load_audio
         from ..utils.loader import PrefetchLoader
         names = source_names or [str(s)[:80] for s in sources]
 
         def decoded():
             for src, name in zip(sources, names):
-                wave, sr = load_audio(src, self.cfg.audio.sample_rate)
-                yield name, wave, sr
+                last = None
+                for _ in range(retries + 1):
+                    try:
+                        wave, sr = load_audio(
+                            src, self.cfg.audio.sample_rate)
+                        yield name, wave, sr, None
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        last = e
+                else:
+                    yield name, None, 0, last
 
         out: list[dict] = []
-        for name, wave, sr in PrefetchLoader(decoded(), depth=2):
+        for name, wave, sr, err in PrefetchLoader(decoded(), depth=2):
+            if err is not None:
+                self.stats.log.log("ingest_error", 0.0,
+                                   source=name, error=str(err))
+                if on_error == "raise":
+                    raise err
+                continue
             out.extend(self.ingest_waveform(wave, sr, name))
         return out
 

@@ -128,3 +128,46 @@ def test_bridge_stats_not_trained(rng):
                                np.asarray(fitted["feat_mean"]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(params["feat_std"]),
                                np.asarray(fitted["feat_std"]), atol=1e-6)
+
+
+def test_ingest_many_retry_and_skip(tmp_path, rng, monkeypatch):
+    """Per-file failures are retried then skipped (or raised on demand)."""
+    import jax.numpy as jnp
+    from multimodal_audio_search_tpu import AudioSearchEngine, EngineConfig
+    from multimodal_audio_search_tpu.audio.wav import write_wav
+    from multimodal_audio_search_tpu.config import DecodeConfig, MelConfig
+    from multimodal_audio_search_tpu.models import whisper as W
+    from multimodal_audio_search_tpu.models.minilm import MiniLMConfig
+    from multimodal_audio_search_tpu.pipelines.embed import TextEmbedder
+    from multimodal_audio_search_tpu.pipelines.ingest import (
+        DualPipelineIngest)
+    from multimodal_audio_search_tpu.pipelines.whisper_pipeline import (
+        WhisperTextPipeline)
+    wcfg = W.WhisperConfig(
+        vocab_size=128, d_model=32, enc_layers=1, dec_layers=1, heads=2,
+        ffn=64, enc_positions=150, dec_positions=8,
+        bos_token_id=100, eos_token_id=101, pad_token_id=101)
+    mel = MelConfig(padded_seconds=3.0)
+    cfg = EngineConfig(ingest_batch=4)
+    eng = AudioSearchEngine(cfg=cfg, ingest_pipeline=DualPipelineIngest(
+        WhisperTextPipeline(cfg=wcfg, decode=DecodeConfig(max_new_tokens=2),
+                            mel_cfg=mel, dtype=jnp.float32, name="asr"),
+        WhisperTextPipeline(cfg=wcfg, decode=DecodeConfig(max_new_tokens=2),
+                            mel_cfg=mel, dtype=jnp.float32, name="cap",
+                            seed=1, prefix_ids=[100]),
+        TextEmbedder(cfg=MiniLMConfig(vocab_size=256, hidden=384, layers=1,
+                                      heads=2, intermediate=128)),
+        cfg))
+    good = tmp_path / "ok.wav"
+    write_wav(str(good), (rng.normal(size=16000 * 4) * 0.3)
+              .astype(np.float32), 16000)
+    bad = tmp_path / "bad.mp3"
+    bad.write_bytes(b"ID3\x04garbage that is not decodable")
+
+    segs = eng.ingest_many([str(bad), str(good)])
+    assert len(eng.store) == len(segs)          # good file ingested
+    errs = [e for e in eng.stats.log.events if e.operation == "ingest_error"]
+    assert len(errs) == 1 and "bad.mp3" in errs[0].details["source"]
+
+    with pytest.raises(ValueError):
+        eng.ingest_many([str(bad)], on_error="raise")
