@@ -147,15 +147,23 @@ def flac_decode_mono(data: bytes) -> tuple[np.ndarray, int] | None:
         ctypes.byref(bps), ctypes.byref(total))
     if rc != 0:
         return None
-    # if STREAMINFO lacks a total, bound by worst-case bytes->samples
-    cap = int(total.value) if total.value > 0 else len(data) * 8
-    out = np.empty(cap, np.float32)
-    n = lib.mas_flac_decode_mono(
-        data, len(data),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap)
-    if n < 0:
-        return None
-    return out[:n].copy(), rate.value
+    # When STREAMINFO carries total_samples, that IS the capacity. When it
+    # is 0 (unknown-length stream), start from a bytes->samples guess and
+    # regrow: FLAC constant/silence blocks compress far below 1 bit/sample,
+    # so a full buffer (n == cap) means "truncated", not "done" — the C
+    # decoder stops writing at capacity (native/flac_decode.cc:273-280).
+    known = total.value > 0
+    cap = int(total.value) if known else max(len(data) * 8, 1 << 16)
+    while True:
+        out = np.empty(cap, np.float32)
+        n = lib.mas_flac_decode_mono(
+            data, len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap)
+        if n < 0:
+            return None
+        if known or n < cap:
+            return out[:n].copy(), rate.value
+        cap *= 4
 
 
 def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray | None:

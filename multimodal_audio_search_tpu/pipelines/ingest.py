@@ -9,6 +9,7 @@ jitted XLA programs, and all surviving texts embed in one MiniLM batch.
 """
 from __future__ import annotations
 
+import itertools
 import time
 from typing import Any
 
@@ -37,6 +38,10 @@ class DualPipelineIngest:
         self.embedder = embedder
         self.cfg = cfg or EngineConfig()
         self.stats = stats
+        # monotonic across every file this pipeline ingests, so segment ids
+        # never collide within one store (the reference restarted numbering
+        # per upload, audio_search.py:277 — ids there collided across files)
+        self._seg_counter = itertools.count()
 
     def process_file(
         self, src, source_name: str = "upload"
@@ -190,7 +195,7 @@ class DualPipelineIngest:
                 if not (a_text.strip() or c_text.strip()):
                     continue  # audio_search.py:274
                 records.append({
-                    "segment_id": f"seg_{len(records)}",
+                    "segment_id": f"seg_{next(self._seg_counter)}",
                     "source": source_name,
                     "start_time": w.start_time,
                     "end_time": w.end_time,

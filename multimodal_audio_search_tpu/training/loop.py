@@ -41,6 +41,7 @@ def finetune_captioner(
     resume: bool = True,
     log_fn: Callable[[str], None] = print,
     prefetch: int = 2,
+    fast_forward_data: bool = False,
 ) -> TrainResult:
     tcfg = tcfg or TrainConfig()
     mesh = make_mesh(n_devices, model_parallel)
@@ -53,11 +54,32 @@ def finetune_captioner(
     ck = TrainCheckpointer(checkpoint_dir) if checkpoint_dir else None
     start_step = 0
     if ck is not None and resume and ck.latest_step() is not None:
+        # restore() returns host numpy arrays; re-apply the TP/DP shardings
+        # so a resumed run keeps the same device placement (and HBM budget)
+        # as a fresh one, instead of silently replicating everything.
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        opt_shardings = jax.tree_util.tree_map(
+            lambda x: x.sharding if isinstance(x.sharding, NamedSharding)
+            else repl, opt_state)
         params, restored_opt, meta = ck.restore(params, opt_state)
+        params = shard_params(params, mesh)
         if restored_opt is not None:
-            opt_state = restored_opt
+            opt_state = jax.tree_util.tree_map(
+                jax.device_put, restored_opt, opt_shardings)
         start_step = meta["step"]
         log_fn(f"resumed from step {start_step}")
+        if fast_forward_data:
+            # opt-in for callers that pass the SAME full-dataset iterator on
+            # resume: skip the start_step batches already consumed so the
+            # step<->sample alignment holds. Callers that pass only the
+            # remaining data keep the default (no skipping).
+            it = iter(batches)
+            for _ in range(start_step):
+                if next(it, None) is None:
+                    break
+            batches = it
 
     sharding = data_sharded(mesh)
     losses = []

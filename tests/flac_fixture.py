@@ -100,6 +100,7 @@ def encode_flac(
     rate: int = 16000,
     blocksize: int = 1024,
     mode: str = "verbatim",
+    total_in_streaminfo: bool = True,   # False = unknown-length stream
 ) -> bytes:
     x = np.asarray(samples, np.int64)
     if x.ndim == 1:
@@ -110,7 +111,7 @@ def encode_flac(
     info.write(blocksize, 16); info.write(blocksize, 16)
     info.write(0, 24); info.write(0, 24)
     info.write(rate, 20); info.write(nch - 1, 3); info.write(15, 5)  # 16bps
-    info.write(n, 36)
+    info.write(n if total_in_streaminfo else 0, 36)
     info.write(0, 128)  # md5
     out = bytearray(b"fLaC")
     body = info.to_bytes()

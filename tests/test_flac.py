@@ -62,6 +62,21 @@ def test_flac_through_load_audio():
 
 
 @needs_native
+def test_flac_unknown_length_not_truncated():
+    # STREAMINFO total_samples=0 (unknown-length stream). Constant blocks
+    # compress far below 1 bit/sample, so the old bytes*8 capacity heuristic
+    # truncated valid streams; the wrapper must regrow until complete.
+    x = np.full(200_000, 777, np.int16)
+    data = encode_flac(x, rate=16000, blocksize=4096, mode="constant",
+                       total_in_streaminfo=False)
+    assert len(data) * 8 < len(x)  # fixture really stresses the regrow path
+    y, rate = native.flac_decode_mono(data)
+    assert rate == 16000
+    assert len(y) == len(x)
+    np.testing.assert_allclose(y, x.astype(np.float32) / 32768.0, atol=1e-6)
+
+
+@needs_native
 def test_flac_garbage_rejected():
     assert native.flac_decode_mono(b"fLaC" + b"\x00" * 10) is None
     with pytest.raises(ValueError):

@@ -34,7 +34,8 @@ def test_finetune_loop_with_checkpoint_resume(rng, tmp_path):
     assert res.steps == 6
     assert res.losses[-1] < res.losses[0]
 
-    # resume continues the step counter from the checkpoint
+    # resume continues the step counter from the checkpoint, and restored
+    # params keep their TP/DP shardings (not silently replicated host copies)
     res2 = finetune_captioner(
         make_batches(rng, 2, 8), cfg,
         TrainConfig(learning_rate=3e-3),
@@ -42,6 +43,22 @@ def test_finetune_loop_with_checkpoint_resume(rng, tmp_path):
         checkpoint_dir=str(tmp_path), resume=True,
         log_fn=lambda s: None)
     assert res2.steps == 8
+    import jax
+    from jax.sharding import PartitionSpec as P
+    specs = {jax.tree_util.keystr(p): leaf.sharding.spec
+             for p, leaf in jax.tree_util.tree_leaves_with_path(res2.params)}
+    assert any(s in (P(None, "model"), P("model", None))
+               for s in specs.values()), "resume lost TP shardings"
+
+    # fast_forward_data: same full-dataset iterator on resume -> the already-
+    # consumed prefix is skipped, not replayed
+    res3 = finetune_captioner(
+        make_batches(rng, 10, 8), cfg,
+        TrainConfig(learning_rate=3e-3),
+        n_devices=4, model_parallel=2,
+        checkpoint_dir=str(tmp_path), resume=True,
+        fast_forward_data=True, log_fn=lambda s: None)
+    assert res3.steps == 10  # resumed at 8, consumed 10-8=2 fresh batches
 
 
 def test_prefetch_loader_order_and_errors():
