@@ -245,4 +245,5 @@ class AudioSearchEngine:
     # --------------------------------------------------------------- stats
     def export_stats_json(self) -> str:
         return self.stats.export_json(
-            extra={"database": {"total_segments": len(self.store)}})
+            extra={"database": {"total_segments": len(self.store)},
+                   "model_info": self.model_info})

@@ -6,22 +6,38 @@ This provides a real service boundary over AudioSearchEngine:
     POST /api/ingest   (body: audio bytes, ?name=)   -> segment summaries
     GET  /api/search?q=...&k=10                       -> hits + weight info
     GET  /api/stats                                   -> stats JSON export
+    GET  /api/metrics.csv                             -> operation log CSV
     GET  /api/segments                                -> index listing
     GET  /api/audio/{i}                               -> segment WAV playback
     POST /api/save?path= | /api/load?path=            -> index persistence
+    POST /api/reset                                   -> clear index + GC
     GET  /                                            -> single-page UI with
-         the reference's three tabs (Process / Search / Statistics)
+         the reference's three tabs (Process / Search / Statistics), the
+         sidebar live metrics (audio_search.py:714-765), per-pipeline ingest
+         metrics (:798-817), model cards + hardware/software grid + GC +
+         JSON export (:881-1027)
 
-Single-writer discipline: ingest and search serialize through one lock (the
-store mutates host-side; device programs are functional).
+Single-writer discipline: every endpoint that touches engine state — reads
+included, since `store.meta` can be mid-extend during ingest — serializes
+through one lock (device programs are functional; only the host-side store
+mutates).
+
+Hardening (absent in the reference, which bound Streamlit to localhost):
+save/load paths are confined to ``data_root`` (resolve + prefix check, so a
+CSRF'ing webpage cannot write index files to arbitrary directories), and an
+optional ``api_token`` (or MAS_API_TOKEN env) gates the state-changing
+endpoints via the X-API-Token header.
 """
 from __future__ import annotations
 
+import gc
 import io
 import json
+import os
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 
 import numpy as np
 
@@ -30,12 +46,33 @@ from .api import AudioSearchEngine
 
 _UI = """<!DOCTYPE html>
 <html><head><title>TPU Audio Search</title><style>
-body{font-family:system-ui;margin:2rem;max-width:60rem}
+body{font-family:system-ui;margin:0;display:flex;min-height:100vh}
+aside{width:17rem;background:#f2f4f7;padding:1rem;flex-shrink:0}
+main{flex:1;padding:1.2rem 2rem;max-width:64rem}
 nav button{margin-right:.5rem;padding:.4rem .8rem}
 .tab{display:none}.tab.active{display:block}
 .hit{border:1px solid #ccc;border-radius:6px;padding:.6rem;margin:.5rem 0}
 .score{font-weight:bold}pre{background:#f6f6f6;padding:.6rem;overflow:auto}
+.grid{display:grid;grid-template-columns:repeat(auto-fill,minmax(14rem,1fr));
+ gap:.6rem;margin:.6rem 0}
+.card{border:1px solid #ddd;border-radius:6px;padding:.6rem;background:#fff}
+.card h4{margin:.1rem 0 .3rem 0}.card small{color:#555}
+.metric{display:inline-block;margin:.25rem .9rem .25rem 0}
+.metric b{display:block;font-size:1.15rem}
+.metric span{font-size:.75rem;color:#555}
+aside .metric{display:block;margin:.35rem 0}
 </style></head><body>
+<aside>
+<h3>🎛️ System Monitor</h3>
+<button onclick="pollStats()">Refresh</button>
+<div id="side_sys"></div>
+<h4>Database</h4><div id="side_db"></div>
+<h4>Pipelines</h4><div id="side_pipes"></div>
+<h4>🧠 Fusion</h4>
+<small>Query keywords steer ASR vs audio-caption weights (20–80%);
+missing embeddings renormalize; threshold 0.1; top-10.</small>
+</aside>
+<main>
 <h1>🎯 Dual Pipeline Audio Search (TPU)</h1>
 <nav>
 <button onclick="show('process')">📁 Process Audio</button>
@@ -44,8 +81,9 @@ nav button{margin-right:.5rem;padding:.4rem .8rem}
 </nav>
 <div id="process" class="tab active">
 <h2>Process audio</h2>
-<input type="file" id="file" accept=".wav"/>
+<input type="file" id="file" accept=".wav,.flac,.mp3"/>
 <button onclick="ingest()">Process with Both Pipelines</button>
+<div id="ingest_metrics"></div>
 <div id="ingest_out"></div></div>
 <div id="search" class="tab">
 <h2>Weighted fusion search</h2>
@@ -53,50 +91,128 @@ nav button{margin-right:.5rem;padding:.4rem .8rem}
 <button onclick="doSearch()">Search with Fusion</button>
 <div id="weights"></div><div id="hits"></div></div>
 <div id="stats" class="tab"><h2>Statistics</h2>
-<button onclick="loadStats()">Refresh</button><pre id="stats_out"></pre></div>
+<button onclick="loadStats()">🔄 Refresh</button>
+<button onclick="runGC()">🧹 Clear Index + GC</button>
+<a id="dl" download="audio_search_stats.json"><button>⬇ Export JSON
+</button></a>
+<h3>Model Information</h3><div id="model_cards" class="grid"></div>
+<h3>Hardware / Software</h3><div id="hw_grid" class="grid"></div>
+<h3>Pipeline Performance</h3><div id="pipe_grid" class="grid"></div>
+<h3>Raw</h3><pre id="stats_out"></pre></div>
+</main>
 <script>
+function esc(s){const d=document.createElement('span');
+ d.textContent=s==null?'':String(s);return d.innerHTML;}
+function metric(label,value){return '<span class=metric><b>'+esc(value)+
+ '</b><span>'+esc(label)+'</span></span>';}
 function show(id){document.querySelectorAll('.tab').forEach(
  t=>t.classList.remove('active'));
  document.getElementById(id).classList.add('active');}
 async function ingest(){
  const f=document.getElementById('file').files[0];
- if(!f)return alert('pick a wav file');
+ if(!f)return alert('pick an audio file');
  const r=await fetch('/api/ingest?name='+encodeURIComponent(f.name),
   {method:'POST',body:await f.arrayBuffer()});
  const j=await r.json();
+ if(j.error){document.getElementById('ingest_out').innerHTML=
+  '<p>❌ '+esc(j.error)+'</p>';return;}
+ const n=j.segments.length;
+ const aok=j.segments.filter(s=>s.asr_success).length;
+ const cok=j.segments.filter(s=>s.audio_success).length;
+ document.getElementById('ingest_metrics').innerHTML=
+  metric('Segments',n)+metric('Index total',j.total)+
+  metric('ASR success',aok+'/'+n)+metric('Caption success',cok+'/'+n)+
+  metric('ASR rate',n?(100*aok/n).toFixed(0)+'%':'—')+
+  metric('Caption rate',n?(100*cok/n).toFixed(0)+'%':'—');
  document.getElementById('ingest_out').innerHTML=
-  '<p>✅ '+j.segments.length+' segments (index: '+j.total+')</p>'+
-  j.segments.map(s=>'<div class=hit>'+s.segment_id+' '+
+  j.segments.map(s=>'<div class=hit>'+esc(s.segment_id)+' '+
    s.start_time.toFixed(1)+'–'+s.end_time.toFixed(1)+'s — ASR: '+
-   (s.asr_text||'∅')+' — Caption: '+(s.audio_description||'∅')+
-   '</div>').join('');}
+   esc(s.asr_text||'∅')+' — Caption: '+esc(s.audio_description||'∅')+
+   '</div>').join('');
+ pollStats();}
 async function doSearch(){
  const q=document.getElementById('q').value;
  const r=await fetch('/api/search?q='+encodeURIComponent(q));
  const j=await r.json();
  const w=j.weight_info;
- document.getElementById('weights').innerHTML='<p>🧠 ASR '+
-  (100*w.asr_weight).toFixed(0)+'% / Audio '+
-  (100*w.audio_weight).toFixed(0)+'% — '+w.analysis+'</p>';
- document.getElementById('hits').innerHTML=j.results.map((h,i)=>
+ document.getElementById('weights').innerHTML=w&&w.analysis!==undefined?
+  metric('ASR weight',(100*w.asr_weight).toFixed(0)+'%')+
+  metric('Audio weight',(100*w.audio_weight).toFixed(0)+'%')+
+  '<p>🧠 '+esc(w.analysis)+'</p>':'';
+ document.getElementById('hits').innerHTML=(j.results||[]).map((h,i)=>
   '<div class=hit><span class=score>#'+(i+1)+' '+
   h.fusion_score.toFixed(3)+'</span> ['+h.start_time.toFixed(1)+'–'+
   h.end_time.toFixed(1)+'s] ASR:'+h.asr_similarity.toFixed(3)+
-  ' Audio:'+h.audio_similarity.toFixed(3)+'<br>'+
-  (h.asr_text?'🎤 '+h.asr_text+'<br>':'')+
-  (h.audio_description?'🎵 '+h.audio_description+'<br>':'')+
+  ' Audio:'+h.audio_similarity.toFixed(3)+
+  ' · eff '+(100*h.effective_asr_weight).toFixed(0)+'/'+
+  (100*h.effective_audio_weight).toFixed(0)+'%<br>'+
+  (h.asr_text?'🎤 '+esc(h.asr_text)+'<br>':'')+
+  (h.audio_description?'🎵 '+esc(h.audio_description)+'<br>':'')+
   '<audio controls src="/api/audio/'+h.index+'"></audio></div>'
  ).join('')||'<p>no hits above threshold</p>';}
+function card(title,rows){return '<div class=card><h4>'+esc(title)+'</h4>'+
+ rows.map(r=>'<small>'+esc(r[0])+':</small> '+esc(r[1])+'<br>').join('')+
+ '</div>';}
 async function loadStats(){
  const r=await fetch('/api/stats');
+ const j=await r.json();
  document.getElementById('stats_out').textContent=
-  JSON.stringify(await r.json(),null,2);}
+  JSON.stringify(j,null,2);
+ document.getElementById('dl').href='data:application/json,'+
+  encodeURIComponent(JSON.stringify(j,null,2));
+ const mi=j.model_info||{};
+ document.getElementById('model_cards').innerHTML=
+  Object.values(mi).map(m=>card(m.name,[['Type',m.type],['Size',m.size],
+   ['Dims',m.dimensions],['About',m.description]])).join('');
+ const s=j.system||{};
+ document.getElementById('hw_grid').innerHTML=
+  card('Hardware',[['Accelerator',s.accelerator],
+   ['Devices',s.device_count],
+   ['HBM',s.hbm_used_mb.toFixed(0)+' / '+s.hbm_total_mb.toFixed(0)+' MB'],
+   ['CPU',s.cpu_percent+'%'],
+   ['Memory',s.memory_used_gb.toFixed(1)+' / '+
+    s.memory_total_gb.toFixed(1)+' GB']])+
+  card('Software',[['Platform',s.platform_info],
+   ['Python',s.python_version],['JAX',s.jax_version]]);
+ document.getElementById('pipe_grid').innerHTML=
+  Object.values(j.models||{}).map(p=>card(p.pipeline_name,
+   [['Model',p.model_name],['Calls',p.total_calls],
+    ['Items',p.total_items],
+    ['Avg time',p.avg_processing_time.toFixed(3)+' s'],
+    ['Success',(100*p.success_rate).toFixed(1)+'%'],
+    ['Load time',p.load_time.toFixed(2)+' s']])).join('');
+ renderSidebar(j);}
+function renderSidebar(j){
+ const s=j.system||{},db=j.database||{};
+ document.getElementById('side_sys').innerHTML=
+  metric('CPU',s.cpu_percent+'%')+
+  metric('Memory',s.memory_used_gb.toFixed(1)+' GB ('+
+   s.memory_percent+'%)')+
+  metric('Device',s.accelerator+' ×'+s.device_count)+
+  (s.hbm_total_mb?metric('HBM',s.hbm_used_mb.toFixed(0)+' / '+
+   s.hbm_total_mb.toFixed(0)+' MB'):'');
+ document.getElementById('side_db').innerHTML=
+  metric('Segments',db.total_segments!=null?db.total_segments:'—');
+ document.getElementById('side_pipes').innerHTML=
+  Object.values(j.models||{}).map(p=>metric(p.pipeline_name,
+   p.total_items+' items · '+(100*p.success_rate).toFixed(0)+'%'))
+  .join('');}
+async function pollStats(){
+ try{const r=await fetch('/api/stats');renderSidebar(await r.json());}
+ catch(e){}}
+async function runGC(){
+ if(!confirm('Clear the index and run GC?'))return;
+ await fetch('/api/reset',{method:'POST'});
+ loadStats();}
+pollStats();setInterval(pollStats,5000);
 </script></body></html>"""
 
 
 class AudioSearchHandler(BaseHTTPRequestHandler):
     engine: AudioSearchEngine = None  # set by serve()
     lock: threading.Lock = None
+    data_root: Path = None            # save/load confinement
+    api_token: str | None = None      # gates state-changing endpoints
 
     def _send(self, code: int, body: bytes,
               ctype: str = "application/json") -> None:
@@ -111,6 +227,27 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
 
     def log_message(self, *a):  # quiet
         pass
+
+    def _resolve_under_root(self, raw: str) -> Path | None:
+        """Confine a client-supplied index path to data_root.
+
+        Resolves symlinks/.. then prefix-checks, so `?path=../../etc/x`
+        or an absolute path outside the root is rejected (ADVICE round 1:
+        CSRF from any webpage could previously write anywhere).
+        """
+        p = Path(raw)
+        if not p.is_absolute():
+            p = self.data_root / p
+        p = p.resolve()
+        root = self.data_root.resolve()
+        if p == root or root in p.parents:
+            return p
+        return None
+
+    def _authorized(self) -> bool:
+        if not self.api_token:
+            return True
+        return self.headers.get("X-API-Token", "") == self.api_token
 
     def do_GET(self):
         url = urllib.parse.urlparse(self.path)
@@ -127,17 +264,30 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                          if kk not in ("audio_data",)} for r in results]
                 self._json({"results": slim, "weight_info": info})
             elif url.path == "/api/stats":
-                self._send(200, self.engine.export_stats_json().encode())
+                with self.lock:
+                    body = self.engine.export_stats_json()
+                self._send(200, body.encode())
+            elif url.path == "/api/metrics.csv":
+                with self.lock:
+                    body = self.engine.stats.log.export_csv()
+                self._send(200, body.encode(), "text/csv")
             elif url.path == "/api/segments":
-                self._json({"total": len(self.engine.store),
-                            "segments": self.engine.store.meta})
+                with self.lock:
+                    total = len(self.engine.store)
+                    meta = list(self.engine.store.meta[:total])
+                self._json({"total": total, "segments": meta})
             elif url.path.startswith("/api/audio/"):
                 i = int(url.path.rsplit("/", 1)[1])
-                audio = self.engine.store.audio(i)
+                with self.lock:
+                    if not (0 <= i < len(self.engine.store)):
+                        self._json({"error": "segment index out of range"},
+                                   404)
+                        return
+                    audio = self.engine.store.audio(i)
+                    sr = self.engine.store.meta[i].get("sample_rate", 16000)
                 if audio is None:
                     self._json({"error": "no audio stored"}, 404)
                     return
-                sr = self.engine.store.meta[i].get("sample_rate", 16000)
                 import tempfile
                 buf = io.BytesIO()
                 with tempfile.NamedTemporaryFile(suffix=".wav") as tf:
@@ -153,6 +303,10 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
         url = urllib.parse.urlparse(self.path)
         qs = urllib.parse.parse_qs(url.query)
         try:
+            if url.path in ("/api/save", "/api/load", "/api/reset") \
+                    and not self._authorized():
+                self._json({"error": "missing or bad X-API-Token"}, 401)
+                return
             if url.path == "/api/ingest":
                 n = int(self.headers.get("Content-Length", "0"))
                 data = self.rfile.read(n)
@@ -165,16 +319,31 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                 self._json({"segments": slim,
                             "total": len(self.engine.store)})
             elif url.path == "/api/save":
-                path = qs.get("path", ["./index"])[0]
+                path = self._resolve_under_root(
+                    qs.get("path", ["index"])[0])
+                if path is None:
+                    self._json({"error": "path outside data root"}, 403)
+                    return
                 with self.lock:
                     self.engine.save_index(path)
-                self._json({"saved": path})
+                self._json({"saved": str(path)})
             elif url.path == "/api/load":
-                path = qs.get("path", ["./index"])[0]
+                path = self._resolve_under_root(
+                    qs.get("path", ["index"])[0])
+                if path is None:
+                    self._json({"error": "path outside data root"}, 403)
+                    return
                 with self.lock:
                     self.engine.load_index(path)
-                self._json({"loaded": path,
+                self._json({"loaded": str(path),
                             "total": len(self.engine.store)})
+            elif url.path == "/api/reset":
+                # the reference's "Force Garbage Collection" button
+                # (audio_search.py:993-998) + model-comparison index reset
+                with self.lock:
+                    self.engine.reset_index()
+                    collected = gc.collect()
+                self._json({"reset": True, "gc_collected": collected})
             else:
                 self._json({"error": "not found"}, 404)
         except ValueError as e:
@@ -189,14 +358,21 @@ def serve(
     port: int = 8527,                      # reference port (README.md:59-66)
     block: bool = True,
     warmup: bool = False,
+    data_root: str | os.PathLike | None = None,
+    api_token: str | None = None,
 ) -> ThreadingHTTPServer:
     engine = engine or AudioSearchEngine()
     engine.load_all_models(warmup=warmup)
+    root = Path(data_root if data_root is not None
+                else os.environ.get("MAS_DATA_ROOT", os.getcwd()))
+    token = api_token if api_token is not None \
+        else os.environ.get("MAS_API_TOKEN") or None
     handler = type("Handler", (AudioSearchHandler,),
-                   {"engine": engine, "lock": threading.Lock()})
+                   {"engine": engine, "lock": threading.Lock(),
+                    "data_root": root, "api_token": token})
     srv = ThreadingHTTPServer((host, port), handler)
     if block:
-        print(f"serving on http://{host}:{port}")
+        print(f"serving on http://{host}:{port} (data root: {root})")
         srv.serve_forever()
     return srv
 

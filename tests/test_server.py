@@ -1,6 +1,7 @@
 """HTTP service boundary test: real server, real requests."""
 import json
 import threading
+import urllib.parse
 import urllib.request
 
 import numpy as np
@@ -20,7 +21,7 @@ from multimodal_audio_search_tpu.service.server import serve
 
 
 @pytest.fixture(scope="module")
-def server():
+def server(tmp_path_factory):
     wcfg = W.WhisperConfig(
         vocab_size=128, d_model=32, enc_layers=1, dec_layers=1, heads=2,
         ffn=64, enc_positions=150, dec_positions=16,
@@ -38,10 +39,12 @@ def server():
                                         intermediate=256))
     engine = AudioSearchEngine(
         cfg=cfg, ingest_pipeline=DualPipelineIngest(asr, cap, emb, cfg))
-    srv = serve(engine, host="127.0.0.1", port=0, block=False)
+    root = tmp_path_factory.mktemp("data_root")
+    srv = serve(engine, host="127.0.0.1", port=0, block=False,
+                data_root=root)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    yield f"http://127.0.0.1:{srv.server_address[1]}", root
     srv.shutdown()
 
 
@@ -51,6 +54,7 @@ def _get(url):
 
 
 def test_full_http_flow(server, rng, tmp_path):
+    server, data_root = server
     wave = (rng.normal(size=16000 * 8) * 0.3).astype(np.float32)
     p = tmp_path / "u.wav"
     write_wav(str(p), wave, 16000)
@@ -96,12 +100,95 @@ def test_full_http_flow(server, rng, tmp_path):
         urllib.request.urlopen(server + "/api/nope", timeout=60)
     assert e.value.code == 404
 
-    # persistence over HTTP
-    req = urllib.request.Request(
-        server + f"/api/save?path={tmp_path/'idx'}", method="POST")
+    # persistence over HTTP — paths are confined to data_root; relative
+    # paths resolve under it
+    req = urllib.request.Request(server + "/api/save?path=idx",
+                                 method="POST")
     with urllib.request.urlopen(req, timeout=60) as r:
         assert r.status == 200
-    req = urllib.request.Request(
-        server + f"/api/load?path={tmp_path/'idx'}", method="POST")
+    req = urllib.request.Request(server + "/api/load?path=idx",
+                                 method="POST")
     with urllib.request.urlopen(req, timeout=60) as r:
         assert json.loads(r.read())["total"] == body["total"]
+
+    # save/load outside the data root is rejected (CSRF hardening)
+    for bad in (f"{tmp_path}/evil", "../escape", "/etc/pwned"):
+        req = urllib.request.Request(
+            server + "/api/save?path=" + urllib.parse.quote(bad),
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 403, bad
+
+    # audio index bounds: negative and past-the-end -> 404 (not a wrong
+    # segment served via python negative indexing)
+    for i in (-1, 10_000):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(server + f"/api/audio/{i}", timeout=60)
+        assert e.value.code == 404
+
+    # operation log CSV export (historical metrics parity)
+    with urllib.request.urlopen(server + "/api/metrics.csv",
+                                timeout=60) as r:
+        csv_text = r.read().decode()
+    assert csv_text.splitlines()[0].startswith("timestamp,operation")
+    assert "ingest_file" in csv_text
+
+    # reset endpoint = reference GC button + model-comparison index clear
+    req = urllib.request.Request(server + "/api/reset", method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        out = json.loads(r.read())
+    assert out["reset"] is True
+    st, segs = _get(server + "/api/segments")
+    assert segs["total"] == 0
+    # restore the saved index so state isn't lost for later assertions
+    req = urllib.request.Request(server + "/api/load?path=idx",
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert json.loads(r.read())["total"] == body["total"]
+
+
+def test_api_token_gates_state_changes(tmp_path):
+    from multimodal_audio_search_tpu.index.store import SegmentStore
+    from multimodal_audio_search_tpu.service.api import AudioSearchEngine
+
+    class NullIngest:
+        stats = None
+        embedder = None
+
+    eng = AudioSearchEngine(ingest_pipeline=None,
+                            store=SegmentStore(embed_dim=8))
+    eng._ingest = NullIngest()  # search/ingest untested here
+    srv = serve(eng, host="127.0.0.1", port=0, block=False,
+                data_root=tmp_path, api_token="s3cret")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        req = urllib.request.Request(base + "/api/reset", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 401
+        req = urllib.request.Request(
+            base + "/api/reset", method="POST",
+            headers={"X-API-Token": "s3cret"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["reset"] is True
+    finally:
+        srv.shutdown()
+
+
+def test_ui_escapes_dynamic_strings(server):
+    server, _ = server
+    with urllib.request.urlopen(server + "/", timeout=60) as r:
+        html = r.read().decode()
+    # every dynamic insertion goes through esc() (textContent round-trip);
+    # transcripts of attacker-supplied audio must not inject HTML
+    assert "function esc(" in html
+    assert "esc(s.asr_text" in html and "esc(h.asr_text" in html
+    assert "esc(w.analysis)" in html
+    # reference-parity surfaces exist (audio_search.py:714-765, 798-817,
+    # 881-1027)
+    for marker in ("System Monitor", "Model Information",
+                   "Hardware / Software", "Pipeline Performance",
+                   "Clear Index + GC", "Export JSON", "ASR success"):
+        assert marker in html, marker
