@@ -1,58 +1,110 @@
 """Headline benchmark: ingest throughput (audio-seconds/sec/chip).
 
-Measures the full dual-pipeline ingest hot path on real production shapes —
-log-mel -> whisper-base ASR greedy decode (KV cache, 64 steps) ->
-whisper-tiny caption decode -> MiniLM embed — over synthesized 16 kHz audio,
-plus fused-search p50 latency over a 100k-segment index.
+Measures the full dual-pipeline ingest hot path — log-mel -> whisper-base
+ASR greedy decode (KV cache, 64 steps) -> whisper-tiny caption decode ->
+MiniLM embed — over synthesized 16 kHz audio, plus fused-search p50 latency
+over a 100k-segment index. Prints ONE JSON line.
 
-Baseline (BASELINE.md): >= 60 audio-sec/sec/chip (1 h audio in < 60 s) and
-< 50 ms p50 query latency. Prints ONE JSON line.
+Two configurations are measured every run (VERDICT round 1):
+
+  * parity  — the engine's defaults: 30 s mel context, bf16 KV cache,
+              f32 device index (exact top-10 parity mode).
+  * fast    — opt-in perf modes: 10 s short context (whisper.cpp audio_ctx
+              trick), int8 cross-attention KV, bf16 index.
+
+The headline number is the fast-mode ingest throughput; both modes' full
+stage timings live in extras, along with an in-run chip calibration
+(bf16 matmul TFLOP/s, HBM GB/s) and per-stage MFU / HBM-bandwidth
+fractions so results can be judged against roofline.
+
+Timing discipline for the tunneled chip (docs/BENCHMARKS.md): every device
+timing forces a 1-element host read and subtracts the measured RTT;
+block_until_ready does not block on the axon platform.
 
 Weights are random-init (no egress in this image) — identical FLOPs/shapes
 to converted checkpoints; decode runs the full 64 steps since random models
-never emit EOS, so the throughput number is the worst case.
+never emit EOS, so throughput numbers are the worst case.
 """
+import functools
 import json
 import time
 
 import numpy as np
 
 
-def main() -> None:
+def _sync_time(fn, *args, reps: int = 5) -> float:
+    """Median wall-time of fn(*args), forcing a 1-element device read."""
     import jax
-    platform = jax.devices()[0].platform
-    on_tpu = platform == "tpu"
+    out = fn(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
 
+
+def calibrate(on_tpu: bool) -> dict:
+    """Measured chip peaks: bf16 matmul TFLOP/s and HBM read GB/s."""
+    import jax
+    import jax.numpy as jnp
+    n = 8192 if on_tpu else 1024
+    reps = 8 if on_tpu else 2
+    a = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a):
+        def body(i, x):
+            return jnp.dot(a, x, preferred_element_type=jnp.bfloat16)
+        return jax.lax.fori_loop(0, reps, body, a)
+
+    rtt = _sync_time(jax.jit(lambda x: x + 1), jnp.zeros(()))
+    t = _sync_time(mm, a) - rtt
+    tflops = reps * 2 * n**3 / t / 1e12
+
+    m = 256 * 1024 * 1024 // 2 if on_tpu else 8 * 1024 * 1024  # elements
+    big = jnp.ones((m,), jnp.bfloat16)
+
+    @jax.jit
+    def rd(x):
+        def body(i, acc):
+            return acc + jnp.sum(x * (1.0 + acc * 0))
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    t = _sync_time(rd, big) - rtt
+    gbps = reps * m * 2 / t / 1e9
+    return {"rtt_ms": round(rtt * 1e3, 1), "tflops_bf16": round(tflops, 1),
+            "hbm_gbps": round(gbps, 1)}
+
+
+def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
+                 int8_kv: bool, index_dtype, audio_seconds: float,
+                 batch: int, max_new: int, n_index: int, n_queries: int,
+                 asr_preset: str, cap_preset: str, cal: dict) -> dict:
+    import jax
     import jax.numpy as jnp
     from multimodal_audio_search_tpu.config import (
         DecodeConfig, EngineConfig, MelConfig)
-    from multimodal_audio_search_tpu.index.fusion import fused_topk
+    from multimodal_audio_search_tpu.index.fusion import fused_topk_impl
     from multimodal_audio_search_tpu.models import whisper as W
+    from multimodal_audio_search_tpu.models import minilm
+    from multimodal_audio_search_tpu.models.generate import generate
     from multimodal_audio_search_tpu.models.minilm import MiniLMConfig
+    from multimodal_audio_search_tpu.ops.mel import log_mel_spectrogram
     from multimodal_audio_search_tpu.pipelines.embed import TextEmbedder
     from multimodal_audio_search_tpu.pipelines.ingest import (
         DualPipelineIngest)
     from multimodal_audio_search_tpu.pipelines.whisper_pipeline import (
         WhisperTextPipeline)
+    from multimodal_audio_search_tpu.utils import roofline
 
-    if on_tpu:
-        audio_seconds = 1280.0          # 128 x 10 s segments
-        batch, max_new, n_index, n_queries = 64, 64, 100_000, 30
-        asr_preset, cap_preset = "base", "tiny"
-        # short-context production mode (whisper.cpp audio_ctx trick):
-        # 10 s mel context -> 500 encoder positions, 3x less cross-attn
-        # K/V per decode step than the padded 30 s context
-        mel_cfg = MelConfig(padded_seconds=10.0)
-        dtype = jnp.bfloat16
-    else:                               # CPU smoke mode (local verification)
-        audio_seconds = 40.0
-        batch, max_new, n_index, n_queries = 4, 8, 4_096, 5
-        asr_preset, cap_preset = "tiny", "tiny"
-        mel_cfg = MelConfig(padded_seconds=10.0)
-        dtype = jnp.float32
-
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    mel_cfg = MelConfig(padded_seconds=10.0) if short_context \
+        else MelConfig()
     decode = DecodeConfig(method="greedy", max_new_tokens=max_new,
-                          int8_cross_kv=on_tpu)
+                          int8_cross_kv=int8_kv)
     cfg = EngineConfig(ingest_batch=batch, asr_decode=decode,
                        caption_decode=decode)
     asr_cfg = W.PRESETS[asr_preset]
@@ -70,32 +122,50 @@ def main() -> None:
     wave = (rng.normal(size=int(sr * audio_seconds)) * 0.3) \
         .astype(np.float32)
 
-    # warm-up: compile all programs on one batch-sized slice
+    # warm-up compiles all programs on one batch-sized slice
     warm = wave[: int(sr * 10 * batch)]
     ingest.process_waveform(warm, sr, "warmup")
-
     t0 = time.perf_counter()
     segments = ingest.process_waveform(wave, sr, "bench")
     ingest_s = time.perf_counter() - t0
     throughput = audio_seconds / ingest_s
 
-    # ---- fused search over a 100k-segment index ----
+    # ---- device-side stage timings (whisper-base ASR path, batch rows) --
+    rtt = cal["rtt_ms"] / 1e3
+    n_samples = mel_cfg.n_samples
+    waves_d = jax.device_put(jnp.asarray(
+        rng.normal(size=(batch, n_samples)) * 0.3, jnp.float32))
+    mel_fn = jax.jit(lambda w: log_mel_spectrogram(w, mel_cfg))
+    mel_t = max(_sync_time(mel_fn, waves_d) - rtt, 1e-5)
+    mel_d = mel_fn(waves_d).astype(dtype)
+    enc_fn = jax.jit(lambda m: W.encode(asr.params, m, asr_cfg))
+    enc_t = max(_sync_time(enc_fn, mel_d) - rtt, 1e-5)
+    enc_d = enc_fn(mel_d)
+    prefix = jnp.tile(jnp.asarray(W.forced_prefix(asr_cfg), jnp.int32),
+                      (batch, 1))
+    plen = prefix.shape[1]
+
+    def gen_fn(e, p):
+        out = generate(asr.params, e, p, cfg=asr_cfg, decode=decode,
+                       prefix_len=plen, max_new_tokens=max_new)
+        return out.tokens
+    dec_t = max(_sync_time(jax.jit(gen_fn), enc_d, prefix) - rtt, 1e-5)
+
+    t_enc = enc_d.shape[1]
+    mel_frames = mel_d.shape[-1]
+    enc_flops = roofline.encoder_flops(asr_cfg, batch, mel_frames)
+    step_bytes = roofline.decode_step_hbm_bytes(
+        asr_cfg, batch, t_enc, plen + max_new,
+        kv_bytes=1 if int8_kv else 2)
+    step_flops = roofline.decode_step_flops(
+        asr_cfg, batch, t_enc, plen + max_new)
+
+    # ---- fused search over an n_index-segment index -------------------
     emb_idx = rng.normal(size=(n_index, 2, 384)).astype(np.float32)
     emb_idx /= np.linalg.norm(emb_idx, axis=-1, keepdims=True)
     ok = rng.random((n_index, 2)) > 0.2
-    emb_d = jax.device_put(jnp.asarray(emb_idx, dtype))
+    emb_d = jax.device_put(jnp.asarray(emb_idx, index_dtype))
     ok_d = jax.device_put(ok)
-    q = emb_idx[123, 0]
-    out = fused_topk(jnp.asarray(q), emb_d, ok_d, jnp.float32(0.6),
-                     jnp.float32(0.4), k=10)
-    jax.block_until_ready(out)
-
-    # production query path: ONE dispatch (tokenize host-side, then a single
-    # jitted MiniLM-embed + fused-top-k program; index/search.py does the
-    # same); sync via a host read of the scores
-    import functools
-    from multimodal_audio_search_tpu.index.fusion import fused_topk_impl
-    from multimodal_audio_search_tpu.models import minilm
 
     @functools.partial(jax.jit, static_argnames=("k", "threshold"))
     def query_program(params, ids, mask, index_emb, success, w_a, w_b,
@@ -115,22 +185,80 @@ def main() -> None:
         _ = np.asarray(out["scores"])
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lat[1:] or lat, 50) * 1e3)
+    idx_bytes = roofline.search_hbm_bytes(
+        n_index, 384, np.dtype(index_dtype).itemsize)
+    query_dev_s = max(p50_ms / 1e3 - rtt, 1e-5)
+
+    return {
+        "ingest_audio_sec_per_sec": round(throughput, 2),
+        "ingest_wall_s": round(ingest_s, 2),
+        "segments": len(segments),
+        "query_p50_ms": round(p50_ms, 2),
+        "index_dtype": np.dtype(index_dtype).name,
+        "short_context": short_context,
+        "int8_cross_kv": int8_kv,
+        "stage_ms": {
+            "mel": round(mel_t * 1e3, 2),
+            "encode": round(enc_t * 1e3, 2),
+            "decode_total": round(dec_t * 1e3, 2),
+            "decode_per_step": round(dec_t / max_new * 1e3, 3),
+        },
+        "roofline": {
+            "encode_mfu": round(
+                enc_flops / enc_t / (cal["tflops_bf16"] * 1e12), 3),
+            "decode_hbm_frac": round(
+                step_bytes / (dec_t / max_new) / (cal["hbm_gbps"] * 1e9),
+                3),
+            "decode_mfu": round(
+                step_flops / (dec_t / max_new)
+                / (cal["tflops_bf16"] * 1e12), 3),
+            "search_hbm_frac": round(
+                idx_bytes / query_dev_s / (cal["hbm_gbps"] * 1e9), 3),
+        },
+    }
+
+
+def main() -> None:
+    import jax
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    import jax.numpy as jnp
+    if on_tpu:
+        audio_seconds, batch, max_new = 1280.0, 64, 64
+        n_index, n_queries = 100_000, 30
+        asr_preset, cap_preset = "base", "tiny"
+    else:                               # CPU smoke mode (local verification)
+        audio_seconds, batch, max_new = 40.0, 4, 8
+        n_index, n_queries = 4_096, 5
+        asr_preset, cap_preset = "tiny", "tiny"
+
+    cal = calibrate(on_tpu)
+    common = dict(on_tpu=on_tpu, audio_seconds=audio_seconds, batch=batch,
+                  max_new=max_new, n_index=n_index, n_queries=n_queries,
+                  asr_preset=asr_preset, cap_preset=cap_preset, cal=cal)
+    # parity mode = engine defaults (exact reference-parity search results)
+    parity = measure_mode("parity", short_context=False, int8_kv=False,
+                          index_dtype=jnp.float32, **common)
+    # fast mode = every opt-in perf lever
+    fast = measure_mode("fast", short_context=True, int8_kv=on_tpu,
+                        index_dtype=jnp.bfloat16 if on_tpu
+                        else jnp.float32, **common)
 
     baseline = 60.0  # audio-sec/sec/chip target (BASELINE.md)
+    throughput = fast["ingest_audio_sec_per_sec"]
     print(json.dumps({
         "metric": "ingest_audio_seconds_per_sec_per_chip",
-        "value": round(throughput, 2),
+        "value": throughput,
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(throughput / baseline, 3),
         "extras": {
             "platform": platform,
-            "ingest_wall_s": round(ingest_s, 2),
-            "segments": len(segments),
-            "query_p50_ms_100k": round(p50_ms, 2),
             "decode_steps": max_new,
-            "short_context": mel_cfg.padded_seconds < 30.0,
-            "int8_cross_kv": on_tpu,
             "batch": batch,
+            "calibration": cal,
+            "parity": parity,
+            "fast": fast,
         },
     }))
 

@@ -85,8 +85,15 @@ class DecodeConfig:
     length_penalty: float = 1.0       # ASR 0.8 (:322) / caption 1.0 (:373)
     early_stopping: bool = True       # audio_search.py:374
     # int8-quantized cross-attention K/V (ops/cached_attention.py): halves
-    # the dominant per-step HBM traffic of KV-cached decode
+    # the dominant per-step HBM memory of KV-cached decode. NOT a speed win
+    # (docs/BENCHMARKS.md round-2 profile) — memory-constrained serving only.
     int8_cross_kv: bool = False
+    # decode cross-attention implementation:
+    #   "auto"   - fused Pallas kernel on TPU when the context fits VMEM
+    #              (ops/cross_attention.py, exact bf16, ~4x einsum), einsum
+    #              otherwise; int8_cross_kv=True overrides to "int8"
+    #   "fused" | "einsum" | "int8" - force one path
+    cross_attn: str = "auto"
 
 
 def asr_parity_decode() -> DecodeConfig:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..config import DecodeConfig
 from .generate import apply_repetition_penalty, ban_repeated_ngrams
 from .whisper import (
-    WhisperConfig, cross_kv, cross_kv_quantized, decode_step, init_cache)
+    WhisperConfig, decode_step, init_cache)
 
 NEG_INF = -1e9
 
@@ -58,8 +58,8 @@ def beam_generate(
 
     # expand encoder state to beams: [B*k, ...]
     enc_k = jnp.repeat(enc_out, k, axis=0)
-    ckv = cross_kv_quantized(params, enc_k, cfg) \
-        if decode.int8_cross_kv else cross_kv(params, enc_k, cfg)
+    from .generate import _select_cross_kv
+    ckv = _select_cross_kv(params, enc_k, cfg, decode)
     cache = init_cache(cfg, b * k, total, dtype)
     tokens = jnp.full((b * k, total), cfg.pad_token_id, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..config import DecodeConfig
 from .whisper import (
-    WhisperConfig, cross_kv, cross_kv_quantized, decode_step, init_cache)
+    WhisperConfig, cross_kv, cross_kv_merged, cross_kv_quantized,
+    decode_step, init_cache)
 
 NEG_INF = -1e9
 
@@ -94,6 +95,22 @@ def ban_repeated_ngrams(
 
 
 # ----------------------------------------------------------------- decoding
+def _select_cross_kv(params, enc_out, cfg, decode):
+    """Pick the decode cross-attention K/V format (DecodeConfig.cross_attn):
+    int8 (memory-saving, opt-in), fused merged-head Pallas kernel (the TPU
+    speed path, ops/cross_attention.py), or plain einsum."""
+    from ..ops.cross_attention import use_fused_cross_attention
+    mode = getattr(decode, "cross_attn", "auto")
+    if decode.int8_cross_kv or mode == "int8":
+        return cross_kv_quantized(params, enc_out, cfg)
+    if mode == "fused" or (
+            mode == "auto"
+            and use_fused_cross_attention(enc_out.shape[1],
+                                          enc_out.shape[0])):
+        return cross_kv_merged(params, enc_out, cfg)
+    return cross_kv(params, enc_out, cfg)
+
+
 class DecodeOut(NamedTuple):
     tokens: jnp.ndarray    # [B, prefix+max_new] int32 (pad after EOS)
     lengths: jnp.ndarray   # [B] int32, generated length incl. EOS
@@ -131,8 +148,7 @@ def generate(
     b = enc_out.shape[0]
     total = prefix_len + max_new_tokens
     dtype = enc_out.dtype
-    ckv = cross_kv_quantized(params, enc_out, cfg) \
-        if decode.int8_cross_kv else cross_kv(params, enc_out, cfg)
+    ckv = _select_cross_kv(params, enc_out, cfg, decode)
     cache = init_cache(cfg, b, total, dtype)
     tokens = jnp.full((b, total), cfg.pad_token_id, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prefix.astype(jnp.int32),

@@ -191,10 +191,30 @@ def cross_kv_quantized(params, enc_out: jnp.ndarray, cfg: WhisperConfig):
     return out
 
 
+def cross_kv_merged(params, enc_out: jnp.ndarray, cfg: WhisperConfig):
+    """Merged-head [B, T, H*D] cross K/V for the fused decode kernel
+    (ops/cross_attention.py — full 128-lane rows, ~4x the einsum path)."""
+    from ..ops.cross_attention import merge_heads_kv
+    return [merge_heads_kv(k, v) for k, v in cross_kv(params, enc_out, cfg)]
+
+
 def _cross_attend(blk, h, ckv_entry, cfg):
-    """Cross-attention for one block; dispatches on the K/V cache format
-    (len-2 tuple: bf16; len-4: int8-quantized single-query path)."""
+    """Cross-attention for one block; dispatches on the K/V cache format:
+    len-2 of 4D arrays = bf16 einsum; len-2 of 3D = merged-head fused
+    Pallas kernel; len-4 = int8-quantized single-query path."""
     q = L.split_heads(L.dense(blk["cross_attn"]["q"], h), cfg.heads)
+    if len(ckv_entry) == 2 and ckv_entry[0].ndim == 3:
+        from ..ops.cross_attention import fused_cross_attention
+        if q.shape[2] != 1:
+            raise ValueError(
+                "fused cross-attention is single-query (decode steps); "
+                "use cross_kv() for teacher-forced decoding")
+        k_m, v_m = ckv_entry
+        interpret = jax.devices()[0].platform != "tpu"
+        o = fused_cross_attention(q[:, :, 0, :], k_m, v_m,
+                                  interpret=interpret)
+        attn = L.merge_heads(o[:, :, None, :].astype(h.dtype))
+        return L.dense(blk["cross_attn"]["o"], attn)
     if len(ckv_entry) == 4:
         from ..ops.cached_attention import (
             int8_cached_attention, xla_int8_cached_attention)

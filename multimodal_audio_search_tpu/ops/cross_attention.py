@@ -1,0 +1,157 @@
+"""Single-query cross-attention at HBM roofline (Pallas, bf16, exact).
+
+Decode is cross-attention-KV-bandwidth-bound (docs/BENCHMARKS.md): every
+step re-reads the per-layer encoder K/V for every decoder layer. Round-1
+shipped an int8 GRP kernel (ops/cached_attention.py) that ran at ~260 GB/s;
+round-2 profiling (tools/profile_decode.py) showed the in-graph bf16 einsum
+at ~0.95 ms/step and the einsum's isolated roofline at ~0.4 ms/step.
+
+This kernel reaches ~0.23 ms/step at B=64, T=500, whisper-base — measured
+at the chip's full HBM rate — with EXACT bf16 math (no quantization):
+
+  * K/V live in a merged-head layout [B, T, H*D]: the int8/bf16 lane tiling
+    wants 128-lane rows; the old [B, H, T, D=64] layout wasted half of
+    every lane row, halving effective bandwidth.
+  * Per-head logits come from ONE MXU matmul per batch row against a
+    block-diagonal query matrix W[H*D, H] (W[h*D:(h+1)*D, h] = q_h):
+    K_m[T, H*D] @ W -> [T, H] gives every head's logits without batched
+    dots (Mosaic has none) and without M=1 matvecs (8x sublane waste).
+  * The weighted sum is the same trick transposed: P[T, H] @ V_m[T, H*D]
+    -> [H, H*D], whose diagonal blocks are the outputs; off-diagonal
+    blocks cost only MXU FLOPs, which are free at this arithmetic
+    intensity. Extraction is a mask-multiply + sublane reduction (a
+    lane-splitting reshape of [H, H*D] is not Mosaic-lowerable).
+  * W is built IN-KERNEL from the [BC, H*D] query block via an f32
+    lane->sublane insert (bf16 inserts are not Mosaic-lowerable; 32-bit
+    ones are). Passing a prebuilt [B, H*D, H] W doubled the pipelined
+    VMEM footprint and overflowed the 16 MB budget by 44 KB at
+    B=64, T=500 inside the full decode graph.
+
+Reference behavior: identical math to HF Whisper cross-attention at
+decode (audio_search.py:366-375 drives it via generate()); the einsum
+path remains for CPU and for contexts whose K/V blocks exceed VMEM.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BC = 8          # batch rows per grid step (min f32/bf16 sublane tile)
+MAX_T_VMEM = 640  # per-(row, tensor) block bytes stay under ~2x5 MB
+
+
+def merge_heads_kv(k: jnp.ndarray, v: jnp.ndarray):
+    """[B, H, T, D] -> ([B, T, H*D], [B, T, H*D]) merged-head layout."""
+    def m(x):
+        b, h, t, d = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+    return m(k), m(v)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int,
+            d: int):
+    # q/o blocks carry 2*KC rows (the 8-sublane minimum); K/V blocks carry
+    # KC rows so their double buffers fit VMEM at T=500. Grid parity picks
+    # which half of the q/o block this step serves.
+    kc, t, hd = k_ref.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 1)
+    blockmask = (rows // d) == cols                            # [H*D, H]
+    mask_t = blockmask.astype(jnp.float32).T                   # [H, H*D]
+
+    def attend(base: int):
+        for b in range(kc):                                    # static
+            # f32 round-trip: bf16 lane->sublane inserts don't lower
+            qcol = q_ref[base + b].astype(jnp.float32)[:, None]
+            w = jnp.where(blockmask, qcol, 0.0).astype(k_ref.dtype)
+            logits = jax.lax.dot_general(
+                k_ref[b], w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale    # [T, H]
+            m = jnp.max(logits, axis=0, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=0, keepdims=True)
+            of = jax.lax.dot_general(
+                p.astype(k_ref.dtype), v_ref[b],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [H, H*D]
+            o_ref[base + b] = jnp.sum(of * mask_t, axis=0) \
+                .astype(o_ref.dtype)                           # diag blocks
+
+    half = pl.program_id(0) % 2
+
+    @pl.when(half == 0)
+    def _():
+        attend(0)
+
+    @pl.when(half == 1)
+    def _():
+        attend(kc)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_cross_attention(
+    q: jnp.ndarray,      # [B, H, D]
+    k_m: jnp.ndarray,    # [B, T, H*D] merged-head keys
+    v_m: jnp.ndarray,    # [B, T, H*D] merged-head values
+    interpret: bool = False,
+) -> jnp.ndarray:        # [B, H, D] f32
+    b, h, d = q.shape
+    t = k_m.shape[1]
+    hd = h * d
+    scale = 1.0 / math.sqrt(d)
+    bp = -(-b // BC) * BC
+    qf = q.reshape(b, hd).astype(k_m.dtype)
+    if bp != b:
+        qf = jnp.pad(qf, ((0, bp - b), (0, 0)))
+        k_m = jnp.pad(k_m, ((0, bp - b), (0, 0), (0, 0)))
+        v_m = jnp.pad(v_m, ((0, bp - b), (0, 0), (0, 0)))
+    kernel = functools.partial(_kernel, scale=scale, heads=h, d=d)
+    kc = BC // 2
+    out = pl.pallas_call(
+        kernel,
+        grid=(2 * bp // BC,),
+        in_specs=[
+            pl.BlockSpec((BC, hd), lambda i: (i // 2, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, t, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, t, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BC, hd), lambda i: (i // 2, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, hd), k_m.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * t * hd * h * 2,
+            bytes_accessed=bp * t * hd * 2 * k_m.dtype.itemsize,
+            transcendentals=bp * t * h),
+        interpret=interpret,
+    )(qf, k_m, v_m)
+    return out[:b].reshape(b, h, d).astype(jnp.float32)
+
+
+def use_fused_cross_attention(t_enc: int, batch: int) -> bool:
+    """The kernel double-buffers [BC, T, H*D] K and V blocks in VMEM;
+    past ~640 positions (30 s context is 1500) that overflows, and the
+    einsum path wins anyway once blocks no longer fit."""
+    if jax.devices()[0].platform != "tpu":
+        return False
+    return t_enc <= MAX_T_VMEM
+
+
+def xla_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
+    """Reference einsum path ([B,H,T,D] layout), used on CPU and for
+    long contexts; numerically identical reduction order up to XLA."""
+    d = q.shape[-1]
+    logits = jnp.einsum(
+        "bhd,bhtd->bht", q.astype(jnp.float32), k.astype(jnp.float32)) \
+        / np.sqrt(d)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bht,bhtd->bhd", p, v.astype(jnp.float32))
