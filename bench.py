@@ -10,7 +10,9 @@ Two configurations are measured every run (VERDICT round 1):
   * parity  — the engine's defaults: 30 s mel context, bf16 KV cache,
               f32 device index (exact top-10 parity mode).
   * fast    — opt-in perf modes: 10 s short context (whisper.cpp audio_ctx
-              trick), int8 cross-attention KV, bf16 index.
+              trick) + the fused cross-attention kernel (auto-selected on
+              TPU at short context) + bf16 index. int8 KV is NOT used: it
+              is a memory mode, not a speed mode (docs/BENCHMARKS.md).
 
 The headline number is the fast-mode ingest throughput; both modes' full
 stage timings live in extras, along with an in-run chip calibration
@@ -240,8 +242,9 @@ def main() -> None:
     # parity mode = engine defaults (exact reference-parity search results)
     parity = measure_mode("parity", short_context=False, int8_kv=False,
                           index_dtype=jnp.float32, **common)
-    # fast mode = every opt-in perf lever
-    fast = measure_mode("fast", short_context=True, int8_kv=on_tpu,
+    # fast mode = every opt-in perf lever (cross_attn="auto" resolves to
+    # the fused kernel on TPU at this context length)
+    fast = measure_mode("fast", short_context=True, int8_kv=False,
                         index_dtype=jnp.bfloat16 if on_tpu
                         else jnp.float32, **common)
 

@@ -2,9 +2,19 @@
 
 Behavioral contract (audio_search.py:227-233): accept an uploaded file,
 decode, downmix to mono, resample to the pipeline rate. Format support is a
-registry keyed by magic bytes — WAV ships in-tree (native C++ fast path with
-a pure-numpy fallback); other containers (mp3/flac/m4a, audio_search.py:776)
-can be plugged in via ``register_decoder`` since this image has no ffmpeg.
+registry keyed by magic bytes:
+
+  * WAV  — in-tree (native C++ fast path, pure-numpy fallback)
+  * FLAC — in-tree from-scratch C++ decoder (native/flac_decode.cc)
+  * MP3  — direct libmpg123 FFI (audio/mp3.py), cross-checked against an
+           independent decoder in tests; the reference reached mp3 the
+           same way, via librosa -> audioread -> a system decoder
+  * M4A/AAC — NOT built in (decided out of scope: no AAC decoder exists
+           in this image and an in-tree AAC-LC implementation is not
+           justified by the reference's usage); ``register_decoder("m4a",
+           fn)`` plugs one in, and load_audio raises a ValueError naming
+           that hook otherwise (audio_search.py:776 lists m4a as an
+           accepted upload type).
 """
 from __future__ import annotations
 
@@ -79,12 +89,15 @@ def load_audio(
             raise ValueError("FLAC decode failed (native decoder "
                              "unavailable or unsupported stream feature)")
         x, rate = got
+    elif kind == "mp3" and kind not in _DECODERS:
+        from .mp3 import decode_mp3
+        x, rate = decode_mp3(data)
     elif kind in _DECODERS:
         x, rate = _DECODERS[kind](data)
     else:
         raise ValueError(
-            f"unsupported audio container {kind!r}; WAV and FLAC are built "
-            f"in, register others via "
+            f"unsupported audio container {kind!r}; WAV, FLAC and MP3 are "
+            f"built in, register others (e.g. m4a/AAC) via "
             f"multimodal_audio_search_tpu.audio.decode.register_decoder")
 
     if mono and x.ndim == 2:
