@@ -69,8 +69,94 @@ class HashWordTokenizer:
         return " ".join(out)
 
 
+def build_byte_level_bpe(ckpt_dir: pathlib.Path):
+    """Reconstruct a Whisper/GPT-2-style byte-level BPE tokenizer from the
+    raw checkpoint assets ``vocab.json`` + ``merges.txt``
+    (+ ``added_tokens.json`` for the <|...|> specials).
+
+    This is the builder the reference never needed (HF hub shipped it a
+    ready tokenizer, audio_search.py:153,200); with it, a local Whisper
+    checkpoint dir becomes a working production tokenizer with no egress.
+    """
+    import json
+
+    from tokenizers import AddedToken, Tokenizer, decoders, models, \
+        pre_tokenizers
+    vocab = json.loads((ckpt_dir / "vocab.json").read_text())
+    merges = []
+    for line in (ckpt_dir / "merges.txt").read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        a, b = line.split(" ")
+        merges.append((a, b))
+    tok = Tokenizer(models.BPE(vocab=vocab, merges=merges, fuse_unk=False))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+
+    added_path = ckpt_dir / "added_tokens.json"
+    if added_path.exists():
+        added = json.loads(added_path.read_text())
+        # `tokenizers` assigns added ids sequentially after the base
+        # vocab; whisper's specials are contiguous from len(vocab), so
+        # inserting in id order reproduces the exact ids — verify.
+        for t, want in sorted(added.items(), key=lambda kv: kv[1]):
+            got = tok.add_special_tokens(
+                [AddedToken(t, special=True, normalized=False)])
+            del got
+            have = tok.token_to_id(t)
+            if have != want:
+                raise ValueError(
+                    f"added token {t!r} landed at id {have}, checkpoint "
+                    f"says {want}; non-contiguous added_tokens.json needs "
+                    f"a hand-written tokenizer.json")
+    return tok
+
+
+def build_wordpiece(ckpt_dir: pathlib.Path, lowercase: bool = True):
+    """Reconstruct a BERT/MiniLM WordPiece tokenizer from ``vocab.txt``
+    with the [CLS] ... [SEP] template MiniLM's encoder expects."""
+    from tokenizers import Tokenizer, decoders, models, normalizers, \
+        pre_tokenizers, processors
+    vocab_path = ckpt_dir / "vocab.txt"
+    words = vocab_path.read_text().splitlines()
+    vocab = {w: i for i, w in enumerate(words)}
+    tok = Tokenizer(models.WordPiece(vocab=vocab, unk_token="[UNK]"))
+    tok.normalizer = normalizers.BertNormalizer(lowercase=lowercase)
+    tok.pre_tokenizer = pre_tokenizers.BertPreTokenizer()
+    tok.decoder = decoders.WordPiece(prefix="##")
+    cls_id, sep_id = vocab["[CLS]"], vocab["[SEP]"]
+    tok.post_processor = processors.TemplateProcessing(
+        single="[CLS] $A [SEP]",
+        pair="[CLS] $A [SEP] $B [SEP]",
+        special_tokens=[("[CLS]", cls_id), ("[SEP]", sep_id)])
+    # register the bracket tokens as special so skip_special_tokens works;
+    # they are already in the vocab, so their ids are unchanged
+    from tokenizers import AddedToken
+    tok.add_special_tokens([
+        AddedToken(t, special=True) for t in
+        ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]") if t in vocab])
+    return tok
+
+
+def build_from_checkpoint_dir(path: str | pathlib.Path):
+    """tokenizer.json > (vocab.json + merges.txt) > vocab.txt, rebuilt
+    into a ``tokenizers.Tokenizer``. Raises FileNotFoundError if the dir
+    carries no tokenizer assets at all."""
+    from tokenizers import Tokenizer
+    p = pathlib.Path(path)
+    if (p / "tokenizer.json").exists():
+        return Tokenizer.from_file(str(p / "tokenizer.json"))
+    if (p / "vocab.json").exists() and (p / "merges.txt").exists():
+        return build_byte_level_bpe(p)
+    if (p / "vocab.txt").exists():
+        return build_wordpiece(p)
+    raise FileNotFoundError(f"no tokenizer assets under {path}")
+
+
 class HFTokenizerWrapper:
-    """Wraps a ``tokenizers.Tokenizer`` (from local tokenizer.json/vocab)."""
+    """Wraps a ``tokenizers.Tokenizer`` (from local tokenizer.json or raw
+    vocab/merges assets, rebuilt by build_from_checkpoint_dir)."""
 
     def __init__(self, tok, pad_id: int = 0):
         self.tok = tok
@@ -80,14 +166,9 @@ class HFTokenizerWrapper:
     def from_path(cls, path: str | pathlib.Path) -> "HFTokenizerWrapper":
         from tokenizers import Tokenizer
         p = pathlib.Path(path)
-        tj = p / "tokenizer.json" if p.is_dir() else p
-        if tj.exists() and tj.suffix == ".json":
-            return cls(Tokenizer.from_file(str(tj)))
-        vocab = p / "vocab.txt"
-        if vocab.exists():
-            from tokenizers import BertWordPieceTokenizer
-            return cls(BertWordPieceTokenizer(str(vocab), lowercase=True))
-        raise FileNotFoundError(f"no tokenizer assets under {path}")
+        if not p.is_dir() and p.suffix == ".json":
+            return cls(Tokenizer.from_file(str(p)))
+        return cls(build_from_checkpoint_dir(p))
 
     def encode(
         self, texts: Sequence[str], max_len: int = 64
@@ -110,7 +191,13 @@ class HFTokenizerWrapper:
 def load_tokenizer(
     path: str | None = None, vocab_size: int = 30522, **hash_kw
 ):
-    """Local assets if present, deterministic hash fallback otherwise."""
+    """Local assets if present (tokenizer.json, or vocab.json+merges.txt /
+    vocab.txt rebuilt via build_from_checkpoint_dir), deterministic hash
+    fallback otherwise — so the same code path serves both a weights-day
+    production setup and this weightless image."""
     if path is not None and pathlib.Path(path).exists():
-        return HFTokenizerWrapper.from_path(path)
+        try:
+            return HFTokenizerWrapper.from_path(path)
+        except FileNotFoundError:
+            pass  # weights-only dir: fall through to the hash fallback
     return HashWordTokenizer(vocab_size=vocab_size, **hash_kw)

@@ -246,11 +246,20 @@ def make_default_ingest(
             if params is None:
                 params = W.init_params(jax.random.PRNGKey(seed), wcfg)
             params = quantize_whisper_decoder(params)
+        # tokenizer assets (tokenizer.json / vocab.json+merges.txt) load
+        # from the checkpoint dir the moment one is configured; the hash
+        # tokenizer remains the no-assets fallback (models/tokenizer.py)
+        from ..models.tokenizer import load_tokenizer
+        tokenizer = load_tokenizer(
+            spec.weights_path, vocab_size=wcfg.vocab_size,
+            add_cls_sep=False, pad_id=wcfg.pad_token_id,
+            eos_id=wcfg.eos_token_id) if spec.weights_path else None
         # the ingest loop does the reference-style stats update (timing +
         # validation outcome); the pipeline keeps its own internal counter
         return WhisperTextPipeline(
             params=params, cfg=wcfg, decode=decode, dtype=dtype, seed=seed,
-            name=name, prefix_ids=prefix, mel_cfg=mel_cfg)
+            name=name, prefix_ids=prefix, mel_cfg=mel_cfg,
+            tokenizer=tokenizer)
 
     asr = load_whisper(cfg.asr_model, cfg.asr_decode, "asr")
     # the captioner is conditioned with a bare <sot> prompt
@@ -264,7 +273,12 @@ def make_default_ingest(
         from ..models.convert import convert_bert, load_state_dict_from_dir
         params = convert_bert(
             load_state_dict_from_dir(cfg.text_embedder.weights_path), mcfg)
+    emb_tok = None
+    if cfg.text_embedder.weights_path:
+        from ..models.tokenizer import load_tokenizer
+        emb_tok = load_tokenizer(cfg.text_embedder.weights_path,
+                                 vocab_size=mcfg.vocab_size)
     embedder = TextEmbedder(
-        params=params, cfg=mcfg, seed=seed,
+        params=params, cfg=mcfg, seed=seed, tokenizer=emb_tok,
         stats=stats_reg.pipelines["text_embedder"])
     return DualPipelineIngest(asr, caption, embedder, cfg, stats_reg)
