@@ -66,17 +66,42 @@ def calibrate(on_tpu: bool) -> dict:
     t = _sync_time(mm, a) - rtt
     tflops = reps * 2 * n**3 / t / 1e12
 
-    m = 256 * 1024 * 1024 // 2 if on_tpu else 8 * 1024 * 1024  # elements
-    big = jnp.ones((m,), jnp.bfloat16)
+    # HBM read rate. XLA reductions top out ~450 GB/s on this chip and
+    # elementwise temps under-report further (round-2 lesson), so the TPU
+    # calibration is a double-buffered Pallas streaming read — 8 passes
+    # over a 4 GB slab (32 GB of traffic) to stand clear of the ~±5 ms
+    # tunnel RTT jitter. Measures 812 GB/s on v5e (spec: 819).
+    if on_tpu:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        rows, cols, n_chunk, passes = 4096, 512, 1024, 8
 
-    @jax.jit
-    def rd(x):
-        def body(i, acc):
-            return acc + jnp.sum(x * (1.0 + acc * 0))
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+        def kern(x_ref, o_ref):
+            @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+            def _():
+                o_ref[:] = jnp.zeros_like(o_ref)
+            o_ref[:] += jnp.sum(x_ref[:], axis=0, keepdims=True)[:, :128]
 
-    t = _sync_time(rd, big) - rtt
-    gbps = reps * m * 2 / t / 1e9
+        @jax.jit
+        def rd(x):
+            return pl.pallas_call(
+                kern,
+                grid=(passes, n_chunk),
+                in_specs=[pl.BlockSpec((rows, cols), lambda j, i: (i, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, 128), lambda j, i: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            )(x)
+
+        big = jnp.ones((rows * n_chunk, cols), jnp.bfloat16)   # 4 GB
+        t = _sync_time(rd, big) - rtt
+        gbps = rows * cols * n_chunk * passes * 2 / t / 1e9
+        del big
+    else:
+        big = jnp.ones((8 * 1024 * 1024,), jnp.bfloat16)
+        t = max(_sync_time(jax.jit(jnp.max), big) - rtt, 1e-6)
+        gbps = big.size * 2 / t / 1e9
     return {"rtt_ms": round(rtt * 1e3, 1), "tflops_bf16": round(tflops, 1),
             "hbm_gbps": round(gbps, 1)}
 

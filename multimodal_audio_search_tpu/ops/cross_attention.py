@@ -42,8 +42,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BC = 8          # batch rows per grid step (min f32/bf16 sublane tile)
-MAX_T_VMEM = 640  # per-(row, tensor) block bytes stay under ~2x5 MB
+BC = 8          # q/o block rows (min sublane tile)
+# K/V stream in kc-row blocks; kc shrinks with context length so the two
+# double-buffered [kc, T, H*D] blocks stay within ~12 MB of the 16 MB VMEM
+KV_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _kv_rows(t: int, hd: int, itemsize: int) -> int:
+    kc = BC
+    while kc > 1 and 2 * 2 * kc * t * hd * itemsize > KV_BUDGET_BYTES:
+        kc //= 2
+    return kc
 
 
 def merge_heads_kv(k: jnp.ndarray, v: jnp.ndarray):
@@ -56,9 +65,10 @@ def merge_heads_kv(k: jnp.ndarray, v: jnp.ndarray):
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int,
             d: int):
-    # q/o blocks carry 2*KC rows (the 8-sublane minimum); K/V blocks carry
-    # KC rows so their double buffers fit VMEM at T=500. Grid parity picks
-    # which half of the q/o block this step serves.
+    # q/o blocks carry BC rows (the 8-sublane minimum); K/V blocks carry
+    # kc <= BC rows so their double buffers fit VMEM at any context
+    # length. Grid position modulo (BC // kc) picks which kc-row slice of
+    # the q/o block this step serves.
     kc, t, hd = k_ref.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 1)
@@ -84,15 +94,12 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int,
             o_ref[base + b] = jnp.sum(of * mask_t, axis=0) \
                 .astype(o_ref.dtype)                           # diag blocks
 
-    half = pl.program_id(0) % 2
-
-    @pl.when(half == 0)
-    def _():
-        attend(0)
-
-    @pl.when(half == 1)
-    def _():
-        attend(kc)
+    subs = BC // kc
+    sub = pl.program_id(0) % subs
+    for j in range(subs):                                      # static
+        @pl.when(sub == j)
+        def _(j=j):
+            attend(j * kc)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -113,19 +120,20 @@ def fused_cross_attention(
         k_m = jnp.pad(k_m, ((0, bp - b), (0, 0), (0, 0)))
         v_m = jnp.pad(v_m, ((0, bp - b), (0, 0), (0, 0)))
     kernel = functools.partial(_kernel, scale=scale, heads=h, d=d)
-    kc = BC // 2
+    kc = _kv_rows(t, hd, k_m.dtype.itemsize)
+    subs = BC // kc
     out = pl.pallas_call(
         kernel,
-        grid=(2 * bp // BC,),
+        grid=(subs * bp // BC,),
         in_specs=[
-            pl.BlockSpec((BC, hd), lambda i: (i // 2, 0),
+            pl.BlockSpec((BC, hd), lambda i, s=subs: (i // s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kc, t, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kc, t, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BC, hd), lambda i: (i // 2, 0),
+        out_specs=pl.BlockSpec((BC, hd), lambda i, s=subs: (i // s, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, hd), k_m.dtype),
         cost_estimate=pl.CostEstimate(
@@ -138,12 +146,9 @@ def fused_cross_attention(
 
 
 def use_fused_cross_attention(t_enc: int, batch: int) -> bool:
-    """The kernel double-buffers [BC, T, H*D] K and V blocks in VMEM;
-    past ~640 positions (30 s context is 1500) that overflows, and the
-    einsum path wins anyway once blocks no longer fit."""
-    if jax.devices()[0].platform != "tpu":
-        return False
-    return t_enc <= MAX_T_VMEM
+    """TPU-only; kc-row K/V streaming covers every Whisper context (the
+    full 30 s context streams 1-row blocks of ~1.5 MB)."""
+    return jax.devices()[0].platform == "tpu"
 
 
 def xla_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):

@@ -22,6 +22,7 @@ from multimodal_audio_search_tpu.ops.cross_attention import (
     (8, 6, 50, 64),     # whisper-tiny head count (HD=384)
     (12, 8, 40, 64),    # B not a multiple of the 8-row block -> pad path
     (8, 2, 33, 16),     # tiny test config shape (HD=32 lanes)
+    (8, 8, 1500, 64),   # full 30 s whisper context -> kc=1 K/V streaming
 ])
 def test_fused_matches_einsum(rng, b, h, t, d):
     q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32)
