@@ -282,12 +282,29 @@ def _tied_logits(dec, x: jnp.ndarray) -> jnp.ndarray:
 
 # ----------------------------------------------------------- cached decode
 def init_cache(cfg: WhisperConfig, batch: int, max_len: int, dtype):
-    hd = cfg.d_model // cfg.heads
+    """Merged-head self-attention KV cache: [B, max_len, d_model].
+
+    The merged layout (feature f = head*hd + i — exactly the k/v dense
+    layers' output order) keeps rows at full 128-lane width; the round-1
+    [B, H, L, hd=64] layout wasted half of every lane row and needed a
+    head split plus two strided dynamic_update_slices per layer."""
     return [
-        {"k": jnp.zeros((batch, cfg.heads, max_len, hd), dtype),
-         "v": jnp.zeros((batch, cfg.heads, max_len, hd), dtype)}
+        {"k": jnp.zeros((batch, max_len, cfg.d_model), dtype),
+         "v": jnp.zeros((batch, max_len, cfg.d_model), dtype)}
         for _ in range(cfg.dec_layers)
     ]
+
+
+def _self_attend_cached(q1, k, v, pos, cfg: WhisperConfig):
+    """Single-query causal attention over the merged cache: q1 [B, D],
+    k/v [B, L, D] -> [B, D] f32. Fused Pallas kernel on TPU, einsum twin
+    elsewhere (ops/cross_attention.py)."""
+    from ..ops.cross_attention import (
+        fused_single_query_attention, xla_single_query_attention)
+    if jax.devices()[0].platform == "tpu":
+        return fused_single_query_attention(
+            q1, k, v, heads=cfg.heads, pos=pos)
+    return xla_single_query_attention(q1, k, v, heads=cfg.heads, pos=pos)
 
 
 def decode_step(
@@ -303,21 +320,27 @@ def decode_step(
     x = dec["embed_tokens"][token][:, None, :] \
         + jax.lax.dynamic_slice_in_dim(dec["positions"], pos, 1)[None]
     x = x.astype(cache[0]["k"].dtype)
-    max_len = cache[0]["k"].shape[2]
-    # mask future (uninitialized) cache slots
-    kmask = (jnp.arange(max_len) <= pos)[None, None, None, :]
-    bias = jnp.where(kmask, 0.0, -1e9)
     new_cache = []
     for blk, layer_cache, ckv_entry in zip(dec["blocks"], cache, ckv):
         h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
-        k1 = L.split_heads(L.dense(blk["self_attn"]["k"], h), cfg.heads)
-        v1 = L.split_heads(L.dense(blk["self_attn"]["v"], h), cfg.heads)
-        k = jax.lax.dynamic_update_slice_in_dim(
-            layer_cache["k"], k1.astype(layer_cache["k"].dtype), pos, axis=2)
-        v = jax.lax.dynamic_update_slice_in_dim(
-            layer_cache["v"], v1.astype(layer_cache["v"].dtype), pos, axis=2)
+        # dense outputs ARE the merged-head layout: no split, one update
+        k1 = L.dense(blk["self_attn"]["k"], h)        # [B, 1, D]
+        v1 = L.dense(blk["self_attn"]["v"], h)
+        k = jax.lax.dynamic_update_slice(
+            layer_cache["k"], k1.astype(layer_cache["k"].dtype),
+            (0, pos, 0))
+        v = jax.lax.dynamic_update_slice(
+            layer_cache["v"], v1.astype(layer_cache["v"].dtype),
+            (0, pos, 0))
         new_cache.append({"k": k, "v": v})
-        x = _block_decode(blk, x, k, v, ckv_entry, cfg, bias)
+        q1 = L.dense(blk["self_attn"]["q"], h)[:, 0, :]
+        attn = _self_attend_cached(q1, k, v, pos, cfg)
+        x = x + L.dense(blk["self_attn"]["o"],
+                        attn[:, None, :].astype(x.dtype))
+        h = L.layer_norm(blk["cross_ln"], x, cfg.ln_eps)
+        x = x + _cross_attend(blk, h, ckv_entry, cfg)
+        h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
+        x = x + L.dense(blk["mlp_out"], L.gelu(L.dense(blk["mlp_in"], h)))
     x = L.layer_norm(dec["ln"], x, cfg.ln_eps)
     logits = _tied_logits(dec, x[:, 0, :])
     return logits, new_cache

@@ -63,17 +63,21 @@ def merge_heads_kv(k: jnp.ndarray, v: jnp.ndarray):
     return m(k), m(v)
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int,
-            d: int):
+def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+            heads: int, d: int):
     # q/o blocks carry BC rows (the 8-sublane minimum); K/V blocks carry
     # kc <= BC rows so their double buffers fit VMEM at any context
     # length. Grid position modulo (BC // kc) picks which kc-row slice of
-    # the q/o block this step serves.
+    # the q/o block this step serves. pos_ref (SMEM scalar) masks cache
+    # positions beyond the current decode step (self-attention); the
+    # cross path passes T-1 (all valid).
     kc, t, hd = k_ref.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 1)
     blockmask = (rows // d) == cols                            # [H*D, H]
     mask_t = blockmask.astype(jnp.float32).T                   # [H, H*D]
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (t, heads), 0)
+    valid = t_idx <= pos_ref[0, 0]                             # [T, H]
 
     def attend(base: int):
         for b in range(kc):                                    # static
@@ -84,6 +88,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int,
                 k_ref[b], w,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale    # [T, H]
+            logits = jnp.where(valid, logits, -1e30)
             m = jnp.max(logits, axis=0, keepdims=True)
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=0, keepdims=True)
@@ -102,30 +107,43 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int,
             attend(j * kc)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_cross_attention(
-    q: jnp.ndarray,      # [B, H, D]
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def fused_single_query_attention(
+    q_m: jnp.ndarray,    # [B, H*D] merged-head queries (dense-layer order)
     k_m: jnp.ndarray,    # [B, T, H*D] merged-head keys
     v_m: jnp.ndarray,    # [B, T, H*D] merged-head values
+    *,
+    heads: int,
+    pos: jnp.ndarray | None = None,   # scalar: attend to cache[<= pos]
     interpret: bool = False,
-) -> jnp.ndarray:        # [B, H, D] f32
-    b, h, d = q.shape
+) -> jnp.ndarray:        # [B, H*D] f32
+    """One fused single-query attention over a merged-head K/V buffer —
+    serves BOTH decode attentions: cross (pos=None -> all positions) and
+    causal self over a KV cache (pos = current step). The merged layout
+    f = h*d + i is exactly the feature order of the q/k/v dense layers,
+    so callers pass projections straight through with no head split."""
+    b, hd = q_m.shape
     t = k_m.shape[1]
-    hd = h * d
+    d = hd // heads
     scale = 1.0 / math.sqrt(d)
     bp = -(-b // BC) * BC
-    qf = q.reshape(b, hd).astype(k_m.dtype)
+    qf = q_m.astype(k_m.dtype)
     if bp != b:
         qf = jnp.pad(qf, ((0, bp - b), (0, 0)))
         k_m = jnp.pad(k_m, ((0, bp - b), (0, 0), (0, 0)))
         v_m = jnp.pad(v_m, ((0, bp - b), (0, 0), (0, 0)))
-    kernel = functools.partial(_kernel, scale=scale, heads=h, d=d)
+    if pos is None:
+        pos = jnp.int32(t - 1)
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(_kernel, scale=scale, heads=heads, d=d)
     kc = _kv_rows(t, hd, k_m.dtype.itemsize)
     subs = BC // kc
     out = pl.pallas_call(
         kernel,
         grid=(subs * bp // BC,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((BC, hd), lambda i, s=subs: (i // s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kc, t, hd), lambda i: (i, 0, 0),
@@ -137,12 +155,42 @@ def fused_cross_attention(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, hd), k_m.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bp * t * hd * h * 2,
+            flops=2 * bp * t * hd * heads * 2,
             bytes_accessed=bp * t * hd * 2 * k_m.dtype.itemsize,
-            transcendentals=bp * t * h),
+            transcendentals=bp * t * heads),
         interpret=interpret,
-    )(qf, k_m, v_m)
-    return out[:b].reshape(b, h, d).astype(jnp.float32)
+    )(pos_arr, qf, k_m, v_m)
+    return out[:b].astype(jnp.float32)
+
+
+def xla_single_query_attention(q_m, k_m, v_m, *, heads: int, pos=None):
+    """Einsum twin of fused_single_query_attention (CPU / fallback)."""
+    b, hd = q_m.shape
+    t = k_m.shape[1]
+    d = hd // heads
+    q = q_m.reshape(b, heads, d).astype(jnp.float32)
+    k = k_m.reshape(b, t, heads, d).astype(jnp.float32)
+    v = v_m.reshape(b, t, heads, d).astype(jnp.float32)
+    logits = jnp.einsum("bhd,bthd->bht", q, k) / np.sqrt(d)
+    if pos is not None:
+        valid = jnp.arange(t)[None, None, :] <= pos
+        logits = jnp.where(valid, logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bht,bthd->bhd", p, v)
+    return o.reshape(b, hd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_cross_attention(
+    q: jnp.ndarray,      # [B, H, D]
+    k_m: jnp.ndarray,    # [B, T, H*D] merged-head keys
+    v_m: jnp.ndarray,    # [B, T, H*D] merged-head values
+    interpret: bool = False,
+) -> jnp.ndarray:        # [B, H, D] f32
+    b, h, d = q.shape
+    out = fused_single_query_attention(
+        q.reshape(b, h * d), k_m, v_m, heads=h, interpret=interpret)
+    return out.reshape(b, h, d)
 
 
 def use_fused_cross_attention(t_enc: int, batch: int) -> bool:

@@ -58,8 +58,11 @@ def pallas_fused_scores(
 ) -> jnp.ndarray:
     n, two, d = emb.shape
     assert two == 2
-    if n % blk:
-        blk = 128 if n % 128 == 0 else 8
+    # rank-1 output blocks must be 128-multiples (or the whole array):
+    # pad N up to the block size rather than shrinking the block (the
+    # round-1 shrink-to-8 fallback violated the tiling rule at N=100k)
+    if n < blk:
+        blk = max(128, -(-n // 128) * 128)
     n_pad = (n + blk - 1) // blk * blk
     if n_pad != n:  # pad tail rows; success=0 scores them NEG_INF
         emb = jnp.pad(emb, ((0, n_pad - n), (0, 0), (0, 0)))
