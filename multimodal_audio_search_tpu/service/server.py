@@ -4,6 +4,9 @@ The reference's only boundary is a Streamlit app (audio_search.py:702-1027).
 This provides a real service boundary over AudioSearchEngine:
 
     POST /api/ingest   (body: audio bytes, ?name=)   -> segment summaries
+    POST /api/stream/open?name=&rate=16000            -> {"session": id}
+    POST /api/stream/{id}/chunk (body: int16 PCM)     -> committed segments
+    POST /api/stream/{id}/close                       -> tail segments
     GET  /api/search?q=...&k=10                       -> hits + weight info
     GET  /api/stats                                   -> stats JSON export
     GET  /api/metrics.csv                             -> operation log CSV
@@ -208,11 +211,19 @@ pollStats();setInterval(pollStats,5000);
 </script></body></html>"""
 
 
+def _slim(segs):
+    """Segment records without array payloads (JSON responses)."""
+    return [{k: v for k, v in s.items()
+             if k not in ("asr_embedding", "audio_embedding",
+                          "audio_data")} for s in segs]
+
+
 class AudioSearchHandler(BaseHTTPRequestHandler):
     engine: AudioSearchEngine = None  # set by serve()
     lock: threading.Lock = None
     data_root: Path = None            # save/load confinement
     api_token: str | None = None      # gates state-changing endpoints
+    streams: dict = None              # id -> StreamingIngest (live ingest)
 
     def _send(self, code: int, body: bytes,
               ctype: str = "application/json") -> None:
@@ -313,10 +324,7 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                 name = qs.get("name", ["upload"])[0]
                 with self.lock:
                     segs = self.engine.ingest(data, name)
-                slim = [{k: v for k, v in s.items()
-                         if k not in ("asr_embedding", "audio_embedding",
-                                      "audio_data")} for s in segs]
-                self._json({"segments": slim,
+                self._json({"segments": _slim(segs),
                             "total": len(self.engine.store)})
             elif url.path == "/api/save":
                 path = self._resolve_under_root(
@@ -337,6 +345,41 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                     self.engine.load_index(path)
                 self._json({"loaded": str(path),
                             "total": len(self.engine.store)})
+            elif url.path == "/api/stream/open":
+                from ..pipelines.streaming import StreamingIngest
+                name = qs.get("name", ["stream"])[0]
+                with self.lock:
+                    sid = f"s{len(self.streams)}_{id(self) & 0xffff:x}"
+                    self.streams[sid] = StreamingIngest(
+                        self.engine.ingest_pipeline, self.engine.store,
+                        self.engine.cfg, source_name=name)
+                self._json({"session": sid})
+            elif url.path.startswith("/api/stream/"):
+                parts = url.path.rsplit("/", 2)
+                sid, action = parts[1], parts[2]
+                stream = self.streams.get(sid)
+                if stream is None:
+                    self._json({"error": "unknown stream session"}, 404)
+                    return
+                if action == "chunk":
+                    n = int(self.headers.get("Content-Length", "0"))
+                    pcm = np.frombuffer(self.rfile.read(n), np.int16) \
+                        .astype(np.float32) / 32767.0
+                    rate = int(qs.get("rate", ["16000"])[0])
+                    with self.lock:
+                        segs = stream.feed(pcm, rate)
+                    self._json({
+                        "segments": _slim(segs),
+                        "buffered_s": round(stream.buffered_seconds, 2),
+                        "total": len(self.engine.store)})
+                elif action == "close":
+                    with self.lock:
+                        segs = stream.flush()
+                        self.streams.pop(sid, None)
+                    self._json({"segments": _slim(segs),
+                                "total": len(self.engine.store)})
+                else:
+                    self._json({"error": "not found"}, 404)
             elif url.path == "/api/reset":
                 # the reference's "Force Garbage Collection" button
                 # (audio_search.py:993-998) + model-comparison index reset
@@ -369,7 +412,8 @@ def serve(
         else os.environ.get("MAS_API_TOKEN") or None
     handler = type("Handler", (AudioSearchHandler,),
                    {"engine": engine, "lock": threading.Lock(),
-                    "data_root": root, "api_token": token})
+                    "data_root": root, "api_token": token,
+                    "streams": {}})
     srv = ThreadingHTTPServer((host, port), handler)
     if block:
         print(f"serving on http://{host}:{port} (data root: {root})")
