@@ -1,0 +1,156 @@
+"""Beyond-HBM index: memory-mapped host store + chunk-streamed search.
+
+A v5e chip holds ~5M f32 segments of [N, 2, 384] index in HBM next to the
+models; past that (or on memory-constrained hosts) the index lives on
+disk/host RAM as numpy memmaps and search streams it through the device
+in fixed-size chunks:
+
+    for each chunk:  device_put (async) -> fused scores -> local top-k
+    merge the per-chunk candidates on host  (same math as the sharded
+    ICI merge in parallel/sharding.py, so results == in-memory fused_topk)
+
+JAX dispatch is asynchronous, so chunk i+1's host->device transfer
+overlaps chunk i's scoring without explicit double-buffer plumbing; the
+chunk size trades HBM residency (2 chunks in flight) against dispatch
+count.
+
+Storage dtypes: float32 (parity), bfloat16, or int8 with per-vector
+scales (4x smaller; scores are dequantized on device, rank drift is the
+same close-tie class as bf16 — opt-in).
+
+Layout on disk (build from a SegmentStore via ``build_host_index``):
+    emb.dat      [N, 2, D]  (dtype)
+    scale.dat    [N, 2] f32         (int8 only)
+    success.dat  [N, 2] bool
+    meta.jsonl   one segment record per line
+"""
+from __future__ import annotations
+
+import functools
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fusion import NEG_INF, fused_scores
+
+
+def build_host_index(store, path, dtype: str = "float32",
+                     chunk: int = 262_144) -> "HostIndex":
+    """Write a SegmentStore's index as memmaps (streams; no 2x RAM)."""
+    p = pathlib.Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    n = len(store)
+    emb = store.embeddings[:n]          # [N, 2, D] float32 (host)
+    ok = store.success[:n]
+    d = emb.shape[-1]
+    np_dtype = {"float32": np.float32, "bfloat16": np.float32,
+                "int8": np.int8}[dtype]
+    if dtype == "bfloat16":
+        import ml_dtypes
+        np_dtype = ml_dtypes.bfloat16
+    out = np.memmap(p / "emb.dat", mode="w+", dtype=np_dtype,
+                    shape=(n, 2, d))
+    scale = None
+    if dtype == "int8":
+        scale = np.memmap(p / "scale.dat", mode="w+", dtype=np.float32,
+                          shape=(n, 2))
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        x = emb[lo:hi]
+        if dtype == "int8":
+            s = np.maximum(np.abs(x).max(axis=-1), 1e-12) / 127.0
+            scale[lo:hi] = s
+            out[lo:hi] = np.clip(np.round(x / s[..., None]),
+                                 -127, 127).astype(np.int8)
+        else:
+            out[lo:hi] = x.astype(np_dtype)
+    out.flush()
+    if scale is not None:
+        scale.flush()
+    okm = np.memmap(p / "success.dat", mode="w+", dtype=np.bool_,
+                    shape=(n, 2))
+    okm[:] = ok
+    okm.flush()
+    with open(p / "meta.jsonl", "w") as f:
+        for m in store.meta[:n]:
+            f.write(json.dumps({k: v for k, v in m.items()
+                                if k not in ("audio_data",)},
+                               default=float) + "\n")
+    with open(p / "index.json", "w") as f:
+        json.dump({"n": n, "dim": d, "dtype": dtype}, f)
+    return HostIndex(p)
+
+
+class HostIndex:
+    """Memory-mapped [N, 2, D] index searched in device-streamed chunks."""
+
+    def __init__(self, path, chunk: int = 262_144):
+        p = pathlib.Path(path)
+        spec = json.loads((p / "index.json").read_text())
+        self.n, self.dim, self.dtype = spec["n"], spec["dim"], spec["dtype"]
+        np_dtype = np.int8 if self.dtype == "int8" else (
+            __import__("ml_dtypes").bfloat16
+            if self.dtype == "bfloat16" else np.float32)
+        self.emb = np.memmap(p / "emb.dat", mode="r", dtype=np_dtype,
+                             shape=(self.n, 2, self.dim))
+        self.scale = np.memmap(
+            p / "scale.dat", mode="r", dtype=np.float32,
+            shape=(self.n, 2)) if self.dtype == "int8" else None
+        self.success = np.memmap(p / "success.dat", mode="r",
+                                 dtype=np.bool_, shape=(self.n, 2))
+        self.meta = [json.loads(line)
+                     for line in (p / "meta.jsonl").read_text().splitlines()]
+        self.chunk = chunk
+
+        @functools.partial(jax.jit, static_argnames=("k", "threshold"))
+        def _chunk_topk(q, emb, success, scale, w_a, w_b, k, threshold):
+            e = emb.astype(jnp.float32)
+            if scale is not None:
+                e = e * scale[..., None]
+            masked, _ = fused_scores(q, e, success, w_a, w_b, threshold)
+            kk = min(k, masked.shape[0])
+            return jax.lax.top_k(masked, kk)
+        self._chunk_topk = _chunk_topk
+
+    def __len__(self) -> int:
+        return self.n
+
+    def search(self, query_emb, asr_weight, audio_weight, k: int = 10,
+               threshold: float = 0.1):
+        """(scores[k], indices[k]) == in-memory fused_topk on the same
+        data (merge math identical; parity-tested)."""
+        q = jnp.asarray(np.asarray(query_emb, np.float32))
+        wa = jnp.float32(asr_weight)
+        wb = jnp.float32(audio_weight)
+        pending = []  # (lo, (scores, idx) device futures)
+        for lo in range(0, self.n, self.chunk):
+            hi = min(lo + self.chunk, self.n)
+            emb_d = jnp.asarray(self.emb[lo:hi])     # async H->D
+            ok_d = jnp.asarray(self.success[lo:hi])
+            sc_d = jnp.asarray(self.scale[lo:hi]) \
+                if self.scale is not None else None
+            pending.append(
+                (lo, self._chunk_topk(q, emb_d, ok_d, sc_d, wa, wb,
+                                      k=k, threshold=threshold)))
+        all_s, all_i = [], []
+        for lo, (s, i) in pending:
+            all_s.append(np.asarray(s))
+            all_i.append(np.asarray(i) + lo)
+        s = np.concatenate(all_s)
+        i = np.concatenate(all_i)
+        order = np.argsort(-s, kind="stable")[:k]
+        return s[order], i[order]
+
+    def records(self, indices, scores) -> list[dict]:
+        out = []
+        for idx, sc in zip(indices, scores):
+            if sc <= NEG_INF / 2:
+                continue
+            r = dict(self.meta[int(idx)])
+            r["index"] = int(idx)
+            r["fusion_score"] = float(sc)
+            out.append(r)
+        return out
