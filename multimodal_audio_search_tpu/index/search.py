@@ -62,6 +62,102 @@ class FusionSearcher:
 
         return (program, emb)
 
+    def _build_batched(self, embed_fn):
+        """One program for MANY queries: batched MiniLM embed + vmapped
+        fused top-k (data-parallel query batches, SURVEY §2c). The index
+        is read once per dispatch regardless of batch size."""
+        try:
+            from ..pipelines.embed import TextEmbedder
+            from ..models import minilm
+        except ImportError:  # pragma: no cover
+            return None
+        if not isinstance(embed_fn, TextEmbedder):
+            return None
+        emb = embed_fn
+        import functools
+        import jax
+
+        @functools.partial(jax.jit, static_argnames=("k", "threshold"))
+        def program(params, ids, mask, index_emb, success,
+                    w_asr, w_audio, *, k, threshold):
+            q = minilm.sentence_embed(params, ids, mask, emb.cfg)  # [Q, D]
+            run = functools.partial(fused_topk_impl,
+                                    k=k, threshold=threshold)
+            return jax.vmap(run, in_axes=(0, None, None, 0, 0))(
+                q, index_emb, success, w_asr, w_audio)
+
+        return (program, emb)
+
+    def search_batch(
+        self, queries: Sequence[str], k: int | None = None
+    ) -> list[tuple[list[dict[str, Any]], dict[str, Any]]]:
+        """Batched fusion search: one device dispatch for all queries.
+        Returns [(results, weight_info)] aligned with ``queries``."""
+        if len(self.store) == 0 or not queries:
+            return [([], {}) for _ in queries]
+        k = k or self.cfg.top_k
+        if getattr(self, "_batched", None) is None:
+            self._batched = self._build_batched(self.embed_fn)
+        was = [self.analyzer(q) for q in queries]
+        emb, ok = self.store.device_index()
+        t0 = time.perf_counter()
+        if self._batched is not None:
+            program, embedder = self._batched
+            ids, mask = embedder.tokenizer.encode(
+                list(queries), embedder.max_tokens)
+            out = program(
+                embedder.params, jnp.asarray(ids), jnp.asarray(mask),
+                emb, ok,
+                jnp.asarray([w.asr_weight for w in was], jnp.float32),
+                jnp.asarray([w.audio_weight for w in was], jnp.float32),
+                k=min(k, emb.shape[0]),
+                threshold=self.cfg.relevance_threshold)
+            out = {kk: np.asarray(v) for kk, v in out.items()}
+            outs = [{kk: v[qi] for kk, v in out.items()}
+                    for qi in range(len(queries))]
+        else:  # generic embed_fn: embed host-side, still one scoring vmap
+            outs = []
+            qv = np.asarray(self.embed_fn(list(queries)), np.float32)
+            qv /= np.maximum(
+                np.linalg.norm(qv, axis=-1, keepdims=True), 1e-12)
+            for qi, w in enumerate(was):
+                o = fused_topk(
+                    jnp.asarray(qv[qi]), emb, ok,
+                    jnp.float32(w.asr_weight), jnp.float32(w.audio_weight),
+                    k=min(k, emb.shape[0]),
+                    threshold=self.cfg.relevance_threshold)
+                outs.append({kk: np.asarray(v) for kk, v in o.items()})
+        dt = time.perf_counter() - t0
+        return [(self._rows(outs[qi], was[qi]),
+                 {"asr_weight": was[qi].asr_weight,
+                  "audio_weight": was[qi].audio_weight,
+                  "analysis": was[qi].analysis, "query": queries[qi],
+                  "latency_s": dt}) for qi in range(len(queries))]
+
+    def _rows(self, out, wa) -> list[dict[str, Any]]:
+        results: list[dict[str, Any]] = []
+        for rank in range(len(out["indices"])):
+            if not out["valid"][rank] or out["scores"][rank] <= NEG_INF / 2:
+                continue
+            i = int(out["indices"][rank])
+            if i >= len(self.store):   # capacity padding
+                continue
+            row = dict(self.store.meta[i])
+            row.update(
+                index=i,
+                asr_similarity=float(out["sims"][rank, 0]),
+                audio_similarity=float(out["sims"][rank, 1]),
+                fusion_score=float(out["scores"][rank]),
+                effective_asr_weight=float(
+                    out["effective_weights"][rank, 0]),
+                effective_audio_weight=float(
+                    out["effective_weights"][rank, 1]),
+                query_asr_weight=wa.asr_weight,
+                query_audio_weight=wa.audio_weight,
+            )
+            results.append(row)
+        return results
+
     def __call__(
         self, query: str, k: int | None = None
     ) -> tuple[list[dict[str, Any]], dict[str, Any]]:
@@ -92,26 +188,7 @@ class FusionSearcher:
                 k=min(k, emb.shape[0]),
                 threshold=self.cfg.relevance_threshold)
         out = {kk: np.asarray(v) for kk, v in out.items()}
-        results: list[dict[str, Any]] = []
-        for rank in range(len(out["indices"])):
-            if not out["valid"][rank] or out["scores"][rank] <= NEG_INF / 2:
-                continue
-            i = int(out["indices"][rank])
-            if i >= len(self.store):   # capacity padding
-                continue
-            row = dict(self.store.meta[i])
-            row.update(
-                index=i,
-                asr_similarity=float(out["sims"][rank, 0]),
-                audio_similarity=float(out["sims"][rank, 1]),
-                fusion_score=float(out["scores"][rank]),
-                effective_asr_weight=float(out["effective_weights"][rank, 0]),
-                effective_audio_weight=float(
-                    out["effective_weights"][rank, 1]),
-                query_asr_weight=wa.asr_weight,
-                query_audio_weight=wa.audio_weight,
-            )
-            results.append(row)
+        results = self._rows(out, wa)
         weight_info = {
             "asr_weight": wa.asr_weight,
             "audio_weight": wa.audio_weight,

@@ -184,16 +184,20 @@ class AudioSearchEngine:
         return segments
 
     # -------------------------------------------------------------- search
-    def search(
-        self, query: str, k: int | None = None
-    ) -> tuple[list[dict[str, Any]], dict[str, Any]]:
-        """Keyword-weighted fusion search (audio_search.py:624-699)."""
+    def _ensure_searcher(self) -> FusionSearcher:
         if self._searcher is None or self._searcher.store is not self.store:
             analyzer = make_analyzer(
                 self.cfg.analyzer,
                 embed_fn=self.embedder, cfg=self.cfg.fusion)
             self._searcher = FusionSearcher(
                 self.store, self.embedder, analyzer, self.cfg.fusion)
+        return self._searcher
+
+    def search(
+        self, query: str, k: int | None = None
+    ) -> tuple[list[dict[str, Any]], dict[str, Any]]:
+        """Keyword-weighted fusion search (audio_search.py:624-699)."""
+        self._ensure_searcher()
         t0 = time.perf_counter()
         results, weight_info = self._searcher(query, k)
         self.stats.pipelines["search_pipeline"].update(
@@ -202,6 +206,20 @@ class AudioSearchEngine:
             "search", time.perf_counter() - t0,
             query=query, hits=len(results))
         return results, weight_info
+
+    def search_batch(
+        self, queries: list[str], k: int | None = None
+    ) -> list[tuple[list[dict[str, Any]], dict[str, Any]]]:
+        """Many queries in ONE device dispatch (batched embed + vmapped
+        fused top-k) — the data-parallel query path (SURVEY §2c)."""
+        searcher = self._ensure_searcher()
+        t0 = time.perf_counter()
+        out = searcher.search_batch(queries, k)
+        self.stats.pipelines["search_pipeline"].update_batch(
+            time.perf_counter() - t0,
+            sum(len(r) > 0 for r, _ in out),
+            sum(len(r) == 0 for r, _ in out))
+        return out
 
     def transcribe_long(self, src, chunk_s: float = 10.0,
                         stride_s: float = 2.0) -> str:

@@ -267,10 +267,20 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
             if url.path == "/":
                 self._send(200, _UI.encode(), "text/html")
             elif url.path == "/api/search":
-                q = qs.get("q", [""])[0]
+                q_list = qs.get("q", [""])
                 k = int(qs.get("k", ["10"])[0])
+                if len(q_list) > 1:   # repeated ?q= -> one batched dispatch
+                    with self.lock:
+                        batch = self.engine.search_batch(q_list, k)
+                    self._json({"batch": [
+                        {"results": [{kk: v for kk, v in r.items()
+                                      if kk != "audio_data"}
+                                     for r in results],
+                         "weight_info": info}
+                        for results, info in batch]})
+                    return
                 with self.lock:
-                    results, info = self.engine.search(q, k)
+                    results, info = self.engine.search(q_list[0], k)
                 slim = [{kk: v for kk, v in r.items()
                          if kk not in ("audio_data",)} for r in results]
                 self._json({"results": slim, "weight_info": info})
@@ -347,9 +357,10 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                             "total": len(self.engine.store)})
             elif url.path == "/api/stream/open":
                 from ..pipelines.streaming import StreamingIngest
+                import uuid
                 name = qs.get("name", ["stream"])[0]
                 with self.lock:
-                    sid = f"s{len(self.streams)}_{id(self) & 0xffff:x}"
+                    sid = uuid.uuid4().hex[:12]
                     self.streams[sid] = StreamingIngest(
                         self.engine.ingest_pipeline, self.engine.store,
                         self.engine.cfg, source_name=name)

@@ -117,3 +117,96 @@ def test_store_mmap_persistence(tmp_path, rng):
     loaded.add({"segment_id": "extra"},
                np.ones(384, np.float32) / np.sqrt(384), None)
     assert len(loaded) == 22
+
+
+def test_search_batch_matches_singles(rng):
+    """Batched query path == N single searches (SURVEY §2c data-parallel
+    queries; one device dispatch for the whole batch)."""
+    from multimodal_audio_search_tpu.index.search import FusionSearcher
+    from multimodal_audio_search_tpu.index.store import SegmentStore
+
+    d = 32
+    store = SegmentStore(embed_dim=d, keep_audio=False)
+    emb = rng.normal(size=(40, 2, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    for i in range(40):
+        store.add({"segment_id": f"s{i}"}, emb[i, 0], emb[i, 1])
+
+    def hash_embed(texts):
+        out = []
+        for t in texts:
+            h = abs(hash(t)) % 40
+            out.append(emb[h, 0])
+        return np.stack(out)
+
+    s = FusionSearcher(store, hash_embed)
+    queries = ["music with drums", "someone speaking", "guitar solo"]
+    batch = s.search_batch(queries, k=5)
+    assert len(batch) == 3
+    for q, (results, info) in zip(queries, batch):
+        single, sinfo = s(q, 5)
+        assert [r["index"] for r in results] == [r["index"] for r in single]
+        assert [r["fusion_score"] for r in results] == pytest.approx(
+            [r["fusion_score"] for r in single])
+        assert info["asr_weight"] == sinfo["asr_weight"]
+        assert info["query"] == q
+
+
+def test_engine_search_batch_and_http(rng):
+    """Engine + HTTP multi-q batched search over a seeded store."""
+    import json
+    import threading
+    import urllib.request
+    import jax.numpy as jnp
+    from multimodal_audio_search_tpu import AudioSearchEngine, EngineConfig
+    from multimodal_audio_search_tpu.config import DecodeConfig, MelConfig
+    from multimodal_audio_search_tpu.models import whisper as W
+    from multimodal_audio_search_tpu.models.minilm import MiniLMConfig
+    from multimodal_audio_search_tpu.pipelines.embed import TextEmbedder
+    from multimodal_audio_search_tpu.pipelines.ingest import (
+        DualPipelineIngest)
+    from multimodal_audio_search_tpu.pipelines.whisper_pipeline import (
+        WhisperTextPipeline)
+    from multimodal_audio_search_tpu.service.server import serve
+
+    wcfg = W.WhisperConfig(
+        vocab_size=128, d_model=32, enc_layers=1, dec_layers=1, heads=2,
+        ffn=64, enc_positions=150, dec_positions=16,
+        bos_token_id=100, eos_token_id=101, pad_token_id=101)
+    mel = MelConfig(padded_seconds=3.0)
+    decode = DecodeConfig(max_new_tokens=4)
+    cfg = EngineConfig(ingest_batch=4, embed_dim=64)
+    asr = WhisperTextPipeline(cfg=wcfg, decode=decode, mel_cfg=mel,
+                              dtype=jnp.float32, name="asr")
+    cap = WhisperTextPipeline(cfg=wcfg, decode=decode, mel_cfg=mel,
+                              dtype=jnp.float32, name="caption",
+                              prefix_ids=[wcfg.bos_token_id], seed=1)
+    emb = TextEmbedder(cfg=MiniLMConfig(vocab_size=512, hidden=64,
+                                        layers=1, heads=2,
+                                        intermediate=128))
+    eng = AudioSearchEngine(
+        cfg=cfg, ingest_pipeline=DualPipelineIngest(asr, cap, emb, cfg))
+    eng.store.embed_dim = 64
+    eng.store._emb = np.zeros((eng.store._cap, 2, 64), np.float32)
+    eng.ingest_waveform(
+        (rng.normal(size=16000 * 7) * 0.2).astype(np.float32), 16000, "x")
+
+    queries = ["music with drums", "a person talking"]
+    batch = eng.search_batch(queries)
+    assert len(batch) == 2
+    for (results, info), q in zip(batch, queries):
+        single, _ = eng.search(q)
+        assert [r["index"] for r in results] == [r["index"] for r in single]
+
+    srv = serve(eng, host="127.0.0.1", port=0, block=False)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        url = (base + "/api/search?q=music%20with%20drums"
+               "&q=a%20person%20talking&k=5")
+        with urllib.request.urlopen(url, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["batch"]) == 2
+        assert out["batch"][0]["weight_info"]["query"] == "music with drums"
+    finally:
+        srv.shutdown()
