@@ -21,7 +21,6 @@ the reference's 3 s rule (audio_search.py:259-260).
 from __future__ import annotations
 
 import threading
-from typing import Any
 
 import numpy as np
 
