@@ -93,6 +93,10 @@ class DecodeConfig:
     #              (ops/cross_attention.py, exact bf16, ~4x einsum), einsum
     #              otherwise; int8_cross_kv=True overrides to "int8"
     #   "fused" | "einsum" | "int8" - force one path
+    #   "int8_fused" - merged-head int8 kernel: HALF the cross-KV HBM
+    #              memory at bf16-fused speed (not faster — the mode is a
+    #              memory lever, docs/BENCHMARKS.md); bounded-error
+    #              contract, guardrail-tested
     cross_attn: str = "auto"
 
 

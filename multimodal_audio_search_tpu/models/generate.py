@@ -101,6 +101,9 @@ def _select_cross_kv(params, enc_out, cfg, decode):
     speed path, ops/cross_attention.py), or plain einsum."""
     from ..ops.cross_attention import use_fused_cross_attention
     mode = getattr(decode, "cross_attn", "auto")
+    if mode == "int8_fused":
+        from .whisper import cross_kv_merged_int8
+        return cross_kv_merged_int8(params, enc_out, cfg)
     if decode.int8_cross_kv or mode == "int8":
         return cross_kv_quantized(params, enc_out, cfg)
     if mode == "fused" or (

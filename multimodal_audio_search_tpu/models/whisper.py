@@ -198,10 +198,41 @@ def cross_kv_merged(params, enc_out: jnp.ndarray, cfg: WhisperConfig):
     return [merge_heads_kv(k, v) for k, v in cross_kv(params, enc_out, cfg)]
 
 
+def cross_kv_merged_int8(params, enc_out: jnp.ndarray, cfg: WhisperConfig):
+    """Merged-head int8 cross K/V: half the per-step HBM traffic of the
+    bf16 fused path at the same kernel structure (native int8 MXU dots,
+    ops/cross_attention.py::fused_single_query_attention_int8). Opt-in:
+    ~1-2% attention-output error (guardrail-tested)."""
+    from ..ops.cross_attention import merge_heads_kv, quantize_kv_merged
+    out = []
+    for k, v in cross_kv(params, enc_out, cfg):
+        k_m, v_m = merge_heads_kv(k, v)
+        out.append(quantize_kv_merged(k_m, v_m, cfg.heads))
+    return out
+
+
 def _cross_attend(blk, h, ckv_entry, cfg):
     """Cross-attention for one block; dispatches on the K/V cache format:
     len-2 of 4D arrays = bf16 einsum; len-2 of 3D = merged-head fused
-    Pallas kernel; len-4 = int8-quantized single-query path."""
+    Pallas kernel; len-4 of 3D = merged int8 fused kernel; len-4 of 4D =
+    the round-1 int8 GRP path (memory mode)."""
+    if len(ckv_entry) == 4 and ckv_entry[0].ndim == 3:
+        from ..ops.cross_attention import (
+            fused_single_query_attention_int8,
+            xla_single_query_attention_int8)
+        q_m = L.dense(blk["cross_attn"]["q"], h)       # [B, 1, D] merged
+        if q_m.shape[1] != 1:
+            raise ValueError("int8_fused cross-attn is single-query only")
+        q_m = q_m[:, 0, :]
+        k8, ks, v8, vs = ckv_entry
+        if jax.devices()[0].platform == "tpu":
+            o = fused_single_query_attention_int8(
+                q_m, k8, ks, v8, vs, heads=cfg.heads)
+        else:
+            o = xla_single_query_attention_int8(
+                q_m, k8, ks, v8, vs, heads=cfg.heads)
+        return L.dense(blk["cross_attn"]["o"],
+                       o[:, None, :].astype(h.dtype))
     q = L.split_heads(L.dense(blk["cross_attn"]["q"], h), cfg.heads)
     if len(ckv_entry) == 2 and ckv_entry[0].ndim == 3:
         from ..ops.cross_attention import fused_cross_attention

@@ -208,3 +208,159 @@ def xla_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
         / np.sqrt(d)
     p = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bht,bhtd->bhd", p, v.astype(jnp.float32))
+
+
+# ------------------------------------------------------------- int8 fast
+def quantize_kv_merged(k_m: jnp.ndarray, v_m: jnp.ndarray, heads: int):
+    """[B, T, H*D] -> (int8 [B, T, H*D], scales [B, T, H]) per tensor.
+
+    Per-(b, t, head-row) scales keep the quantization error ~0.4% per
+    element; the merged layout keeps int8 rows at full 128 lanes (the
+    round-1 [.., D=64] int8 layout was silently padded 2x by the
+    (32, 128) int8 tile)."""
+    def q(x):
+        b, t, hd = x.shape
+        xf = x.astype(jnp.float32).reshape(b, t, heads, hd // heads)
+        s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-12) / 127.0
+        x8 = jnp.clip(jnp.round(xf / s[..., None]), -127, 127) \
+            .astype(jnp.int8)
+        return x8.reshape(b, t, hd), s
+    k8, ks = q(k_m)
+    v8, vs = q(v_m)
+    return k8, ks, v8, vs
+
+
+def _kernel_int8(pos_ref, q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
+                 o_ref, *, scale: float, heads: int, d: int):
+    """Block-diag trick on the NATIVE int8 MXU path: logits from an
+    int8 x int8 dot against a quantized block-diagonal query (no
+    dequantize pass — the int8->f32 convert of K/V on the VPU costs more
+    than the bandwidth it saves, docs/BENCHMARKS.md); the softmax weights
+    are re-quantized per head column for an int8 V dot. Opt-in: ~0.4%
+    K-side and ~1-2% V-side relative error (guardrail-tested)."""
+    kc, t, hd = k_ref.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 1)
+    blockmask = (rows // d) == cols
+    mask_t = blockmask.astype(jnp.float32).T                   # [H, H*D]
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (t, heads), 0)
+    valid = t_idx <= pos_ref[0, 0]
+
+    def attend(base: int):
+        for b in range(kc):                                    # static
+            qcol = q_ref[base + b][:, None]                    # i32 [HD,1]
+            w8 = jnp.where(blockmask, qcol, 0).astype(jnp.int8)
+            li = jax.lax.dot_general(
+                k_ref[b], w8,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)              # [T, H]
+            logits = li.astype(jnp.float32) * ks_ref[b] \
+                * qs_ref[base + b][None, :] * scale
+            logits = jnp.where(valid, logits, -1e30)
+            m = jnp.max(logits, axis=0, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=0, keepdims=True)
+            pw = p * vs_ref[b]                                 # [T, H]
+            spw = jnp.maximum(jnp.max(pw, axis=0, keepdims=True),
+                              1e-20) / 127.0
+            pw8 = jnp.clip(jnp.round(pw / spw), -127, 127) \
+                .astype(jnp.int8)
+            oi = jax.lax.dot_general(
+                pw8, v_ref[b],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)              # [H, H*D]
+            o_ref[base + b] = jnp.sum(
+                oi.astype(jnp.float32) * spw[0][:, None] * mask_t,
+                axis=0).astype(o_ref.dtype)
+
+    subs = BC // kc
+    sub = pl.program_id(0) % subs
+    for j in range(subs):                                      # static
+        @pl.when(sub == j)
+        def _(j=j):
+            attend(j * kc)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def fused_single_query_attention_int8(
+    q_m: jnp.ndarray,    # [B, H*D] float queries (quantized in here)
+    k8: jnp.ndarray,     # [B, T, H*D] int8
+    ks: jnp.ndarray,     # [B, T, H] f32 scales
+    v8: jnp.ndarray,     # [B, T, H*D] int8
+    vs: jnp.ndarray,     # [B, T, H] f32 scales
+    *,
+    heads: int,
+    pos: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:        # [B, H*D] f32
+    b, hd = q_m.shape
+    t = k8.shape[1]
+    d = hd // heads
+    scale = 1.0 / math.sqrt(d)
+    qf = q_m.astype(jnp.float32).reshape(b, heads, d)
+    qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1), 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(qf / qs[..., None]), -127, 127) \
+        .reshape(b, hd).astype(jnp.int32)   # i32: int8 lane->sublane
+    bp = -(-b // BC) * BC
+    if bp != b:
+        pad = ((0, bp - b),)
+        q8 = jnp.pad(q8, pad + ((0, 0),))
+        qs = jnp.pad(qs, pad + ((0, 0),))
+        k8 = jnp.pad(k8, pad + ((0, 0), (0, 0)))
+        ks = jnp.pad(ks, pad + ((0, 0), (0, 0)))
+        v8 = jnp.pad(v8, pad + ((0, 0), (0, 0)))
+        vs = jnp.pad(vs, pad + ((0, 0), (0, 0)))
+    if pos is None:
+        pos = jnp.int32(t - 1)
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(_kernel_int8, scale=scale, heads=heads, d=d)
+    # budget as if bf16: the f32 scale blocks + int32/f32 in-kernel temps
+    # (logits, p, pw, oi) eat the headroom int8 data alone would leave
+    kc = _kv_rows(t, hd, 2)
+    subs = BC // kc
+    out = pl.pallas_call(
+        kernel,
+        grid=(subs * bp // BC,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BC, hd), lambda i, s=subs: (i // s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC, heads), lambda i, s=subs: (i // s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, t, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, t, heads), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, t, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, t, heads), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BC, hd), lambda i, s=subs: (i // s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, hd), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * t * hd * heads * 2,
+            bytes_accessed=bp * t * (hd * 2 + heads * 8),
+            transcendentals=bp * t * heads),
+        interpret=interpret,
+    )(pos_arr, q8, qs, k8, ks, v8, vs)
+    return out[:b]
+
+
+def xla_single_query_attention_int8(q_m, k8, ks, v8, vs, *, heads,
+                                    pos=None):
+    """Dequantizing einsum twin (CPU / reference for the int8 kernel)."""
+    b, hd = q_m.shape
+    t = k8.shape[1]
+    d = hd // heads
+    kf = k8.astype(jnp.float32).reshape(b, t, heads, d) * ks[..., None]
+    vf = v8.astype(jnp.float32).reshape(b, t, heads, d) * vs[..., None]
+    q = q_m.astype(jnp.float32).reshape(b, heads, d)
+    logits = jnp.einsum("bhd,bthd->bht", q, kf) / np.sqrt(d)
+    if pos is not None:
+        logits = jnp.where(jnp.arange(t)[None, None, :] <= pos,
+                           logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bht,bthd->bhd", p, vf).reshape(b, hd)

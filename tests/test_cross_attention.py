@@ -80,3 +80,59 @@ def test_auto_mode_selects_einsum_on_cpu(rng):
     from multimodal_audio_search_tpu.ops.cross_attention import (
         use_fused_cross_attention)
     assert use_fused_cross_attention(500, 64) is False  # CPU in tests
+
+
+def test_int8_fused_matches_dequant_reference(rng):
+    """int8 kernel (interpret) vs its dequantizing einsum twin: identical
+    quantized inputs -> near-identical outputs (pw re-quantization is the
+    only extra error source)."""
+    from multimodal_audio_search_tpu.ops.cross_attention import (
+        fused_single_query_attention_int8, quantize_kv_merged,
+        xla_single_query_attention, xla_single_query_attention_int8)
+    b, h, t, d = 8, 4, 40, 16
+    q = jnp.asarray(rng.normal(size=(b, h * d)), jnp.float32)
+    k_m = jnp.asarray(rng.normal(size=(b, t, h * d)), jnp.float32)
+    v_m = jnp.asarray(rng.normal(size=(b, t, h * d)), jnp.float32)
+    k8, ks, v8, vs = quantize_kv_merged(k_m, v_m, h)
+    ref = xla_single_query_attention_int8(q, k8, ks, v8, vs, heads=h)
+    got = fused_single_query_attention_int8(q, k8, ks, v8, vs, heads=h,
+                                            interpret=True)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
+    # and both against the unquantized f32 attention
+    exact = xla_single_query_attention(q, k_m, v_m, heads=h)
+    rel = float(jnp.linalg.norm(got - exact) / jnp.linalg.norm(exact))
+    assert rel < 0.05, rel
+
+
+def test_int8_fused_guardrail_whisper_base_shapes(rng):
+    """Accuracy policy for the opt-in int8_fused mode at whisper-base
+    decode shapes, B=32: bounded first-step logit delta (<5% of the
+    logit range) and high greedy argmax agreement vs the exact path.
+    Unlike the old int8 GRP mode this one is NOT token-exact — the bound
+    is the contract (docs/BENCHMARKS.md)."""
+    from multimodal_audio_search_tpu.config import DecodeConfig
+    from multimodal_audio_search_tpu.models import whisper as WW
+    from multimodal_audio_search_tpu.models.generate import generate
+    cfg = WW.WhisperConfig(
+        vocab_size=1000, d_model=512, enc_layers=1, dec_layers=2, heads=8,
+        ffn=1024, enc_positions=500, dec_positions=24,
+        bos_token_id=990, eos_token_id=991, pad_token_id=991,
+        no_timestamps_id=993, transcribe_id=994, lang_en_id=995)
+    params = WW.init_params(jax.random.PRNGKey(1), cfg)
+    b = 32
+    enc_out = jnp.asarray(rng.normal(size=(b, 500, cfg.d_model)) * 0.3,
+                          jnp.float32)
+    prefix = jnp.tile(jnp.asarray(WW.forced_prefix(cfg), jnp.int32),
+                      (b, 1))
+    ckv_f = WW.cross_kv(params, enc_out, cfg)
+    ckv_q = WW.cross_kv_merged_int8(params, enc_out, cfg)
+    cache = WW.init_cache(cfg, b, 12, jnp.float32)
+    tok = jnp.full((b,), cfg.bos_token_id, jnp.int32)
+    lf, _ = WW.decode_step(params, tok, jnp.int32(0), cache, ckv_f, cfg)
+    lq, _ = WW.decode_step(params, tok, jnp.int32(0), cache, ckv_q, cfg)
+    lf, lq = np.asarray(lf), np.asarray(lq)
+    span = lf.max() - lf.min() + 1e-9
+    assert np.abs(lf - lq).max() / span < 0.05
+    agree = (lf.argmax(-1) == lq.argmax(-1)).mean()
+    assert agree >= 0.9, agree
