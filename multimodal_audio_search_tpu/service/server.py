@@ -224,6 +224,15 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
     data_root: Path = None            # save/load confinement
     api_token: str | None = None      # gates state-changing endpoints
     streams: dict = None              # id -> StreamingIngest (live ingest)
+    max_upload_bytes: int = 1 << 30   # reject larger bodies (memory guard)
+
+    def _body(self) -> bytes:
+        n = int(self.headers.get("Content-Length", "0"))
+        if n > self.max_upload_bytes:
+            raise ValueError(
+                f"upload of {n} bytes exceeds the "
+                f"{self.max_upload_bytes}-byte limit")
+        return self.rfile.read(n)
 
     def _send(self, code: int, body: bytes,
               ctype: str = "application/json") -> None:
@@ -324,13 +333,12 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
         url = urllib.parse.urlparse(self.path)
         qs = urllib.parse.parse_qs(url.query)
         try:
-            if url.path in ("/api/save", "/api/load", "/api/reset") \
-                    and not self._authorized():
+            if url.path in ("/api/save", "/api/load", "/api/reset",
+                            "/api/profile") and not self._authorized():
                 self._json({"error": "missing or bad X-API-Token"}, 401)
                 return
             if url.path == "/api/ingest":
-                n = int(self.headers.get("Content-Length", "0"))
-                data = self.rfile.read(n)
+                data = self._body()
                 name = qs.get("name", ["upload"])[0]
                 with self.lock:
                     segs = self.engine.ingest(data, name)
@@ -373,8 +381,7 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                     self._json({"error": "unknown stream session"}, 404)
                     return
                 if action == "chunk":
-                    n = int(self.headers.get("Content-Length", "0"))
-                    pcm = np.frombuffer(self.rfile.read(n), np.int16) \
+                    pcm = np.frombuffer(self._body(), np.int16) \
                         .astype(np.float32) / 32767.0
                     rate = int(qs.get("rate", ["16000"])[0])
                     with self.lock:
@@ -391,6 +398,21 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                                 "total": len(self.engine.store)})
                 else:
                     self._json({"error": "not found"}, 404)
+            elif url.path == "/api/profile":
+                # capture a TensorBoard-loadable jax.profiler trace around
+                # one search (true device timelines — the reference's
+                # telemetry is wall-clock only, SURVEY §5)
+                from .stats import ProfilerSession
+                q = qs.get("q", ["profiling query"])[0]
+                import time as _t
+                trace_dir = (self.data_root.resolve() / "traces"
+                             / str(int(_t.time())))
+                trace_dir.mkdir(parents=True, exist_ok=True)
+                with self.lock:
+                    with ProfilerSession(str(trace_dir)):
+                        results, _ = self.engine.search(q)
+                self._json({"trace_dir": str(trace_dir),
+                            "hits": len(results)})
             elif url.path == "/api/reset":
                 # the reference's "Force Garbage Collection" button
                 # (audio_search.py:993-998) + model-comparison index reset

@@ -192,3 +192,28 @@ def test_ui_escapes_dynamic_strings(server):
                    "Hardware / Software", "Pipeline Performance",
                    "Clear Index + GC", "Export JSON", "ASR success"):
         assert marker in html, marker
+
+
+def test_upload_limit_and_profile_endpoint(server, tmp_path):
+    server, data_root = server
+    # oversized Content-Length rejected before reading the body
+    import http.client
+    host = server.split("//")[1]
+    conn = http.client.HTTPConnection(host, timeout=60)
+    conn.putrequest("POST", "/api/ingest?name=big")
+    conn.putheader("Content-Length", str(2 << 30))
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    assert b"limit" in resp.read()
+    conn.close()
+
+    # profiler trace capture around a search
+    req = urllib.request.Request(server + "/api/profile?q=music",
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = json.loads(r.read())
+    import pathlib
+    p = pathlib.Path(out["trace_dir"])
+    assert p.exists() and str(p).startswith(str(data_root.resolve()))
+    assert any(p.rglob("*")), "trace dir empty"

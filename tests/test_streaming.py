@@ -146,3 +146,26 @@ def test_stream_http_endpoints(cfg, rng):
         assert e.value.code == 404
     finally:
         srv.shutdown()
+
+
+def test_stream_chunking_fuzz(cfg, rng):
+    """Property: ANY random chunking commits the same windows as one-shot
+    (window boundaries depend only on cumulative sample count)."""
+    sr = 16000
+    wave = (rng.normal(size=int(sr * 9.5)) * 0.1).astype(np.float32)
+    pipe = tiny_pipeline(cfg)
+    ref = pipe.process_waveform(wave[: 3 * int(sr * 3)], sr, "stream")
+    for trial in range(3):
+        r2 = np.random.default_rng(trial)
+        pipe2 = tiny_pipeline(cfg)
+        store = SegmentStore(embed_dim=64)
+        s = StreamingIngest(pipe2, store, cfg, source_name="stream")
+        got, lo = [], 0
+        while lo < len(wave):
+            hi = min(lo + int(r2.integers(1000, 40000)), len(wave))
+            got += s.feed(wave[lo:hi], sr)
+            lo = hi
+        s.flush()
+        assert [g["start_time"] for g in got] == \
+            [r["start_time"] for r in ref]
+        assert [g["asr_text"] for g in got] == [r["asr_text"] for r in ref]
