@@ -98,6 +98,10 @@ class DecodeConfig:
     #              memory lever, docs/BENCHMARKS.md); bounded-error
     #              contract, guardrail-tested
     cross_attn: str = "auto"
+    # route the decode self sub-block (LN + q/k/v + cache write +
+    # attention + o-proj + residual) through one Pallas kernel per layer
+    # (ops/decoder_block.py); opt-in while maturing
+    fused_layer: bool = False
 
 
 def asr_parity_decode() -> DecodeConfig:

@@ -166,7 +166,8 @@ def generate(
     def body(state):
         pos, tokens, cache, finished, scores, key = state
         logits, cache = decode_step(
-            params, tokens[:, pos], pos, cache, ckv, cfg)  # logits [B, V]
+            params, tokens[:, pos], pos, cache, ckv, cfg,
+            fused_layer=getattr(decode, "fused_layer", False))
         logits = logits.astype(jnp.float32)
         valid = jnp.arange(total)[None, :] <= pos
         logits = apply_repetition_penalty(

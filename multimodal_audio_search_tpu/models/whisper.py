@@ -340,34 +340,58 @@ def _self_attend_cached(q1, k, v, pos, cfg: WhisperConfig):
 
 def decode_step(
     params, token: jnp.ndarray, pos: jnp.ndarray, cache, ckv,
-    cfg: WhisperConfig,
+    cfg: WhisperConfig, fused_layer: bool = False,
 ):
     """One KV-cached decode step.
 
     token [B] int32, pos scalar int32 (current position), cache as from
     init_cache, ckv from cross_kv. Returns (logits [B, vocab], new cache).
+    ``fused_layer`` routes the whole self sub-block (LN + q/k/v + cache
+    write + attention + o-proj + residual) through one Pallas kernel per
+    layer (ops/decoder_block.py).
     """
     dec = params["decoder"]
     x = dec["embed_tokens"][token][:, None, :] \
         + jax.lax.dynamic_slice_in_dim(dec["positions"], pos, 1)[None]
     x = x.astype(cache[0]["k"].dtype)
     new_cache = []
+    fused_layer = fused_layer and x.shape[0] % 8 == 0
     for blk, layer_cache, ckv_entry in zip(dec["blocks"], cache, ckv):
-        h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
-        # dense outputs ARE the merged-head layout: no split, one update
-        k1 = L.dense(blk["self_attn"]["k"], h)        # [B, 1, D]
-        v1 = L.dense(blk["self_attn"]["v"], h)
-        k = jax.lax.dynamic_update_slice(
-            layer_cache["k"], k1.astype(layer_cache["k"].dtype),
-            (0, pos, 0))
-        v = jax.lax.dynamic_update_slice(
-            layer_cache["v"], v1.astype(layer_cache["v"].dtype),
-            (0, pos, 0))
-        new_cache.append({"k": k, "v": v})
-        q1 = L.dense(blk["self_attn"]["q"], h)[:, 0, :]
-        attn = _self_attend_cached(q1, k, v, pos, cfg)
-        x = x + L.dense(blk["self_attn"]["o"],
-                        attn[:, None, :].astype(x.dtype))
+        if fused_layer:
+            from ..ops.decoder_block import fused_self_block
+            a = blk["self_attn"]
+            interpret = jax.devices()[0].platform != "tpu"
+            x1, k1, v1 = fused_self_block(
+                x[:, 0, :],
+                blk["self_ln"]["scale"], blk["self_ln"]["bias"],
+                a["q"]["w"], a["q"]["b"], a["k"]["w"],
+                a["v"]["w"], a["v"]["b"], a["o"]["w"], a["o"]["b"],
+                layer_cache["k"], layer_cache["v"], pos,
+                heads=cfg.heads, eps=cfg.ln_eps, interpret=interpret)
+            # the kernel already attended to k1/v1; persist the row here
+            # (in-place dynamic_update_slice inside the decode loop)
+            k = jax.lax.dynamic_update_slice(
+                layer_cache["k"], k1[:, None, :], (0, pos, 0))
+            v = jax.lax.dynamic_update_slice(
+                layer_cache["v"], v1[:, None, :], (0, pos, 0))
+            new_cache.append({"k": k, "v": v})
+            x = x1[:, None, :]
+        else:
+            h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
+            # dense outputs ARE the merged-head layout: one update
+            k1 = L.dense(blk["self_attn"]["k"], h)        # [B, 1, D]
+            v1 = L.dense(blk["self_attn"]["v"], h)
+            k = jax.lax.dynamic_update_slice(
+                layer_cache["k"], k1.astype(layer_cache["k"].dtype),
+                (0, pos, 0))
+            v = jax.lax.dynamic_update_slice(
+                layer_cache["v"], v1.astype(layer_cache["v"].dtype),
+                (0, pos, 0))
+            new_cache.append({"k": k, "v": v})
+            q1 = L.dense(blk["self_attn"]["q"], h)[:, 0, :]
+            attn = _self_attend_cached(q1, k, v, pos, cfg)
+            x = x + L.dense(blk["self_attn"]["o"],
+                            attn[:, None, :].astype(x.dtype))
         h = L.layer_norm(blk["cross_ln"], x, cfg.ln_eps)
         x = x + _cross_attend(blk, h, ckv_entry, cfg)
         h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)

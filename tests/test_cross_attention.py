@@ -136,3 +136,55 @@ def test_int8_fused_guardrail_whisper_base_shapes(rng):
     assert np.abs(lf - lq).max() / span < 0.05
     agree = (lf.argmax(-1) == lq.argmax(-1)).mean()
     assert agree >= 0.9, agree
+
+
+def test_fused_layer_token_exact(rng):
+    """The fused self sub-block kernel (ops/decoder_block.py) must not
+    change a single generated token vs the unfused path (f32, interpret;
+    includes the closed-form fresh-row attention term)."""
+    from multimodal_audio_search_tpu.ops.decoder_block import (
+        fused_self_block)
+    cfg = tiny_cfg()
+    params = W.init_params(jax.random.PRNGKey(0), cfg)
+    enc_out = jnp.asarray(rng.normal(size=(8, 40, cfg.d_model)),
+                          jnp.float32)
+    prefix = jnp.tile(jnp.asarray(W.forced_prefix(cfg), jnp.int32),
+                      (8, 1))
+    outs = {}
+    for fl in (False, True):
+        dec = DecodeConfig(method="greedy", max_new_tokens=10,
+                           cross_attn="einsum", fused_layer=fl)
+        outs[fl] = generate(params, enc_out, prefix, cfg=cfg, decode=dec,
+                            prefix_len=prefix.shape[1], max_new_tokens=10)
+    np.testing.assert_array_equal(np.asarray(outs[False].tokens),
+                                  np.asarray(outs[True].tokens))
+
+    # direct kernel-vs-reference check at a mid-sequence position
+    b, hd, l, heads = 8, cfg.d_model, 12, cfg.heads
+    blk = params["decoder"]["blocks"][0]
+    a = blk["self_attn"]
+    x = jnp.asarray(rng.normal(size=(b, hd)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(b, l, hd)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(b, l, hd)), jnp.float32)
+    pos = jnp.int32(5)
+    x1, k1, v1 = fused_self_block(
+        x, blk["self_ln"]["scale"], blk["self_ln"]["bias"],
+        a["q"]["w"], a["q"]["b"], a["k"]["w"], a["v"]["w"], a["v"]["b"],
+        a["o"]["w"], a["o"]["b"], kc, vc, pos,
+        heads=heads, eps=cfg.ln_eps, interpret=True)
+    # unfused reference
+    from multimodal_audio_search_tpu.models import layers as L
+    from multimodal_audio_search_tpu.ops.cross_attention import (
+        xla_single_query_attention)
+    h = L.layer_norm(blk["self_ln"], x[:, None, :], cfg.ln_eps)
+    k1r = L.dense(a["k"], h)[:, 0, :]
+    v1r = L.dense(a["v"], h)[:, 0, :]
+    q1r = L.dense(a["q"], h)[:, 0, :]
+    kk = kc.at[:, 5, :].set(k1r)
+    vv = vc.at[:, 5, :].set(v1r)
+    attn = xla_single_query_attention(q1r, kk, vv, heads=heads, pos=pos)
+    xr = x + L.dense(a["o"], attn[:, None, :].astype(x.dtype))[:, 0, :]
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k1r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v1r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(xr),
+                               atol=2e-5, rtol=1e-5)
