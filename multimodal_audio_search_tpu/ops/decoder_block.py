@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .cross_attention import KV_BUDGET_BYTES
+
 BC = 8
 
 
@@ -188,4 +190,161 @@ def fused_self_block(
     )(pos_arr, x, vec(ln_g), vec(ln_b), wq.astype(x.dtype), vec(bq),
       wk.astype(x.dtype), wv.astype(x.dtype), vec(bv),
       wo.astype(x.dtype), vec(bo), k_cache, v_cache)
+    return out
+
+
+def _cross_mlp_kernel(x_ref, g2_ref, b2_ref, wcq_ref, bcq_ref,
+                      wco_ref, bco_ref, g3_ref, b3_ref,
+                      wm1_ref, bm1_ref, wm2_ref, bm2_ref,
+                      k_ref, v_ref, xo_ref, *,
+                      scale: float, heads: int, d: int, eps: float):
+    kc, t, hd = k_ref.shape
+    subs = BC // kc
+    sub = pl.program_id(0) % subs
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 1)
+    blockmask = (rows // d) == cols
+    mask_t = blockmask.astype(jnp.float32).T                   # [H, H*D]
+
+    def ln(xf, g_ref, b_ref):
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        return ((xf - mu) * jax.lax.rsqrt(var + eps)
+                * g_ref[0].astype(jnp.float32)
+                + b_ref[0].astype(jnp.float32))
+
+    def run(base: int):
+        x = x_ref[base: base + kc].astype(jnp.float32)         # [kc, D]
+        h = ln(x, g2_ref, b2_ref).astype(x_ref.dtype)
+        q1 = (jax.lax.dot_general(
+            h, wcq_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + bcq_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+        outs = []
+        for b in range(kc):                                    # static
+            qcol = q1[b].astype(jnp.float32)[:, None]
+            w = jnp.where(blockmask, qcol, 0.0).astype(x_ref.dtype)
+            logits = jax.lax.dot_general(
+                k_ref[b], w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale    # [T, H]
+            m = jnp.max(logits, axis=0, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=0, keepdims=True)
+            of = jax.lax.dot_general(
+                p.astype(x_ref.dtype), v_ref[b],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [H, H*D]
+            outs.append(jnp.sum(of * mask_t, axis=0, keepdims=True))
+        attn = jnp.concatenate(outs, axis=0).astype(x_ref.dtype)
+        x = x + jax.lax.dot_general(
+            attn, wco_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) \
+            + bco_ref[0].astype(jnp.float32)                   # [kc, D]
+        h = ln(x, g3_ref, b3_ref).astype(x_ref.dtype)
+        u = jax.lax.dot_general(
+            h, wm1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) \
+            + bm1_ref[0].astype(jnp.float32)                   # [kc, F]
+        # erf-GELU. Mosaic has no erf primitive; use Abramowitz-Stegun
+        # 7.1.26 (|err| < 1.5e-7 — far below bf16 resolution, and below
+        # the f32 test tolerance)
+        z = u / jnp.sqrt(2.0).astype(u.dtype)
+        s = jnp.sign(z)
+        az = jnp.abs(z)
+        tt = 1.0 / (1.0 + 0.3275911 * az)
+        poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
+            1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
+        erf = s * (1.0 - poly * jnp.exp(-az * az))
+        u = 0.5 * u * (1.0 + erf)
+        y = jax.lax.dot_general(
+            u.astype(x_ref.dtype), wm2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) \
+            + bm2_ref[0].astype(jnp.float32)
+        xo_ref[base: base + kc] = (x + y).astype(xo_ref.dtype)
+
+    for j in range(subs):                                      # static
+        @pl.when(sub == j)
+        def _(j=j):
+            run(j * kc)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "eps", "interpret"))
+def fused_cross_mlp_block(
+    x: jnp.ndarray,                                # [B, D]
+    ln2_g, ln2_b, wcq, bcq, wco, bco,
+    ln3_g, ln3_b, wm1, bm1, wm2, bm2,
+    k_m: jnp.ndarray,                              # [B, T, H*D]
+    v_m: jnp.ndarray,
+    *,
+    heads: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x -> +cross_attention(LN(x)) -> +MLP(LN(.)) in ONE kernel; K/V
+    stream in kc-row blocks sized so they and the resident MLP weights
+    coexist in VMEM. Returns x_out [B, D].
+
+    NOT wired into decode_step: measured SLOWER than the unfused
+    cross+MLP at whisper-base shapes (1.06 vs 0.90 ms/step, interleaved
+    A/B on TPU) — once the 5.2 MB of MLP weights are VMEM-resident, the
+    KV budget collapses to kc=1 rows per grid step, forcing M=1 matmuls
+    and an 8x-revisited MLP. Kept as a correctness-tested negative
+    result (docs/BENCHMARKS.md); a viable round-3 shape would split
+    cross-attention (KV-streaming) from an all-rows MLP kernel."""
+    b, hd = x.shape
+    t = k_m.shape[1]
+    d = hd // heads
+    f = wm1.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    assert b % BC == 0
+    # weight residency: wcq+wco (2*hd*hd) + wm1+wm2 (2*hd*f) bf16
+    weight_bytes = (2 * hd * hd + 2 * hd * f) * 2
+    budget = KV_BUDGET_BYTES - weight_bytes
+    kc = BC
+    while kc > 1 and 2 * 2 * kc * t * hd * k_m.dtype.itemsize > budget:
+        kc //= 2
+    subs = BC // kc
+    kernel = functools.partial(_cross_mlp_kernel, scale=scale,
+                               heads=heads, d=d, eps=eps)
+    dt = x.dtype
+    vec = lambda a, n: a.reshape(1, n).astype(dt)   # noqa: E731
+    full2 = lambda i: (0, 0)                        # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(subs * b // BC,),
+        in_specs=[
+            pl.BlockSpec((BC, hd), lambda i, s=subs: (i // s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, f), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, t, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, t, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BC, hd), lambda i, s=subs: (i // s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hd), dt),
+        interpret=interpret,
+    )(x, vec(ln2_g, hd), vec(ln2_b, hd), wcq.astype(dt), vec(bcq, hd),
+      wco.astype(dt), vec(bco, hd), vec(ln3_g, hd), vec(ln3_b, hd),
+      wm1.astype(dt), vec(bm1, f), wm2.astype(dt), vec(bm2, hd),
+      k_m, v_m)
     return out

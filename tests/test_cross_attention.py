@@ -188,3 +188,41 @@ def test_fused_layer_token_exact(rng):
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v1r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(xr),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_fused_cross_mlp_block_correct(rng):
+    """fused_cross_mlp_block (unwired — measured slower, kept as a
+    correctness-tested negative result) must match the unfused math."""
+    from multimodal_audio_search_tpu.models import layers as L
+    from multimodal_audio_search_tpu.ops.cross_attention import (
+        merge_heads_kv, xla_cross_attention)
+    from multimodal_audio_search_tpu.ops.decoder_block import (
+        fused_cross_mlp_block)
+    cfg = tiny_cfg()
+    params = W.init_params(jax.random.PRNGKey(0), cfg)
+    blk = params["decoder"]["blocks"][0]
+    b, hd, t, heads = 8, cfg.d_model, 20, cfg.heads
+    x = jnp.asarray(rng.normal(size=(b, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, heads, t, hd // heads)),
+                    jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, heads, t, hd // heads)),
+                    jnp.float32)
+    k_m, v_m = merge_heads_kv(k, v)
+    c = blk["cross_attn"]
+    got = fused_cross_mlp_block(
+        x, blk["cross_ln"]["scale"], blk["cross_ln"]["bias"],
+        c["q"]["w"], c["q"]["b"], c["o"]["w"], c["o"]["b"],
+        blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"],
+        blk["mlp_in"]["w"], blk["mlp_in"]["b"],
+        blk["mlp_out"]["w"], blk["mlp_out"]["b"],
+        k_m, v_m, heads=heads, eps=cfg.ln_eps, interpret=True)
+    # unfused reference
+    h = L.layer_norm(blk["cross_ln"], x[:, None, :], cfg.ln_eps)
+    q = L.split_heads(L.dense(c["q"], h), heads)[:, :, 0, :]
+    attn = xla_cross_attention(q, k, v).reshape(b, hd)
+    x1 = x + L.dense(c["o"], attn[:, None, :].astype(x.dtype))[:, 0, :]
+    h = L.layer_norm(blk["mlp_ln"], x1[:, None, :], cfg.ln_eps)
+    ref = x1 + L.dense(blk["mlp_out"],
+                       L.gelu(L.dense(blk["mlp_in"], h)))[:, 0, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=1e-5)
