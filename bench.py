@@ -48,6 +48,24 @@ def _sync_time(fn, *args, reps: int = 5) -> float:
     return float(np.median(ts))
 
 
+def _rtt_floor(reps: int = 10) -> float:
+    """MIN of tiny-op round trips: subtracting the floor (not the median)
+    keeps calibration conservative when the tunnel latency drifts — a
+    high-side RTT estimate once produced 334 'TFLOP/s' on a 197-peak
+    chip."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1)
+    z = jnp.zeros(())
+    _ = np.asarray(f(z))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = np.asarray(f(z))
+        ts.append(time.perf_counter() - t0)
+    return float(min(ts))
+
+
 def _stage_time(fn, x, reps: int, rtt: float) -> float:
     """Per-call device time of ``fn(x)`` via an in-jit fori_loop of
     ``reps`` dependent calls — the only way to time stages shorter than
@@ -81,7 +99,7 @@ def calibrate(on_tpu: bool) -> dict:
             return jnp.dot(a, x, preferred_element_type=jnp.bfloat16)
         return jax.lax.fori_loop(0, reps, body, a)
 
-    rtt = _sync_time(jax.jit(lambda x: x + 1), jnp.zeros(()))
+    rtt = _rtt_floor()
     t = _sync_time(mm, a) - rtt
     tflops = reps * 2 * n**3 / t / 1e12
 
@@ -126,7 +144,8 @@ def calibrate(on_tpu: bool) -> dict:
 
 
 def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
-                 int8_kv: bool, index_dtype, audio_seconds: float,
+                 int8_kv: bool, fused_layer: bool, index_dtype,
+                 audio_seconds: float,
                  batch: int, max_new: int, n_index: int, n_queries: int,
                  asr_preset: str, cap_preset: str, cal: dict) -> dict:
     import jax
@@ -150,7 +169,7 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
     mel_cfg = MelConfig(padded_seconds=10.0) if short_context \
         else MelConfig()
     decode = DecodeConfig(method="greedy", max_new_tokens=max_new,
-                          int8_cross_kv=int8_kv)
+                          int8_cross_kv=int8_kv, fused_layer=fused_layer)
     cfg = EngineConfig(ingest_batch=batch, asr_decode=decode,
                        caption_decode=decode)
     asr_cfg = W.PRESETS[asr_preset]
@@ -244,6 +263,7 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
         "index_dtype": np.dtype(index_dtype).name,
         "short_context": short_context,
         "int8_cross_kv": int8_kv,
+        "fused_layer": fused_layer,
         "stage_ms": {
             "mel": round(mel_t * 1e3, 2),
             "encode": round(enc_t * 1e3, 2),
@@ -286,10 +306,12 @@ def main() -> None:
                   asr_preset=asr_preset, cap_preset=cap_preset, cal=cal)
     # parity mode = engine defaults (exact reference-parity search results)
     parity = measure_mode("parity", short_context=False, int8_kv=False,
-                          index_dtype=jnp.float32, **common)
+                          fused_layer=False, index_dtype=jnp.float32,
+                          **common)
     # fast mode = every opt-in perf lever (cross_attn="auto" resolves to
     # the fused kernel on TPU at this context length)
     fast = measure_mode("fast", short_context=True, int8_kv=False,
+                        fused_layer=on_tpu,
                         index_dtype=jnp.bfloat16 if on_tpu
                         else jnp.float32, **common)
 
