@@ -13,9 +13,9 @@ framework component:
   * both L2-normalized into one space; trainable contrastively
     (training/finetune.py-style loop can be pointed at it).
 
-Weight parity with laion's checkpoint is NOT claimed (that is a Swin +
-RoBERTa pair); the capability — direct audio/text embedding search with the
-v1 fusion strategies (index/strategies.py) — is.
+This module is the lightweight *trainable* variant; weight parity with
+laion's actual Swin + RoBERTa checkpoint lives in models/clap_htsat.py
+(HTSAT-Swin + RoBERTa towers, checkpoint conversion, frontend parity).
 """
 from __future__ import annotations
 

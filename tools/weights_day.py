@@ -48,7 +48,8 @@ def run(whisper_base: str, captioner: str, minilm: str,
         out: str = "weights_day_report.json",
         asr_preset: str = "base", caption_preset: str = "tiny",
         minilm_preset: str = "L6", embed_dim: int = 384,
-        short_context: bool = False, smoke_max_new: int = 64) -> dict:
+        short_context: bool = False, smoke_max_new: int = 64,
+        clap: str | None = None) -> dict:
     from multimodal_audio_search_tpu.config import (
         DecodeConfig, EngineConfig, ModelSpec)
     from multimodal_audio_search_tpu.models import convert, whisper as W
@@ -74,6 +75,13 @@ def run(whisper_base: str, captioner: str, minilm: str,
         else:
             params = convert.convert_bert(sd, MLP[minilm_preset])
         conv[name] = {"tensors": len(sd), "params": n_params(params)}
+    if clap:
+        from multimodal_audio_search_tpu.models import clap_htsat as CH
+        ap, tp, acfg, tcfg = CH.load_from_dir(clap)
+        conv["clap"] = {"params": n_params(ap) + n_params(tp),
+                        "audio_hidden": acfg.hidden_size,
+                        "text_hidden": tcfg.hidden,
+                        "projection_dim": acfg.projection_dim}
     report["steps"]["convert"] = {
         "ok": True, "seconds": round(time.perf_counter() - t0, 2), **conv}
 
@@ -158,10 +166,13 @@ def main() -> int:
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--asr-preset", default="base")
     ap.add_argument("--caption-preset", default="tiny")
+    ap.add_argument("--clap", default=None,
+                    help="optional ClapModel checkpoint dir (HTSAT towers)")
     ap.add_argument("--out", default="weights_day_report.json")
     a = ap.parse_args()
     report = run(a.whisper_base, a.captioner, a.minilm, a.audio,
-                 a.dry_run, a.out, a.asr_preset, a.caption_preset)
+                 a.dry_run, a.out, a.asr_preset, a.caption_preset,
+                 clap=a.clap)
     print(json.dumps(
         {k: ("ok" if isinstance(v, dict) else v)
          for k, v in report["steps"].items()}, indent=2))
