@@ -9,12 +9,11 @@ registry keyed by magic bytes:
   * MP3  — direct libmpg123 FFI (audio/mp3.py), cross-checked against an
            independent decoder in tests; the reference reached mp3 the
            same way, via librosa -> audioread -> a system decoder
-  * M4A/AAC — NOT built in (decided out of scope: no AAC decoder exists
-           in this image and an in-tree AAC-LC implementation is not
-           justified by the reference's usage); ``register_decoder("m4a",
-           fn)`` plugs one in, and load_audio raises a ValueError naming
-           that hook otherwise (audio_search.py:776 lists m4a as an
-           accepted upload type).
+  * M4A/AAC, OGG — libavformat/libavcodec FFI (audio/ffdecode.py; a small
+           C++ module over the image's FFmpeg 5.1 libraries). This is the
+           exact trust base the reference used for m4a: librosa ->
+           audioread -> system ffmpeg (audio_search.py:776 lists m4a as
+           an accepted upload type). ``register_decoder`` still overrides.
 """
 from __future__ import annotations
 
@@ -49,6 +48,8 @@ def sniff_format(data: bytes) -> str:
         return "mp3"
     if data[4:8] == b"ftyp":
         return "m4a"
+    if data[:4] == b"OggS":
+        return "ogg"
     return "unknown"
 
 
@@ -92,12 +93,15 @@ def load_audio(
     elif kind == "mp3" and kind not in _DECODERS:
         from .mp3 import decode_mp3
         x, rate = decode_mp3(data)
+    elif kind in ("m4a", "ogg") and kind not in _DECODERS:
+        from .ffdecode import decode as ff_decode
+        x, rate = ff_decode(data)
     elif kind in _DECODERS:
         x, rate = _DECODERS[kind](data)
     else:
         raise ValueError(
-            f"unsupported audio container {kind!r}; WAV, FLAC and MP3 are "
-            f"built in, register others (e.g. m4a/AAC) via "
+            f"unsupported audio container {kind!r}; WAV, FLAC, MP3, M4A "
+            f"and OGG are built in, register others via "
             f"multimodal_audio_search_tpu.audio.decode.register_decoder")
 
     if mono and x.ndim == 2:

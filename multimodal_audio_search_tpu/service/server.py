@@ -84,7 +84,7 @@ missing embeddings renormalize; threshold 0.1; top-10.</small>
 </nav>
 <div id="process" class="tab active">
 <h2>Process audio</h2>
-<input type="file" id="file" accept=".wav,.flac,.mp3"/>
+<input type="file" id="file" accept=".wav,.flac,.mp3,.m4a,.ogg"/>
 <button onclick="ingest()">Process with Both Pipelines</button>
 <div id="ingest_metrics"></div>
 <div id="ingest_out"></div></div>
