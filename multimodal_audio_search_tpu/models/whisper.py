@@ -394,8 +394,19 @@ def decode_step(
                             attn[:, None, :].astype(x.dtype))
         h = L.layer_norm(blk["cross_ln"], x, cfg.ln_eps)
         x = x + _cross_attend(blk, h, ckv_entry, cfg)
-        h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
-        x = x + L.dense(blk["mlp_out"], L.gelu(L.dense(blk["mlp_in"], h)))
+        if fused_layer and "w" in blk["mlp_in"]:
+            from ..ops.decoder_block import fused_mlp_block
+            x = fused_mlp_block(
+                x[:, 0, :],
+                blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"],
+                blk["mlp_in"]["w"], blk["mlp_in"]["b"],
+                blk["mlp_out"]["w"], blk["mlp_out"]["b"],
+                eps=cfg.ln_eps,
+                interpret=jax.devices()[0].platform != "tpu")[:, None, :]
+        else:
+            h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
+            x = x + L.dense(blk["mlp_out"],
+                            L.gelu(L.dense(blk["mlp_in"], h)))
     x = L.layer_norm(dec["ln"], x, cfg.ln_eps)
     logits = _tied_logits(dec, x[:, 0, :])
     return logits, new_cache

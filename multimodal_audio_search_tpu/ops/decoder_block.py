@@ -348,3 +348,86 @@ def fused_cross_mlp_block(
       wm1.astype(dt), vec(bm1, f), wm2.astype(dt), vec(bm2, hd),
       k_m, v_m)
     return out
+
+
+def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                xo_ref, *, eps: float):
+    x = x_ref[...].astype(jnp.float32)                          # [R, D]
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    h = ((x - mu) * jax.lax.rsqrt(var + eps)
+         * g_ref[0].astype(jnp.float32)
+         + b_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+    u = jax.lax.dot_general(
+        h, w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + b1_ref[0].astype(jnp.float32)                         # [R, F]
+    # erf-GELU via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7; Mosaic has
+    # no erf primitive) — same approximation as _cross_mlp_kernel
+    z = u / jnp.sqrt(2.0).astype(u.dtype)
+    s = jnp.sign(z)
+    az = jnp.abs(z)
+    tt = 1.0 / (1.0 + 0.3275911 * az)
+    poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
+        1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
+    erf = s * (1.0 - poly * jnp.exp(-az * az))
+    u = 0.5 * u * (1.0 + erf)
+    y = jax.lax.dot_general(
+        u.astype(x_ref.dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + b2_ref[0].astype(jnp.float32)
+    xo_ref[...] = (x + y).astype(xo_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_mlp_block(
+    x: jnp.ndarray,                                # [B, D]
+    ln_g: jnp.ndarray, ln_b: jnp.ndarray,          # [D]
+    w1: jnp.ndarray, b1: jnp.ndarray,              # [D, F], [F]
+    w2: jnp.ndarray, b2: jnp.ndarray,              # [F, D], [D]
+    *,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x -> x + fc2(gelu(fc1(LN(x)))) in ONE kernel, ALL rows at once.
+
+    The round-3 shape proposed by the fused_cross_mlp_block post-mortem:
+    keep cross-attention in its own KV-streaming kernel and fold the MLP
+    sub-block (LN + fc1 + gelu + fc2 + residual) into one all-rows call —
+    the MLP weights (~5 MB bf16 at whisper-base) are VMEM-resident and
+    every row hits them once, so there is no KV-budget conflict. Replaces
+    ~8 XLA ops per layer per decode step."""
+    b, hd = x.shape
+    f = w1.shape[1]
+    rows = b
+    # row block: whole batch while (weights + f32 intermediate) fit VMEM
+    while rows > 8 and (2 * hd * f * 2            # w1+w2 bf16
+                        + rows * f * 4            # u f32
+                        + 4 * rows * hd * 4) > KV_BUDGET_BYTES:
+        rows //= 2
+    assert b % rows == 0
+    dt = x.dtype
+    vec = lambda a, n: a.reshape(1, n).astype(dt)   # noqa: E731
+    full2 = lambda i: (0, 0)                        # noqa: E731
+    kernel = functools.partial(_mlp_kernel, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, hd), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, f), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), full2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, hd), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hd), dt),
+        interpret=interpret,
+    )(x, vec(ln_g, hd), vec(ln_b, hd), w1.astype(dt), vec(b1, f),
+      w2.astype(dt), vec(b2, hd))

@@ -226,3 +226,25 @@ def test_fused_cross_mlp_block_correct(rng):
                        L.gelu(L.dense(blk["mlp_in"], h)))[:, 0, :]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=3e-5, rtol=1e-5)
+
+
+def test_fused_mlp_block_correct(rng):
+    """fused_mlp_block (the all-rows MLP kernel wired into fused_layer
+    decode) must match the unfused LN+fc1+gelu+fc2+residual math."""
+    from multimodal_audio_search_tpu.models import layers as L
+    from multimodal_audio_search_tpu.ops.decoder_block import (
+        fused_mlp_block)
+    cfg = tiny_cfg()
+    params = W.init_params(jax.random.PRNGKey(0), cfg)
+    blk = params["decoder"]["blocks"][0]
+    x = jnp.asarray(rng.normal(size=(8, cfg.d_model)), jnp.float32)
+    got = fused_mlp_block(
+        x, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"],
+        blk["mlp_in"]["w"], blk["mlp_in"]["b"],
+        blk["mlp_out"]["w"], blk["mlp_out"]["b"],
+        eps=cfg.ln_eps, interpret=True)
+    h = L.layer_norm(blk["mlp_ln"], x[:, None, :], cfg.ln_eps)
+    ref = x + L.dense(blk["mlp_out"],
+                      L.gelu(L.dense(blk["mlp_in"], h)))[:, 0, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=1e-5)

@@ -1,0 +1,146 @@
+"""MPEG-1 Layer III frame crafting (encoder-side bit packing, no psychoacoustics).
+
+Building block for two things:
+  * tools/probe_mp3_tables.py — machine-extracts the Layer III Huffman code
+    books and the synthesis window from the system's libmpg123 by feeding it
+    crafted frames and reading PCM back (data provenance for the from-scratch
+    decoder in native/mp3_decode.cc, same pattern as tools/extract_lexicon.py).
+  * tests/test_mp3_native.py — targeted conformance vectors that exercise a
+    chosen Huffman table / block type / stereo mode on demand.
+
+Only what probing needs is supported: MPEG-1, mono, long blocks,
+main_data_begin=0 (no bit reservoir), scalefac_compress=0 (zero scalefactor
+bits). The payload is raw main-data bits supplied by the caller.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+BITRATES_V1L3 = {32: 1, 40: 2, 48: 3, 56: 4, 64: 5, 80: 6, 96: 7, 112: 8,
+                 128: 9, 160: 10, 192: 11, 224: 12, 256: 13, 320: 14}
+RATES_V1 = {44100: 0, 48000: 1, 32000: 2}
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> "BitWriter":
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+        return self
+
+    def write_bits(self, bitstring: str) -> "BitWriter":
+        self.bits.extend(1 if c == "1" else 0 for c in bitstring)
+        return self
+
+    def to_bytes(self, pad_to: int | None = None) -> bytes:
+        bits = list(self.bits)
+        if pad_to is not None:
+            assert len(bits) <= pad_to * 8, "payload exceeds frame"
+            bits += [0] * (pad_to * 8 - len(bits))
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+        return bytes(out)
+
+
+@dataclass
+class GranuleSpec:
+    """One granule's side info + main-data bits (mono, long blocks)."""
+    data_bits: str = ""            # scalefac (none) + huffman region bits
+    big_values: int = 0            # number of (x, y) PAIRS
+    global_gain: int = 210
+    table_select: tuple = (1, 1, 1)
+    region0_count: int = 0
+    region1_count: int = 0
+    count1table_select: int = 0
+    part2_3_length: int | None = None   # default: len(data_bits)
+    # short/mixed blocks (window_switching) for block-type probes
+    window_switching: bool = False
+    block_type: int = 0
+    mixed_block: bool = False
+    subblock_gain: tuple = (0, 0, 0)
+
+
+def frame_mono(granules: list[GranuleSpec], rate: int = 48000,
+               bitrate: int = 192) -> bytes:
+    """Two GranuleSpecs -> one self-contained MPEG-1 mono Layer III frame."""
+    assert len(granules) == 2
+    nbytes = 144 * bitrate * 1000 // rate
+    hdr = BitWriter()
+    hdr.write(0x7FF, 11)            # sync
+    hdr.write(0b11, 2)              # MPEG-1
+    hdr.write(0b01, 2)              # Layer III
+    hdr.write(1, 1)                 # no CRC
+    hdr.write(BITRATES_V1L3[bitrate], 4)
+    hdr.write(RATES_V1[rate], 2)
+    hdr.write(0, 1)                 # padding
+    hdr.write(0, 1)                 # private
+    hdr.write(0b11, 2)              # mono
+    hdr.write(0, 2)                 # mode ext
+    hdr.write(0, 1).write(0, 1)     # copyright / original
+    hdr.write(0, 2)                 # emphasis
+
+    side = BitWriter()
+    side.write(0, 9)                # main_data_begin = 0 (no reservoir)
+    side.write(0, 5)                # private (mono)
+    side.write(0, 4)                # scfsi
+    for g in granules:
+        p23 = g.part2_3_length if g.part2_3_length is not None \
+            else len(g.data_bits)
+        assert p23 < 4096 and g.big_values < 512
+        side.write(p23, 12)
+        side.write(g.big_values, 9)
+        side.write(g.global_gain, 8)
+        side.write(0, 4)            # scalefac_compress = 0 (no sf bits)
+        if g.window_switching:
+            side.write(1, 1)
+            side.write(g.block_type, 2)
+            side.write(1 if g.mixed_block else 0, 1)
+            for t in g.table_select[:2]:
+                side.write(t, 5)
+            for sg in g.subblock_gain:
+                side.write(sg, 3)
+        else:
+            side.write(0, 1)
+            for t in g.table_select:
+                side.write(t, 5)
+            side.write(g.region0_count, 4)
+            side.write(g.region1_count, 3)
+        side.write(0, 1)            # preflag
+        side.write(0, 1)            # scalefac_scale
+        side.write(g.count1table_select, 1)
+
+    main = BitWriter()
+    for g in granules:
+        main.write_bits(g.data_bits)
+        p23 = g.part2_3_length if g.part2_3_length is not None \
+            else len(g.data_bits)
+        assert p23 >= len(g.data_bits)
+        main.write(0, p23 - len(g.data_bits))
+
+    body = side.to_bytes() + main.to_bytes()
+    payload = body + b"\x00" * (nbytes - 4 - len(body))
+    assert len(body) <= nbytes - 4, "main data exceeds frame"
+    return hdr.to_bytes() + payload
+
+
+SILENT = GranuleSpec()
+
+
+def probe_stream(probes: list[GranuleSpec], rate: int = 48000,
+                 bitrate: int = 192) -> bytes:
+    """Each probe goes in granule 0 of its own frame, followed by a fully
+    silent frame so IMDCT overlap + synthesis-FIFO bleed stays attributable;
+    a leading silent frame gives the decoder a clean sync/warmup."""
+    frames = [frame_mono([SILENT, SILENT], rate, bitrate)]
+    for g in probes:
+        frames.append(frame_mono([g, SILENT], rate, bitrate))
+        frames.append(frame_mono([SILENT, SILENT], rate, bitrate))
+    return b"".join(frames)
