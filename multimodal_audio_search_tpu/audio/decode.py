@@ -6,9 +6,12 @@ registry keyed by magic bytes:
 
   * WAV  — in-tree (native C++ fast path, pure-numpy fallback)
   * FLAC — in-tree from-scratch C++ decoder (native/flac_decode.cc)
-  * MP3  — direct libmpg123 FFI (audio/mp3.py), cross-checked against an
-           independent decoder in tests; the reference reached mp3 the
-           same way, via librosa -> audioread -> a system decoder
+  * MP3  — in-tree from-scratch C++ MPEG-1/2/2.5 Layer III decoder
+           (native/mp3_decode.cc; Huffman tables + synthesis window
+           machine-probed from libmpg123 by tools/probe_mp3_tables.py).
+           Sample-exact vs libmpg123 on lame-encoded vectors across all
+           versions/modes (tests/test_mp3_native.py); the direct
+           libmpg123 FFI (audio/mp3.py) is the fallback + test oracle
   * M4A/AAC, OGG — libavformat/libavcodec FFI (audio/ffdecode.py; a small
            C++ module over the image's FFmpeg 5.1 libraries). This is the
            exact trust base the reference used for m4a: librosa ->
@@ -91,8 +94,12 @@ def load_audio(
                              "unavailable or unsupported stream feature)")
         x, rate = got
     elif kind == "mp3" and kind not in _DECODERS:
-        from .mp3 import decode_mp3
-        x, rate = decode_mp3(data)
+        from . import mp3_native
+        if mp3_native.available():
+            x, rate = mp3_native.decode_mp3_native(data)
+        else:
+            from .mp3 import decode_mp3
+            x, rate = decode_mp3(data)
     elif kind in ("m4a", "ogg") and kind not in _DECODERS:
         from .ffdecode import decode as ff_decode
         x, rate = ff_decode(data)
