@@ -623,10 +623,18 @@ void apply_stereo(const Header& h, const Granule& grL, const Granule& grR,
     }
   }
   if (!intensity) return;
-  // MPEG-1 intensity only (LSF intensity differs; handled by caller gate)
-  // NOTE: intensity stereo is spec-derived and conformance-untested:
-  // no encoder in this image emits it (lame never does). MS + plain
-  // stereo are sample-exact against libmpg123 (tests/test_mp3_native.py).
+  // MPEG-1 intensity (conformance-tested with hand-crafted joint-stereo
+  // frames, tests/test_mp3_native.py::test_intensity_stereo_crafted_frames;
+  // lame never emits intensity). is_pos == 7 means "no intensity" for
+  // that band — it falls back to MS when MS is also on.
+  auto band_fallback = [&](int lo, int hi) {
+    if (!ms) return;
+    for (int i = lo; i < hi && i < 576; ++i) {
+      double m = xl[i], s = xr_[i];
+      xl[i] = (m + s) * inv_sqrt2;
+      xr_[i] = (m - s) * inv_sqrt2;
+    }
+  };
   bool shortblk = grR.block_type == 2;
   if (shortblk) {
     // per-window intensity on the window-grouped (pre-reorder) layout
@@ -639,7 +647,11 @@ void apply_stereo(const Header& h, const Granule& grL, const Granule& grR,
       if (short_start < bound) continue;
       for (int w = 0; w < 3; ++w) {
         int is_pos = grR.scf_s[b][w];
-        if (is_pos == 7) continue;
+        if (is_pos == 7) {
+          band_fallback(short_start + w * width,
+                        short_start + (w + 1) * width);
+          continue;
+        }
         double ratio = std::tan(is_pos * 3.14159265358979323846 / 12.0);
         double kl = ratio / (1.0 + ratio);
         double kr = 1.0 / (1.0 + ratio);
@@ -656,7 +668,10 @@ void apply_stereo(const Header& h, const Granule& grL, const Granule& grR,
     for (int b = 0; b < 21; ++b) {
       if (sfb.long_[b] < bound) continue;
       int is_pos = grR.scf_l[b];
-      if (is_pos == 7) continue;
+      if (is_pos == 7) {
+        band_fallback(sfb.long_[b], sfb.long_[b + 1]);
+        continue;
+      }
       double ratio = std::tan(is_pos * 3.14159265358979323846 / 12.0);
       double kl = ratio / (1.0 + ratio);
       double kr = 1.0 / (1.0 + ratio);

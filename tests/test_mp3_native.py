@@ -143,3 +143,53 @@ def test_id3v2_tag_skipped(rng):
     a, r1 = mp3_native.decode_mp3_native(data)
     b, r2 = mp3_native.decode_mp3_native(with_tag)
     np.testing.assert_array_equal(a, b)
+
+
+@needs_native
+@needs_oracle
+def test_intensity_stereo_crafted_frames():
+    """Intensity stereo (and intensity+MS) conformance via crafted joint
+    stereo frames — no encoder in the image emits intensity, so the frames
+    are hand-packed: left carries wideband content, right carries a short
+    spectrum plus is_pos scalefactors (including the 'illegal' 7 = skip)."""
+    import json
+    import pathlib
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve()
+                           .parents[1] / "tools"))
+    from mp3_frames import GranuleSpec, frame_stereo, SILENT
+
+    books = json.loads((pathlib.Path(__file__).resolve().parents[1] /
+                        "tools" / "mp3_tables.json").read_text())["books"]
+    b15 = books["15"]
+
+    def code(x, y):
+        return next(k for k, v in b15.items() if v == [x, y])
+
+    lb = (code(3, 2) + "00") * 40          # 80 left lines of content
+    rb = (code(1, 1) + "00") * 4           # 8 right lines, zero above
+    for is_pos in ([1, 2, 3, 4, 5, 6, 0, 1, 2, 3, 4, 5, 6, 1, 2, 3, 4,
+                    5, 0, 1, 2],
+                   [7, 7, 3, 7, 0, 6, 7, 2, 7, 1, 7, 5, 7, 4, 7, 3, 7,
+                    2, 7, 1, 7]):          # incl. is_pos 7 = no processing
+        sf_bits = "".join(format(v, "04b") for v in is_pos[:11]) + \
+                  "".join(format(v, "03b") for v in is_pos[11:21])
+        gl = GranuleSpec(data_bits=lb, big_values=40,
+                         table_select=(15, 15, 15), region0_count=15,
+                         region1_count=7, global_gain=200)
+        gr_ = GranuleSpec(data_bits=sf_bits + rb, big_values=4,
+                          table_select=(15, 15, 15), region0_count=15,
+                          region1_count=7, global_gain=200,
+                          scalefac_compress=15)
+        frames = [frame_stereo([(SILENT, SILENT)] * 2)]
+        for mode_ext in (1, 3):            # intensity; intensity + MS
+            frames.append(frame_stereo([(gl, gr_), (SILENT, SILENT)],
+                                       mode_ext=mode_ext))
+            frames.append(frame_stereo([(SILENT, SILENT)] * 2,
+                                       mode_ext=mode_ext))
+        data = b"".join(frames)
+        ours, r1 = mp3_native.decode_mp3_native(data)
+        ref, r2 = mp3.decode_mp3(data)
+        assert r1 == r2 and ours.shape == ref.shape
+        peak = max(float(np.abs(ref).max()), 1.0)
+        np.testing.assert_allclose(ours, ref, atol=3e-6 * peak)

@@ -66,6 +66,10 @@ class GranuleSpec:
     block_type: int = 0
     mixed_block: bool = False
     subblock_gain: tuple = (0, 0, 0)
+    # stereo-probe fields (frame_stereo only; frame_mono keeps sfc=0)
+    scalefac_compress: int = 0
+    preflag: int = 0
+    scalefac_scale: int = 0
 
 
 def frame_mono(granules: list[GranuleSpec], rate: int = 48000,
@@ -144,3 +148,68 @@ def probe_stream(probes: list[GranuleSpec], rate: int = 48000,
         frames.append(frame_mono([g, SILENT], rate, bitrate))
         frames.append(frame_mono([SILENT, SILENT], rate, bitrate))
     return b"".join(frames)
+
+
+def frame_stereo(granules: list[tuple], rate: int = 48000,
+                 bitrate: int = 192, mode: int = 1,
+                 mode_ext: int = 0) -> bytes:
+    """granules = [(gr0_ch0, gr0_ch1), (gr1_ch0, gr1_ch1)] -> one MPEG-1
+    joint/plain-stereo frame. Used for the intensity/MS conformance probes
+    (tests/test_mp3_native.py) that lame never emits."""
+    assert len(granules) == 2
+    nbytes = 144 * bitrate * 1000 // rate
+    hdr = BitWriter()
+    hdr.write(0x7FF, 11)
+    hdr.write(0b11, 2)
+    hdr.write(0b01, 2)
+    hdr.write(1, 1)
+    hdr.write(BITRATES_V1L3[bitrate], 4)
+    hdr.write(RATES_V1[rate], 2)
+    hdr.write(0, 1).write(0, 1)
+    hdr.write(mode, 2)
+    hdr.write(mode_ext, 2)
+    hdr.write(0, 1).write(0, 1).write(0, 2)
+
+    side = BitWriter()
+    side.write(0, 9)                # main_data_begin
+    side.write(0, 3)                # private (stereo)
+    side.write(0, 8)                # scfsi both channels
+    for pair in granules:
+        for g in pair:
+            p23 = g.part2_3_length if g.part2_3_length is not None \
+                else len(g.data_bits)
+            side.write(p23, 12)
+            side.write(g.big_values, 9)
+            side.write(g.global_gain, 8)
+            side.write(getattr(g, "scalefac_compress", 0), 4)
+            if g.window_switching:
+                side.write(1, 1)
+                side.write(g.block_type, 2)
+                side.write(1 if g.mixed_block else 0, 1)
+                for t in g.table_select[:2]:
+                    side.write(t, 5)
+                for sg in g.subblock_gain:
+                    side.write(sg, 3)
+            else:
+                side.write(0, 1)
+                for t in g.table_select:
+                    side.write(t, 5)
+                side.write(g.region0_count, 4)
+                side.write(g.region1_count, 3)
+            side.write(getattr(g, "preflag", 0), 1)
+            side.write(g.scalefac_scale if hasattr(g, "scalefac_scale")
+                       else 0, 1)
+            side.write(g.count1table_select, 1)
+
+    main = BitWriter()
+    for pair in granules:
+        for g in pair:
+            main.write_bits(g.data_bits)
+            p23 = g.part2_3_length if g.part2_3_length is not None \
+                else len(g.data_bits)
+            main.write(0, p23 - len(g.data_bits))
+
+    body = side.to_bytes() + main.to_bytes()
+    assert len(body) <= nbytes - 4, "main data exceeds frame"
+    payload = body + b"\x00" * (nbytes - 4 - len(body))
+    return hdr.to_bytes() + payload
