@@ -152,8 +152,58 @@ class SemanticAnalyzer:
 def make_analyzer(kind: str, embed_fn=None, cfg: FusionConfig | None = None):
     if kind == "keyword":
         return KeywordAnalyzer(cfg)
+    if kind == "classifier":
+        return ClassifierAnalyzer()
     if kind == "semantic":
         if embed_fn is None:
             raise ValueError("semantic analyzer requires embed_fn")
         return SemanticAnalyzer(embed_fn, cfg)
     raise ValueError(f"unknown analyzer: {kind!r}")
+
+
+def classify_query_keyword(query: str) -> tuple[bool, float, str]:
+    """Historical keyword classifier — exact decision parity with
+    ``analyze_query_type_keyword`` (streamlit_app_backup.py:363-430,
+    oracle-tested): keyword substring hits score 1, regex phrase-pattern
+    hits score 2; returns (is_speech, confidence, reasoning). No
+    indicators defaults to audio at confidence 0.5.
+    """
+    import re
+
+    from .lexicon import (CLASSIFIER_AUDIO_KEYWORDS,
+                          CLASSIFIER_SPEECH_KEYWORDS,
+                          CLASSIFIER_SPEECH_PHRASES)
+    q = query.lower()
+    speech = 0
+    audio = 0
+    parts = []
+    for kw in CLASSIFIER_SPEECH_KEYWORDS:
+        if kw in q:
+            speech += 1
+            parts.append(f"speech keyword: '{kw}'")
+    for kw in CLASSIFIER_AUDIO_KEYWORDS:
+        if kw in q:
+            audio += 1
+            parts.append(f"audio keyword: '{kw}'")
+    for pat in CLASSIFIER_SPEECH_PHRASES:
+        if re.search(pat, q):
+            speech += 2
+            parts.append(f"speech pattern: '{pat}'")
+    total = speech + audio
+    if total == 0:
+        return False, 0.5, "No clear speech/audio indicators, " \
+                           "defaulting to audio"
+    return (speech > audio, max(speech, audio) / total, "; ".join(parts))
+
+
+class ClassifierAnalyzer:
+    """Historical classify-then-scale analyzer: the keyword classifier
+    above feeding the confidence-scaled weight rule
+    (index/strategies.py::adaptive_weights == streamlit_app_backup.py:
+    432-475). ``make_analyzer("classifier")`` selects it."""
+
+    def __call__(self, query: str) -> WeightAnalysis:
+        is_speech, conf, reasoning = classify_query_keyword(query)
+        asr_w = conf if is_speech else 1.0 - conf
+        return WeightAnalysis(asr_w, 1.0 - asr_w, reasoning,
+                              int(is_speech), int(not is_speech))

@@ -38,3 +38,27 @@ def get_method(name: str):
             _cache[name] = ns[name]
             return ns[name]
     raise KeyError(name)
+
+
+BACKUP = pathlib.Path(
+    "/root/reference/previous_iterations/streamlit_app_backup.py")
+
+
+def get_backup_function(name: str):
+    """Module-level function from the backup file (which does NOT parse as
+    a whole — broken indentation at 1086-1145 — so slice its text)."""
+    key = f"backup:{name}"
+    if key in _cache:
+        return _cache[key]
+    lines = BACKUP.read_text().splitlines()
+    start = next(i for i, ln in enumerate(lines)
+                 if ln.startswith(f"def {name}("))
+    end = next((i for i in range(start + 1, len(lines))
+                if lines[i] and not lines[i][0].isspace()),
+               len(lines))
+    src = "\n".join(lines[start:end])
+    import re
+    ns: dict = {"print": lambda *a, **k: None, "re": re}
+    exec(compile(ast.parse(src), str(BACKUP), "exec"), ns)
+    _cache[key] = ns[name]
+    return ns[name]

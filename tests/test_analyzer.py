@@ -4,6 +4,7 @@ import pytest
 from multimodal_audio_search_tpu.index.analyzer import (
     KeywordAnalyzer, SemanticAnalyzer)
 
+import reference_oracle as oracle
 from reference_oracle import available, get_method
 
 QUERIES = [
@@ -91,3 +92,47 @@ def test_keyword_analyzer_fuzz_parity(rng):
         got = a(q)
         assert got.asr_weight == pytest.approx(exp_asr, abs=1e-12), q
         assert got.analysis == exp_analysis, q
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference absent")
+def test_classifier_keyword_oracle_exact():
+    """classify_query_keyword == the backup's analyze_query_type_keyword
+    (decision AND confidence), incl. the 2x phrase-pattern scoring."""
+    from multimodal_audio_search_tpu.index.analyzer import (
+        classify_query_keyword)
+    ref = oracle.get_backup_function("analyze_query_type_keyword")
+    queries = [
+        "someone saying hello world", "drums and bass guitar",
+        "a woman speaking about history", "rain and wind ambient noise",
+        "person talking over piano music", "engine noise with footsteps",
+        "the phrase \"good morning\" in english", "",
+        "man saying goodbye with accent", "synthesizer beat drop",
+        "interview discussion", "bird sounds in nature",
+        "just random text with nothing", "music", "speech",
+        "lecture about violins", "podcast with ambient background",
+        "woman speaking french in english", "tell me a story",
+        "door slam sound effect", "narrator commentary over a song",
+    ]
+    rng = np.random.default_rng(5)
+    words = ("music speech talking drums sound someone saying person "
+             "voice noise guitar words engine telling accent in english "
+             "rain bird podcast news melody rhythm beat bass").split()
+    for _ in range(150):
+        n = rng.integers(1, 7)
+        queries.append(" ".join(rng.choice(words, size=n)))
+    for q in queries:
+        want = ref(q)
+        got = classify_query_keyword(q)
+        assert got[0] == want[0] and abs(got[1] - want[1]) < 1e-12, (
+            q, got, want)
+
+
+def test_classifier_analyzer_weights():
+    from multimodal_audio_search_tpu.index.analyzer import make_analyzer
+    a = make_analyzer("classifier")
+    wa = a("someone saying hello")          # speech phrase -> speech
+    assert wa.asr_weight > 0.5
+    wa = a("instrumental drums")            # audio keywords
+    assert wa.asr_weight < 0.5
+    wa = a("zzz qqq")                       # nothing -> audio at 0.5
+    assert abs(wa.asr_weight - 0.5) < 1e-9

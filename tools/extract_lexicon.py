@@ -14,6 +14,8 @@ import ast
 import pathlib
 
 REF = pathlib.Path("/root/reference/audio_search.py")
+REF_BACKUP = pathlib.Path(
+    "/root/reference/previous_iterations/streamlit_app_backup.py")
 OUT = pathlib.Path(__file__).resolve().parents[1] / (
     "multimodal_audio_search_tpu/index/lexicon.py"
 )
@@ -30,6 +32,17 @@ def extract_list(tree: ast.AST, name: str) -> list[str]:
                     ):
                         return val
     raise KeyError(name)
+
+
+def slice_function(path: pathlib.Path, name: str) -> str:
+    """Textually slice one top-level function (the file may not parse)."""
+    lines = path.read_text().splitlines()
+    start = next(i for i, ln in enumerate(lines)
+                 if ln.startswith(f"def {name}("))
+    end = next((i for i in range(start + 1, len(lines))
+                if lines[i] and not lines[i][0].isspace()
+                and not lines[i].startswith(")")), len(lines))
+    return "\n".join(lines[start:end])
 
 
 def main() -> None:
@@ -59,6 +72,21 @@ def main() -> None:
             sub = ast.Module(body=node.body, type_ignores=[])
             caption_kw = extract_list(sub, "audio_keywords")
 
+    # historical keyword classifier (streamlit_app_backup.py:363-430):
+    # keyword lists + regex phrase patterns (phrases score 2x). The backup
+    # file as a whole does NOT parse (broken indentation at 1086-1145, see
+    # SURVEY), so slice out just this function's text region.
+    btree = ast.parse(slice_function(REF_BACKUP,
+                                     "analyze_query_type_keyword"))
+    cls_lists = {}
+    for node in ast.walk(btree):
+        if isinstance(node, ast.FunctionDef) \
+                and node.name == "analyze_query_type_keyword":
+            sub = ast.Module(body=node.body, type_ignores=[])
+            for want in ("speech_keywords", "audio_keywords",
+                         "speech_phrases"):
+                cls_lists[want] = extract_list(sub, want)
+
     def fmt(xs: list[str]) -> str:
         lines = ["("]
         for x in xs:
@@ -81,11 +109,21 @@ def main() -> None:
         '"""\n\n'
         f"ASR_QUERY_KEYWORDS = {fmt(asr)}\n\n"
         f"AUDIO_QUERY_KEYWORDS = {fmt(audio)}\n\n"
-        f"CAPTION_CONTENT_KEYWORDS = {fmt(caption_kw)}\n"
+        f"CAPTION_CONTENT_KEYWORDS = {fmt(caption_kw)}\n\n"
+        "# Historical keyword classifier data "
+        "(streamlit_app_backup.py:370-401):\n"
+        "# keyword lists plus regex phrase patterns; phrase hits score 2x\n"
+        "# (streamlit_app_backup.py:413-416).\n"
+        f"CLASSIFIER_SPEECH_KEYWORDS = {fmt(cls_lists['speech_keywords'])}\n\n"
+        f"CLASSIFIER_AUDIO_KEYWORDS = {fmt(cls_lists['audio_keywords'])}\n\n"
+        f"CLASSIFIER_SPEECH_PHRASES = {fmt(cls_lists['speech_phrases'])}\n"
     )
     print(
         f"wrote {OUT}: {len(asr)} asr, {len(audio)} audio, "
-        f"{len(caption_kw)} caption keywords"
+        f"{len(caption_kw)} caption keywords, "
+        f"{len(cls_lists['speech_keywords'])}/"
+        f"{len(cls_lists['audio_keywords'])}/"
+        f"{len(cls_lists['speech_phrases'])} classifier entries"
     )
 
 
