@@ -178,3 +178,48 @@ def load_state_dict_from_dir(path: str) -> dict:
                                   weights_only=True))
         return out
     raise FileNotFoundError(f"no checkpoint files under {path}")
+
+
+def distilbert_config_from_hf(hf_cfg) -> MiniLMConfig:
+    """DistilBertConfig -> MiniLMConfig (type_vocab=0: no token types)."""
+    return MiniLMConfig(
+        vocab_size=hf_cfg.vocab_size, hidden=hf_cfg.dim,
+        layers=hf_cfg.n_layers, heads=hf_cfg.n_heads,
+        intermediate=hf_cfg.hidden_dim,
+        max_positions=hf_cfg.max_position_embeddings,
+        type_vocab=0, ln_eps=1e-12)
+
+
+def convert_distilbert(state_dict: Mapping[str, Any],
+                       cfg: MiniLMConfig) -> dict:
+    """DistilBertModel state_dict -> minilm.py param pytree.
+
+    DistilBERT (the clip-ViT-B-32-multilingual-v1 text tower,
+    clean_audio_search.py:36) is a post-LN BERT block with different key
+    names and no token-type embeddings; encode_tokens handles type_vocab=0.
+    """
+    sd = dict(state_dict)
+    if any(k.startswith("distilbert.") for k in sd):
+        sd = {k[len("distilbert."):]: v for k, v in sd.items()
+              if k.startswith("distilbert.")}
+    emb = {
+        "word": _np(sd["embeddings.word_embeddings.weight"]),
+        "position": _np(sd["embeddings.position_embeddings.weight"]),
+        "ln": _ln(sd, "embeddings.LayerNorm"),
+    }
+    blocks = []
+    for i in range(cfg.layers):
+        b = f"transformer.layer.{i}"
+        blocks.append({
+            "attn": {
+                "q": _lin(sd, f"{b}.attention.q_lin"),
+                "k": _lin(sd, f"{b}.attention.k_lin"),
+                "v": _lin(sd, f"{b}.attention.v_lin"),
+                "o": _lin(sd, f"{b}.attention.out_lin"),
+            },
+            "attn_ln": _ln(sd, f"{b}.sa_layer_norm"),
+            "mlp_in": _lin(sd, f"{b}.ffn.lin1"),
+            "mlp_out": _lin(sd, f"{b}.ffn.lin2"),
+            "mlp_ln": _ln(sd, f"{b}.output_layer_norm"),
+        })
+    return {"embeddings": emb, "blocks": blocks}

@@ -38,6 +38,12 @@ PRESETS = {
     # all-mpnet-base-v2-shaped alternative surface (clean_audio_search.py:32)
     "base768": MiniLMConfig(hidden=768, layers=12, heads=12,
                             intermediate=3072),
+    # clip-ViT-B-32-multilingual-v1 text tower (clean_audio_search.py:36):
+    # a 6-layer multilingual DistilBERT (no token-type embeddings) whose
+    # mean-pooled output is projected to CLIP's 512D space (see
+    # sentence_projection / convert_distilbert).
+    "clip512_text": MiniLMConfig(vocab_size=119_547, hidden=768, layers=6,
+                                 heads=12, intermediate=3072, type_vocab=0),
 }
 
 
@@ -72,9 +78,9 @@ def encode_tokens(
     """[B, T] ids + mask -> [B, T, H] hidden states (BERT encoder)."""
     emb = params["embeddings"]
     t = input_ids.shape[1]
-    x = emb["word"][input_ids] \
-        + emb["position"][:t][None] \
-        + emb["token_type"][0][None, None]
+    x = emb["word"][input_ids] + emb["position"][:t][None]
+    if cfg.type_vocab:          # DistilBERT (type_vocab=0) has none
+        x = x + emb["token_type"][0][None, None]
     x = L.layer_norm(emb["ln"], x, cfg.ln_eps)
     bias = L.padding_bias(attention_mask)
     for blk in params["blocks"]:
@@ -96,3 +102,23 @@ def sentence_embed(
     pooled = jnp.sum(h * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
     return pooled / jnp.maximum(
         jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+
+
+def sentence_projection(
+    params, pooled: jnp.ndarray, tanh: bool = False
+) -> jnp.ndarray:
+    """sentence-transformers Dense head (e.g. the 768->512 CLIP projection
+    of clip-ViT-B-32-multilingual-v1): linear (+optional tanh) + L2 norm.
+    ``params`` is a models.layers dense pytree ({"w","b"})."""
+    z = L.dense(params, pooled).astype(jnp.float32)
+    if tanh:
+        z = jnp.tanh(z)
+    return z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True),
+                           1e-12)
+
+
+def mean_pool(h: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """Attention-masked mean pooling ([B,T,H], [B,T]) -> [B,H] float32."""
+    m = attention_mask.astype(jnp.float32)[:, :, None]
+    hf = h.astype(jnp.float32)
+    return jnp.sum(hf * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)

@@ -72,3 +72,49 @@ def test_init_params_shapes():
     e = minilm.sentence_embed(
         p, np.zeros((1, 5), np.int32), np.ones((1, 5), np.int32), cfg)
     assert e.shape == (1, 32)
+
+
+def test_distilbert_parity_and_projection(rng):
+    """clip-ViT-B-32-multilingual-v1-shaped alternate (clean_audio_search
+    .py:36): DistilBERT encoder parity vs torch + the 512D sentence
+    projection head."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from transformers import DistilBertConfig, DistilBertModel
+
+    from multimodal_audio_search_tpu.models import layers as L
+    from multimodal_audio_search_tpu.models.convert import (
+        convert_distilbert, distilbert_config_from_hf)
+    from multimodal_audio_search_tpu.models.minilm import (
+        encode_tokens, mean_pool, sentence_projection)
+
+    hf_cfg = DistilBertConfig(
+        vocab_size=200, dim=48, n_layers=2, n_heads=4, hidden_dim=96,
+        max_position_embeddings=40)
+    torch.manual_seed(0)
+    model = DistilBertModel(hf_cfg).eval()
+    cfg = distilbert_config_from_hf(hf_cfg)
+    params = convert_distilbert(model.state_dict(), cfg)
+
+    ids = rng.integers(0, 200, size=(3, 11))
+    mask = np.ones((3, 11), np.int64)
+    mask[1, 7:] = 0
+    with torch.inference_mode():
+        want = model(torch.from_numpy(ids),
+                     torch.from_numpy(mask)).last_hidden_state.numpy()
+    got = np.asarray(encode_tokens(
+        params, jnp.asarray(ids), jnp.asarray(mask), cfg))
+    np.testing.assert_allclose(got[mask.astype(bool)],
+                               want[mask.astype(bool)], atol=3e-5)
+
+    # 512D projection head: unit-norm output, linear map verified by hand
+    proj = L.init_dense(jax.random.PRNGKey(1), cfg.hidden, 16)
+    pooled = mean_pool(jnp.asarray(got), jnp.asarray(mask))
+    z = np.asarray(sentence_projection(proj, pooled))
+    assert z.shape == (3, 16)
+    np.testing.assert_allclose(np.linalg.norm(z, axis=-1), 1.0, atol=1e-5)
+    byhand = np.asarray(pooled) @ np.asarray(proj["w"]) + np.asarray(
+        proj["b"])
+    byhand /= np.linalg.norm(byhand, axis=-1, keepdims=True)
+    np.testing.assert_allclose(z, byhand, atol=1e-5)
