@@ -34,8 +34,14 @@ import time
 import numpy as np
 
 
-def _sync_time(fn, *args, reps: int = 5) -> float:
-    """Median wall-time of fn(*args), forcing a 1-element device read."""
+def _sync_time(fn, *args, reps: int = 5, best: bool = False) -> float:
+    """Wall-time of fn(*args), forcing a 1-element device read.
+
+    ``best=False`` -> median (honest stage timing). ``best=True`` -> min,
+    for chip-peak calibration: host scheduling and tunnel drift only ever
+    ADD time, so the minimum is the unbiased estimator of device capability
+    (a loaded host once read 105 'TFLOP/s' on a 188-measured chip via the
+    median)."""
     import jax
     out = fn(*args)
     _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])  # compile
@@ -45,7 +51,7 @@ def _sync_time(fn, *args, reps: int = 5) -> float:
         out = fn(*args)
         _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return float(min(ts) if best else np.median(ts))
 
 
 def _rtt_floor(reps: int = 10) -> float:
@@ -100,7 +106,7 @@ def calibrate(on_tpu: bool) -> dict:
         return jax.lax.fori_loop(0, reps, body, a)
 
     rtt = _rtt_floor()
-    t = _sync_time(mm, a) - rtt
+    t = _sync_time(mm, a, best=True) - rtt
     tflops = reps * 2 * n**3 / t / 1e12
 
     # HBM read rate. XLA reductions top out ~450 GB/s on this chip and
@@ -132,19 +138,30 @@ def calibrate(on_tpu: bool) -> dict:
             )(x)
 
         big = jnp.ones((rows * n_chunk, cols), jnp.bfloat16)   # 4 GB
-        t = _sync_time(rd, big) - rtt
+        t = _sync_time(rd, big, best=True) - rtt
         gbps = rows * cols * n_chunk * passes * 2 / t / 1e9
         del big
     else:
         big = jnp.ones((8 * 1024 * 1024,), jnp.bfloat16)
         t = max(_sync_time(jax.jit(jnp.max), big) - rtt, 1e-6)
         gbps = big.size * 2 / t / 1e9
+
+    # Host->device transfer rate (the tunnel is ~16-45 MB/s run-to-run on
+    # this rig and is the ingest bottleneck; recording it makes a
+    # congested run diagnosable from the JSON alone).
+    xfer = np.ones(20 * 1024 * 1024 if on_tpu else 1024 * 1024, np.int8)
+    _ = np.asarray(jax.device_put(xfer[:1024])[:1])       # warm path
+    t0 = time.perf_counter()
+    _ = np.asarray(jax.device_put(xfer)[:1])
+    xfer_mbps = xfer.nbytes / 1e6 / (time.perf_counter() - t0)
     return {"rtt_ms": round(rtt * 1e3, 1), "tflops_bf16": round(tflops, 1),
-            "hbm_gbps": round(gbps, 1)}
+            "hbm_gbps": round(gbps, 1),
+            "tunnel_mbps": round(xfer_mbps, 1)}
 
 
 def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
                  int8_kv: bool, fused_layer: bool, index_dtype,
+                 transfer_dtype: str = "int16",
                  audio_seconds: float,
                  batch: int, max_new: int, n_index: int, n_queries: int,
                  asr_preset: str, cap_preset: str, cal: dict) -> dict:
@@ -171,7 +188,8 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
     decode = DecodeConfig(method="greedy", max_new_tokens=max_new,
                           int8_cross_kv=int8_kv, fused_layer=fused_layer)
     cfg = EngineConfig(ingest_batch=batch, asr_decode=decode,
-                       caption_decode=decode)
+                       caption_decode=decode,
+                       transfer_dtype=transfer_dtype)
     asr_cfg = W.PRESETS[asr_preset]
     cap_cfg = W.PRESETS[cap_preset]
     asr = WhisperTextPipeline(cfg=asr_cfg, decode=decode, mel_cfg=mel_cfg,
@@ -190,10 +208,19 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
     # warm-up compiles all programs on one batch-sized slice
     warm = wave[: int(sr * 10 * batch)]
     ingest.process_waveform(warm, sr, "warmup")
-    t0 = time.perf_counter()
-    segments = ingest.process_waveform(wave, sr, "bench")
-    ingest_s = time.perf_counter() - t0
+    # median of 3 timed runs: the tunnel's host->device bandwidth swings
+    # 16-45 MB/s between runs and ingest is transfer-bound on this rig,
+    # so a single-shot wall time conflates device perf with link weather
+    runs = []
+    for r in range(3 if on_tpu else 1):
+        t0 = time.perf_counter()
+        segments = ingest.process_waveform(wave, sr, f"bench{r}")
+        runs.append(time.perf_counter() - t0)
+    ingest_s = float(np.median(runs))
     throughput = audio_seconds / ingest_s
+    itemsize = {"mulaw8": 1, "int16": 2, "float32": 4}[transfer_dtype]
+    seg_len = min(int(cfg.segment.segment_seconds * sr), mel_cfg.n_samples)
+    transfer_mb = len(segments) * seg_len * itemsize / 1e6
 
     # ---- device-side stage timings (whisper-base ASR path, batch rows).
     # Stages shorter than the RTT jitter are timed by in-jit repetition.
@@ -258,12 +285,15 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
     return {
         "ingest_audio_sec_per_sec": round(throughput, 2),
         "ingest_wall_s": round(ingest_s, 2),
+        "ingest_runs_s": [round(r, 2) for r in runs],
+        "transfer_mb": round(transfer_mb, 1),
         "segments": len(segments),
         "query_p50_ms": round(p50_ms, 2),
         "index_dtype": np.dtype(index_dtype).name,
         "short_context": short_context,
         "int8_cross_kv": int8_kv,
         "fused_layer": fused_layer,
+        "transfer_dtype": transfer_dtype,
         "stage_ms": {
             "mel": round(mel_t * 1e3, 2),
             "encode": round(enc_t * 1e3, 2),
@@ -310,8 +340,11 @@ def main() -> None:
                           **common)
     # fast mode = every opt-in perf lever (cross_attn="auto" resolves to
     # the fused kernel on TPU at this context length)
+    # mulaw8 halves host->device bytes (ingest is transfer-bound through
+    # the tunnel); token agreement with float32 transfer is tested
+    # (tests/test_transfer_dtype.py) and the mode is opt-in like the rest
     fast = measure_mode("fast", short_context=True, int8_kv=False,
-                        fused_layer=on_tpu,
+                        fused_layer=on_tpu, transfer_dtype="mulaw8",
                         index_dtype=jnp.bfloat16 if on_tpu
                         else jnp.float32, **common)
 
