@@ -90,6 +90,39 @@ class SegmentStore:
             for r in records
         ]
 
+    # ------------------------------------------------------------- delete
+    def delete_where(self, pred) -> int:
+        """Remove every segment whose meta row satisfies ``pred`` and
+        compact the index (row order of survivors is preserved, so search
+        result indices stay consistent with ``meta``). Returns the number
+        of rows removed.
+
+        Capability beyond the reference, which can only clear the whole
+        database (audio_search.py:115 keeps a session-state list; the only
+        mutation is append/reset)."""
+        n = len(self.meta)
+        keep = [i for i in range(n) if not pred(self.meta[i])]
+        removed = n - len(keep)
+        if removed == 0:
+            return 0
+        idx = np.asarray(keep, np.int64)
+        self._emb[: len(keep)] = self._emb[idx]
+        self._emb[len(keep): n] = 0.0
+        self._success[: len(keep)] = self._success[idx]
+        self._success[len(keep): n] = False
+        self.meta = [self.meta[i] for i in keep]
+        if self.keep_audio:
+            self._audio = [self._audio[i] for i in keep
+                           if i < len(self._audio)]
+        self._device_view = None
+        return removed
+
+    def delete_source(self, source_name: str) -> int:
+        """Remove every segment ingested from ``source_name`` (the
+        ``source`` field stamped by pipelines/ingest.py)."""
+        return self.delete_where(
+            lambda row: row.get("source") == source_name)
+
     def _grow(self, new_cap: int) -> None:
         emb = np.zeros((new_cap, 2, self.embed_dim), np.float32)
         ok = np.zeros((new_cap, 2), bool)

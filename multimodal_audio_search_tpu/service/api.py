@@ -251,6 +251,11 @@ class AudioSearchEngine:
         self.store = SegmentStore.load(path)
         self._searcher = None
 
+    def delete_source(self, source_name: str) -> int:
+        """Remove one uploaded file's segments from the index (capability
+        beyond the reference's all-or-nothing reset)."""
+        return self.store.delete_source(source_name)
+
     def reset_index(self) -> None:
         """Model-comparison mode support: clear the database so a different
         embedder/model set can be A/B'd (streamlit_app_backup.py:1419-1433).

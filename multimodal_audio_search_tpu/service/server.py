@@ -13,6 +13,7 @@ This provides a real service boundary over AudioSearchEngine:
     GET  /api/segments                                -> index listing
     GET  /api/audio/{i}                               -> segment WAV playback
     POST /api/save?path= | /api/load?path=            -> index persistence
+    POST /api/delete?source=                          -> drop one file's rows
     POST /api/reset                                   -> clear index + GC
     GET  /                                            -> single-page UI with
          the reference's three tabs (Process / Search / Statistics), the
@@ -334,6 +335,7 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
         qs = urllib.parse.parse_qs(url.query)
         try:
             if url.path in ("/api/save", "/api/load", "/api/reset",
+                            "/api/delete",
                             "/api/profile") and not self._authorized():
                 self._json({"error": "missing or bad X-API-Token"}, 401)
                 return
@@ -362,6 +364,15 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                 with self.lock:
                     self.engine.load_index(path)
                 self._json({"loaded": str(path),
+                            "total": len(self.engine.store)})
+            elif url.path == "/api/delete":
+                source = qs.get("source", [None])[0]
+                if not source:
+                    self._json({"error": "missing ?source="}, 400)
+                    return
+                with self.lock:
+                    removed = self.engine.delete_source(source)
+                self._json({"removed": removed,
                             "total": len(self.engine.store)})
             elif url.path == "/api/stream/open":
                 from ..pipelines.streaming import StreamingIngest
