@@ -88,7 +88,8 @@ missing embeddings renormalize; threshold 0.1; top-10.</small>
 <input type="file" id="file" accept=".wav,.flac,.mp3,.m4a,.ogg"/>
 <button onclick="ingest()">Process with Both Pipelines</button>
 <div id="ingest_metrics"></div>
-<div id="ingest_out"></div></div>
+<div id="ingest_out"></div>
+<h3>Indexed files</h3><div id="sources_out"></div></div>
 <div id="search" class="tab">
 <h2>Weighted fusion search</h2>
 <input id="q" size="50" placeholder="e.g. upbeat music with drums"/>
@@ -133,7 +134,22 @@ async function ingest(){
    s.start_time.toFixed(1)+'–'+s.end_time.toFixed(1)+'s — ASR: '+
    esc(s.asr_text||'∅')+' — Caption: '+esc(s.audio_description||'∅')+
    '</div>').join('');
- pollStats();}
+ loadSources();pollStats();}
+async function loadSources(){
+ const j=await (await fetch('/api/segments')).json();
+ const by={};
+ (j.segments||[]).forEach(s=>{by[s.source]=(by[s.source]||0)+1;});
+ document.getElementById('sources_out').innerHTML=
+  Object.keys(by).sort().map(src=>'<div class=hit>'+esc(src)+' — '+
+   by[src]+' segment(s) <button onclick="delSource(\''+
+   encodeURIComponent(src)+'\')">🗑 Remove</button></div>').join('')||
+  '<p>No files indexed yet.</p>';}
+async function delSource(src){
+ if(!confirm('Remove all segments of '+decodeURIComponent(src)+'?'))return;
+ const r=await fetch('/api/delete?source='+src,{method:'POST'});
+ const j=await r.json();
+ if(j.error)alert(j.error);
+ loadSources();pollStats();}
 async function doSearch(){
  const q=document.getElementById('q').value;
  const r=await fetch('/api/search?q='+encodeURIComponent(q));
@@ -208,7 +224,7 @@ async function runGC(){
  if(!confirm('Clear the index and run GC?'))return;
  await fetch('/api/reset',{method:'POST'});
  loadStats();}
-pollStats();setInterval(pollStats,5000);
+pollStats();loadSources();setInterval(pollStats,5000);
 </script></body></html>"""
 
 

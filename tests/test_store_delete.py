@@ -74,3 +74,7 @@ def test_http_delete_endpoint(server, rng, tmp_path):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+    # UI carries the per-file remove control wired to the endpoint
+    with urllib.request.urlopen(server + "/", timeout=30) as r:
+        html = r.read().decode()
+    assert "sources_out" in html and "/api/delete?source=" in html
