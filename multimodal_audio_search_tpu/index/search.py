@@ -43,7 +43,6 @@ class FusionSearcher:
         audio_search.py:635-651)."""
         try:
             from ..pipelines.embed import TextEmbedder
-            from ..models import minilm
         except ImportError:  # pragma: no cover
             return None
         if not isinstance(embed_fn, TextEmbedder):
@@ -55,7 +54,7 @@ class FusionSearcher:
         @functools.partial(jax.jit, static_argnames=("k", "threshold"))
         def program(params, ids, mask, index_emb, success,
                     w_asr, w_audio, *, k, threshold):
-            q = minilm.sentence_embed(params, ids, mask, emb.cfg)[0]
+            q = emb.sentence_fn(params, ids, mask)[0]
             return fused_topk_impl(
                 q, index_emb, success, w_asr, w_audio,
                 k=k, threshold=threshold)
@@ -68,7 +67,6 @@ class FusionSearcher:
         is read once per dispatch regardless of batch size."""
         try:
             from ..pipelines.embed import TextEmbedder
-            from ..models import minilm
         except ImportError:  # pragma: no cover
             return None
         if not isinstance(embed_fn, TextEmbedder):
@@ -80,7 +78,7 @@ class FusionSearcher:
         @functools.partial(jax.jit, static_argnames=("k", "threshold"))
         def program(params, ids, mask, index_emb, success,
                     w_asr, w_audio, *, k, threshold):
-            q = minilm.sentence_embed(params, ids, mask, emb.cfg)  # [Q, D]
+            q = emb.sentence_fn(params, ids, mask)      # [Q, D]
             run = functools.partial(fused_topk_impl,
                                     k=k, threshold=threshold)
             return jax.vmap(run, in_axes=(0, None, None, 0, 0))(

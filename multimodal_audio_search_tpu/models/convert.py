@@ -223,3 +223,49 @@ def convert_distilbert(state_dict: Mapping[str, Any],
             "mlp_ln": _ln(sd, f"{b}.output_layer_norm"),
         })
     return {"embeddings": emb, "blocks": blocks}
+
+
+# --------------------------------------------------------------------- MPNet
+def mpnet_config_from_hf(hf_cfg):
+    from .mpnet import MPNetConfig
+    return MPNetConfig(
+        vocab_size=hf_cfg.vocab_size, hidden=hf_cfg.hidden_size,
+        layers=hf_cfg.num_hidden_layers, heads=hf_cfg.num_attention_heads,
+        intermediate=hf_cfg.intermediate_size,
+        max_positions=hf_cfg.max_position_embeddings,
+        pad_token_id=hf_cfg.pad_token_id,
+        rel_buckets=hf_cfg.relative_attention_num_buckets,
+        ln_eps=hf_cfg.layer_norm_eps)
+
+
+def convert_mpnet(state_dict: Mapping[str, Any], cfg) -> dict:
+    """MPNetModel state_dict -> mpnet.py param pytree (all-mpnet-base-v2,
+    clean_audio_search.py:32). Accepts bare MPNetModel keys,
+    'mpnet.'-prefixed, and sentence-transformers '0.auto_model.'."""
+    sd = dict(state_dict)
+    for pref in ("mpnet.", "0.auto_model."):
+        if any(k.startswith(pref) for k in sd):
+            sd = {k[len(pref):]: v for k, v in sd.items()
+                  if k.startswith(pref)}
+    emb = {
+        "word": _np(sd["embeddings.word_embeddings.weight"]),
+        "position": _np(sd["embeddings.position_embeddings.weight"]),
+        "ln": _ln(sd, "embeddings.LayerNorm"),
+    }
+    rel_bias = _np(sd["encoder.relative_attention_bias.weight"])
+    blocks = []
+    for i in range(cfg.layers):
+        b = f"encoder.layer.{i}"
+        blocks.append({
+            "attn": {
+                "q": _lin(sd, f"{b}.attention.attn.q"),
+                "k": _lin(sd, f"{b}.attention.attn.k"),
+                "v": _lin(sd, f"{b}.attention.attn.v"),
+                "o": _lin(sd, f"{b}.attention.attn.o"),
+            },
+            "attn_ln": _ln(sd, f"{b}.attention.LayerNorm"),
+            "mlp_in": _lin(sd, f"{b}.intermediate.dense"),
+            "mlp_out": _lin(sd, f"{b}.output.dense"),
+            "mlp_ln": _ln(sd, f"{b}.output.LayerNorm"),
+        })
+    return {"embeddings": emb, "rel_bias": rel_bias, "blocks": blocks}

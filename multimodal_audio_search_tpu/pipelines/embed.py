@@ -40,20 +40,32 @@ class TextEmbedder:
         dtype=jnp.float32,
         seed: int = 0,
         stats: PipelineStats | None = None,
+        model=None,
     ):
-        self.cfg = cfg or minilm.MiniLMConfig()
+        """``model`` is the encoder module (default models.minilm); any
+        module exposing init_params(key, cfg) and
+        sentence_embed(params, ids, mask, cfg) works — e.g. models.mpnet
+        for the real all-mpnet-base-v2 architecture."""
+        model = model or minilm
+        if cfg is None:
+            cfg = minilm.MiniLMConfig() if model is minilm \
+                else model.PRESETS["base"]
+        self.cfg = cfg
         if params is None:
-            params = minilm.init_params(jax.random.PRNGKey(seed), self.cfg)
+            params = model.init_params(jax.random.PRNGKey(seed), self.cfg)
         from ..models.layers import cast_floats
         self.params = cast_floats(params, dtype)
         self.tokenizer = tokenizer or load_tokenizer(
             vocab_size=self.cfg.vocab_size)
         self.max_tokens = max_tokens
         self.stats = stats if stats is not None else PipelineStats(
-            "Text Embedder", "minilm-jax")
+            "Text Embedder", f"{model.__name__.rsplit('.', 1)[-1]}-jax")
         self.stats.embedding_dim = self.cfg.hidden
-        self._fn = jax.jit(
-            functools.partial(minilm.sentence_embed, cfg=self.cfg))
+        # unjitted (params, ids, mask) -> [B, H]; composite programs
+        # (index/search.py's single-dispatch embed+topk) jit around it
+        self.sentence_fn = functools.partial(
+            model.sentence_embed, cfg=self.cfg)
+        self._fn = jax.jit(self.sentence_fn)
 
     @property
     def dim(self) -> int:

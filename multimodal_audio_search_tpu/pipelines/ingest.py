@@ -287,11 +287,20 @@ def make_default_ingest(
     caption = load_whisper(
         cfg.caption_model, cfg.caption_decode, "caption",
         prefix=[cap_cfg.bos_token_id])
-    mcfg = MLM_PRESETS[cfg.text_embedder.preset]
+    if cfg.text_embedder.family == "mpnet":
+        # real all-mpnet-base-v2 architecture (clean_audio_search.py:32):
+        # relative position bias + RoBERTa position ids (models/mpnet.py)
+        from ..models import mpnet as emb_model
+        from ..models.convert import convert_mpnet as emb_convert
+        mcfg = emb_model.PRESETS[cfg.text_embedder.preset]
+    else:
+        from ..models import minilm as emb_model
+        from ..models.convert import convert_bert as emb_convert
+        mcfg = MLM_PRESETS[cfg.text_embedder.preset]
     params = None
     if cfg.text_embedder.weights_path:
-        from ..models.convert import convert_bert, load_state_dict_from_dir
-        params = convert_bert(
+        from ..models.convert import load_state_dict_from_dir
+        params = emb_convert(
             load_state_dict_from_dir(cfg.text_embedder.weights_path), mcfg)
     emb_tok = None
     if cfg.text_embedder.weights_path:
@@ -300,5 +309,5 @@ def make_default_ingest(
                                  vocab_size=mcfg.vocab_size)
     embedder = TextEmbedder(
         params=params, cfg=mcfg, seed=seed, tokenizer=emb_tok,
-        stats=stats_reg.pipelines["text_embedder"])
+        model=emb_model, stats=stats_reg.pipelines["text_embedder"])
     return DualPipelineIngest(asr, caption, embedder, cfg, stats_reg)
