@@ -151,14 +151,22 @@ def main():
     # tied-logits matmul alone
     x1 = jnp.asarray(rng.normal(size=(B, cfg.d_model)), dtype)
 
+    # NOTE the full-output reduction: consuming only a slice of the dot
+    # lets XLA narrow the matmul to the consumed columns (slice-through-
+    # dot), and a linear reduction (sum) lets it factor the reduction
+    # into the weights — either way the loop stops measuring the matmul.
+    # sum(lg*lg) survives both rewrites. (Round-2 lesson: the old slice
+    # harness attributed 0.25 ms/step to this matmul; an end-to-end A/B
+    # of three logits layouts showed the real cost is far smaller and
+    # stock x @ E.T is already optimal.)
     @jax.jit
     def logits_loop(x1, emb):
         def body(i, acc):
             lg = jnp.dot((x1 + acc[:, :1] * 0), emb.T,
                          preferred_element_type=jnp.float32)
-            return acc + lg[:, :cfg.d_model]
+            return acc + jnp.sum(lg * lg, axis=-1, keepdims=True) * 1e-30
         return jax.lax.fori_loop(0, STEPS, body,
-                                 jnp.zeros((B, cfg.d_model), jnp.float32))
+                                 jnp.zeros((B, 1), jnp.float32))
     t = sync_time(logits_loop, x1, params["decoder"]["embed_tokens"])
     ms = (t - rtt) * 1e3
     traffic = cfg.vocab_size * cfg.d_model * 2 * STEPS / 1e9
