@@ -10,6 +10,7 @@ This provides a real service boundary over AudioSearchEngine:
     GET  /api/search?q=...&k=10                       -> hits + weight info
     GET  /api/stats                                   -> stats JSON export
     GET  /api/metrics.csv                             -> operation log CSV
+    GET  /metrics                                     -> Prometheus text
     GET  /api/segments                                -> index listing
     GET  /api/audio/{i}                               -> segment WAV playback
     POST /api/save?path= | /api/load?path=            -> index persistence
@@ -314,6 +315,12 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                 with self.lock:
                     body = self.engine.export_stats_json()
                 self._send(200, body.encode())
+            elif url.path == "/metrics":
+                with self.lock:
+                    body = self.engine.stats.export_prometheus(
+                        {"index_segments": len(self.engine.store)})
+                self._send(200, body.encode(),
+                           "text/plain; version=0.0.4")
             elif url.path == "/api/metrics.csv":
                 with self.lock:
                     body = self.engine.stats.log.export_csv()

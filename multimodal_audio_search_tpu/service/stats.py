@@ -199,3 +199,47 @@ class StatsRegistry:
         if extra:
             payload.update(extra)
         return json.dumps(payload, indent=2)
+
+    def export_prometheus(self, extra: dict[str, float] | None = None
+                          ) -> str:
+        """Prometheus text exposition of the same counters (production
+        scrape surface; the reference only renders stats in its UI,
+        audio_search.py:881-1027)."""
+        self.system.update()
+        lines = []
+
+        def emit(name, mtype, help_, samples):
+            lines.append(f"# HELP mas_{name} {help_}")
+            lines.append(f"# TYPE mas_{name} {mtype}")
+            for labels, value in samples:
+                lab = ("{" + ",".join(
+                    f'{k}="{v}"' for k, v in labels.items()) + "}"
+                    if labels else "")
+                lines.append(f"mas_{name}{lab} {value:.6g}")
+
+        per_pipe = [
+            ("calls_total", "counter", "jitted program dispatches",
+             "total_calls"),
+            ("items_total", "counter", "items processed", "total_items"),
+            ("processing_seconds_total", "counter",
+             "time spent in pipeline", "total_processing_time"),
+            ("failures_total", "counter", "failed extractions",
+             "failed_extractions"),
+            ("success_rate", "gauge", "rolling success rate",
+             "success_rate"),
+        ]
+        for name, mtype, help_, attr in per_pipe:
+            emit(name, mtype, help_,
+                 [({"pipeline": key}, getattr(p, attr))
+                  for key, p in self.pipelines.items()])
+        emit("cpu_percent", "gauge", "host CPU percent",
+             [({}, self.system.cpu_percent)])
+        emit("memory_used_gb", "gauge", "host memory used",
+             [({}, self.system.memory_used_gb)])
+        emit("hbm_used_mb", "gauge", "device HBM used",
+             [({}, self.system.hbm_used_mb)])
+        emit("device_count", "gauge", "accelerator count",
+             [({}, self.system.device_count)])
+        for k, v in (extra or {}).items():
+            emit(k, "gauge", k, [({}, float(v))])
+        return "\n".join(lines) + "\n"

@@ -78,3 +78,21 @@ def test_http_delete_endpoint(server, rng, tmp_path):
     with urllib.request.urlopen(server + "/", timeout=30) as r:
         html = r.read().decode()
     assert "sources_out" in html and "/api/delete?source=" in html
+
+
+def test_prometheus_metrics_endpoint(server):
+    server, _ = server
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        body = r.read().decode()
+        ctype = r.headers.get("Content-Type", "")
+    assert "text/plain" in ctype
+    assert "# TYPE mas_calls_total counter" in body
+    assert 'mas_calls_total{pipeline="asr_pipeline"}' in body
+    assert "mas_index_segments" in body
+    # every sample line parses as <name>{labels}? <float>
+    for line in body.strip().splitlines():
+        if line.startswith("#"):
+            continue
+        name_part, value = line.rsplit(" ", 1)
+        float(value)
+        assert name_part.startswith("mas_")
