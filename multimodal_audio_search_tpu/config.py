@@ -183,6 +183,11 @@ class EngineConfig:
     # analyzer selection: "keyword" (production, audio_search.py:457) or
     # "semantic" (historical prototype classifier, streamlit_app_backup.py:274)
     analyzer: str = "keyword"
+    # ASR decoder prompt (reference parity: language="en", task="transcribe",
+    # audio_search.py:318-319); any Whisper language code / "translate"
+    # works with multilingual checkpoints (models/whisper.py forced_prefix)
+    asr_language: str = "en"
+    asr_task: str = "transcribe"
     # ingest batching (TPU-native addition; reference is one segment at a time)
     ingest_batch: int = 32
     embed_dim: int = 384
@@ -248,6 +253,8 @@ def config_from_env(base: EngineConfig | None = None) -> EngineConfig:
         audio=audio, segment=segment, fusion=fusion,
         asr_decode=asr_decode, caption_decode=cap_decode,
         analyzer=env("ANALYZER", str, cfg.analyzer),
+        asr_language=env("ASR_LANGUAGE", str, cfg.asr_language),
+        asr_task=env("ASR_TASK", str, cfg.asr_task),
         ingest_batch=env("INGEST_BATCH", int, cfg.ingest_batch),
         short_context=env("SHORT_CONTEXT",
                           lambda v: v.lower() in ("1", "true", "yes"),

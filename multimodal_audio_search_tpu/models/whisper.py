@@ -412,12 +412,53 @@ def decode_step(
     return logits, new_cache
 
 
-def forced_prefix(cfg: WhisperConfig, task: str = "transcribe") -> list[int]:
-    """Decoder prompt: <sot> <lang en> <task> <notimestamps> — the ids the
+_WHISPER_LANG_CODES: tuple[str, ...] | None = None
+
+
+def _language_codes() -> tuple[str, ...]:
+    """Whisper's language-token ordering (public data; machine-extracted
+    from the local transformers install, which carries openai/whisper's
+    LANGUAGES table — token <|code|> = lang_en_id + index)."""
+    global _WHISPER_LANG_CODES
+    if _WHISPER_LANG_CODES is None:
+        try:
+            from transformers.models.whisper.tokenization_whisper import (
+                LANGUAGES)
+            _WHISPER_LANG_CODES = tuple(LANGUAGES.keys())
+        except Exception:  # pragma: no cover - transformers always in image
+            _WHISPER_LANG_CODES = ("en",)
+    return _WHISPER_LANG_CODES
+
+
+def language_token_id(cfg: WhisperConfig, language: str) -> int:
+    """Token id of ``<|language|>``. Multilingual v1/v2 vocabs (51865)
+    carry 99 language tokens; large-v3 (51866) adds a 100th (yue) and
+    shifts the task ids — both layouts are offset-from-<|en|>."""
+    if language == "en":
+        return cfg.lang_en_id
+    codes = _language_codes()
+    n_langs = 100 if cfg.vocab_size >= 51866 else 99
+    if language not in codes[:n_langs]:
+        raise ValueError(
+            f"unknown Whisper language {language!r} for vocab "
+            f"{cfg.vocab_size} ({n_langs} languages)")
+    return cfg.lang_en_id + codes.index(language)
+
+
+def forced_prefix(cfg: WhisperConfig, task: str = "transcribe",
+                  language: str = "en") -> list[int]:
+    """Decoder prompt: <sot> <lang> <task> <notimestamps> — the ids the
     reference forces via generate kwargs language='en', task='transcribe'
-    (audio_search.py:318-319). English-only checkpoints (vocab 51864) take
-    no language/task tokens."""
+    (audio_search.py:318-319); any of Whisper's languages and the
+    translate task are selectable beyond that parity default.
+    English-only checkpoints (vocab 51864) take no language/task tokens."""
     if cfg.vocab_size == 51864:  # *.en models
         return [cfg.bos_token_id, cfg.no_timestamps_id]
-    return [cfg.bos_token_id, cfg.lang_en_id, cfg.transcribe_id,
+    if task == "transcribe":
+        task_id = cfg.transcribe_id
+    elif task == "translate":
+        task_id = cfg.transcribe_id - 1  # <|translate|> precedes it
+    else:
+        raise ValueError(f"unknown Whisper task {task!r}")
+    return [cfg.bos_token_id, language_token_id(cfg, language), task_id,
             cfg.no_timestamps_id]

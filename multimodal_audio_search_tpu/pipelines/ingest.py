@@ -281,7 +281,12 @@ def make_default_ingest(
             name=name, prefix_ids=prefix, mel_cfg=mel_cfg,
             tokenizer=tokenizer)
 
-    asr = load_whisper(cfg.asr_model, cfg.asr_decode, "asr")
+    asr_prefix = W.forced_prefix(
+        W.PRESETS[cfg.asr_model.preset],
+        task=getattr(cfg, "asr_task", "transcribe"),
+        language=getattr(cfg, "asr_language", "en"))
+    asr = load_whisper(cfg.asr_model, cfg.asr_decode, "asr",
+                       prefix=asr_prefix)
     # the captioner is conditioned with a bare <sot> prompt
     cap_cfg = W.PRESETS[cfg.caption_model.preset]
     caption = load_whisper(

@@ -171,3 +171,33 @@ def test_eos_early_stop_and_lengths(torch_whisper, rng):
             assert np.all(gen[first + 1:] == cfg.pad_token_id)
         else:
             assert lens[b] == 20
+
+
+def test_forced_prefix_language_and_task():
+    """Language/task-selectable decoder prompts (beyond the reference's
+    hard-coded language='en', task='transcribe', audio_search.py:318)."""
+    from transformers.models.whisper.tokenization_whisper import LANGUAGES
+
+    codes = list(LANGUAGES.keys())
+    cfg = W.PRESETS["base"]
+    assert W.forced_prefix(cfg) == W.forced_prefix(
+        cfg, task="transcribe", language="en")
+    de = W.forced_prefix(cfg, language="de")
+    assert de[1] == cfg.lang_en_id + codes.index("de")
+    assert de[0] == cfg.bos_token_id and de[3] == cfg.no_timestamps_id
+    tr = W.forced_prefix(cfg, task="translate", language="fr")
+    assert tr[2] == cfg.transcribe_id - 1
+    with pytest.raises(ValueError):
+        W.forced_prefix(cfg, language="xx")
+    with pytest.raises(ValueError):
+        W.forced_prefix(cfg, task="caption")
+    # v1/v2 vocab has 99 languages: yue only exists on large-v3
+    with pytest.raises(ValueError):
+        W.forced_prefix(cfg, language="yue")
+    v3 = W.PRESETS["large-v3"]
+    assert W.forced_prefix(v3, language="yue")[1] == \
+        v3.lang_en_id + codes.index("yue")
+    # English-only checkpoints take no language/task tokens at all
+    en_cfg = W.PRESETS["base.en"] if "base.en" in W.PRESETS else None
+    if en_cfg is not None:
+        assert len(W.forced_prefix(en_cfg, language="de")) == 2
