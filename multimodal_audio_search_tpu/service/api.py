@@ -207,6 +207,49 @@ class AudioSearchEngine:
             query=query, hits=len(results))
         return results, weight_info
 
+    def search_strategy(
+        self, query: str, strategy: str, k: int | None = None
+    ) -> tuple[list[dict[str, Any]], dict[str, Any]]:
+        """Historical fusion strategies over the production index
+        (streamlit_app_backup.py:62-66,647-734): the unified-text store's
+        ASR slot is the text space and the caption slot the audio space.
+        Missing embeddings are zero rows — exactly the historical
+        zero-embedding fallback (streamlit_app_backup.py:500-508).
+        ``strategy='compare_all'`` returns every strategy's top-k in
+        weight_info (results = production fusion)."""
+        from ..index.store import ASR, AUDIO
+        from ..index.strategies import compare_all, run_strategy
+        if strategy in ("fusion", "", None):
+            return self.search(query, k)
+        k = k or self.cfg.fusion.top_k
+        analyzer = make_analyzer(self.cfg.analyzer,
+                                 embed_fn=self.embedder,
+                                 cfg=self.cfg.fusion)
+        emb = self.store.embeddings
+        qz = self.embedder([query])[0]
+        t0 = time.perf_counter()
+        if strategy == "compare_all":
+            allout = compare_all(query, qz, qz, emb[:, ASR],
+                                 emb[:, AUDIO], analyzer, k)
+            results, _ = self.search(query, k)
+            info = {"strategy": "compare_all", "per_strategy": {
+                s: {"top": [int(i) for i in o["top"]],
+                    "scores": [float(o["scores"][i]) for i in o["top"]],
+                    "info": o["info"]}
+                for s, o in allout.items()}}
+            return results, info
+        out = run_strategy(strategy, query, qz, qz,
+                           emb[:, ASR], emb[:, AUDIO], analyzer, k)
+        results = []
+        for i in out["top"]:
+            row = dict(self.store.meta[int(i)])
+            row["fusion_score"] = float(out["scores"][int(i)])
+            row["index"] = int(i)
+            results.append(row)
+        self.stats.log.log("search_strategy", time.perf_counter() - t0,
+                           query=query, strategy=strategy)
+        return results, out["info"]
+
     def search_batch(
         self, queries: list[str], k: int | None = None
     ) -> list[tuple[list[dict[str, Any]], dict[str, Any]]]:

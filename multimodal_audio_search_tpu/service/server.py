@@ -7,7 +7,10 @@ This provides a real service boundary over AudioSearchEngine:
     POST /api/stream/open?name=&rate=16000            -> {"session": id}
     POST /api/stream/{id}/chunk (body: int16 PCM)     -> committed segments
     POST /api/stream/{id}/close                       -> tail segments
-    GET  /api/search?q=...&k=10                       -> hits + weight info
+    GET  /api/search?q=...&k=10[&strategy=]           -> hits + weight info
+         (strategy: fusion | fixed_5050 | dynamic_selection |
+          adaptive_weighting | audio_only | compare_all — the historical
+          strategy surface, streamlit_app_backup.py:62-66)
     GET  /api/stats                                   -> stats JSON export
     GET  /api/metrics.csv                             -> operation log CSV
     GET  /metrics                                     -> Prometheus text
@@ -94,6 +97,14 @@ missing embeddings renormalize; threshold 0.1; top-10.</small>
 <div id="search" class="tab">
 <h2>Weighted fusion search</h2>
 <input id="q" size="50" placeholder="e.g. upbeat music with drums"/>
+<select id="strategy">
+<option value="fusion" selected>Weighted fusion (production)</option>
+<option value="fixed_5050">Fixed 50/50</option>
+<option value="dynamic_selection">Dynamic selection</option>
+<option value="adaptive_weighting">Adaptive weighting</option>
+<option value="audio_only">Audio only</option>
+<option value="compare_all">Compare all</option>
+</select>
 <button onclick="doSearch()">Search with Fusion</button>
 <div id="weights"></div><div id="hits"></div></div>
 <div id="stats" class="tab"><h2>Statistics</h2>
@@ -153,20 +164,31 @@ async function delSource(src){
  loadSources();pollStats();}
 async function doSearch(){
  const q=document.getElementById('q').value;
- const r=await fetch('/api/search?q='+encodeURIComponent(q));
+ const strat=document.getElementById('strategy').value;
+ const r=await fetch('/api/search?q='+encodeURIComponent(q)+
+  '&strategy='+encodeURIComponent(strat));
  const j=await r.json();
- const w=j.weight_info;
- document.getElementById('weights').innerHTML=w&&w.analysis!==undefined?
-  metric('ASR weight',(100*w.asr_weight).toFixed(0)+'%')+
-  metric('Audio weight',(100*w.audio_weight).toFixed(0)+'%')+
-  '<p>🧠 '+esc(w.analysis)+'</p>':'';
+ const w=j.weight_info||{};
+ let whtml='';
+ if(w.analysis!==undefined&&w.asr_weight!==undefined)
+  whtml=metric('ASR weight',(100*w.asr_weight).toFixed(0)+'%')+
+   metric('Audio weight',(100*w.audio_weight).toFixed(0)+'%')+
+   '<p>🧠 '+esc(w.analysis)+'</p>';
+ else if(w.strategy)whtml=metric('Strategy',w.strategy)+
+  (w.selected?metric('Selected',w.selected):'');
+ if(w.per_strategy)whtml+='<p>'+Object.keys(w.per_strategy).map(s=>
+  esc(s)+': top '+w.per_strategy[s].top.slice(0,3).join(',')).join(' · ')
+  +'</p>';
+ document.getElementById('weights').innerHTML=whtml;
+ const fx=(v,d)=>v===undefined?'—':v.toFixed(d);
  document.getElementById('hits').innerHTML=(j.results||[]).map((h,i)=>
   '<div class=hit><span class=score>#'+(i+1)+' '+
-  h.fusion_score.toFixed(3)+'</span> ['+h.start_time.toFixed(1)+'–'+
-  h.end_time.toFixed(1)+'s] ASR:'+h.asr_similarity.toFixed(3)+
-  ' Audio:'+h.audio_similarity.toFixed(3)+
-  ' · eff '+(100*h.effective_asr_weight).toFixed(0)+'/'+
-  (100*h.effective_audio_weight).toFixed(0)+'%<br>'+
+  fx(h.fusion_score,3)+'</span> ['+fx(h.start_time,1)+'–'+
+  fx(h.end_time,1)+'s]'+
+  (h.asr_similarity!==undefined?' ASR:'+fx(h.asr_similarity,3)+
+   ' Audio:'+fx(h.audio_similarity,3)+
+   ' · eff '+(100*(h.effective_asr_weight||0)).toFixed(0)+'/'+
+   (100*(h.effective_audio_weight||0)).toFixed(0)+'%':'')+'<br>'+
   (h.asr_text?'🎤 '+esc(h.asr_text)+'<br>':'')+
   (h.audio_description?'🎵 '+esc(h.audio_description)+'<br>':'')+
   '<audio controls src="/api/audio/'+h.index+'"></audio></div>'
@@ -296,6 +318,16 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
             elif url.path == "/api/search":
                 q_list = qs.get("q", [""])
                 k = int(qs.get("k", ["10"])[0])
+                strategy = qs.get("strategy", ["fusion"])[0]
+                if strategy != "fusion" and len(q_list) == 1:
+                    with self.lock:
+                        results, info = self.engine.search_strategy(
+                            q_list[0], strategy, k)
+                    slim = [{kk: v for kk, v in r.items()
+                             if kk not in ("audio_data",)}
+                            for r in results]
+                    self._json({"results": slim, "weight_info": info})
+                    return
                 if len(q_list) > 1:   # repeated ?q= -> one batched dispatch
                     with self.lock:
                         batch = self.engine.search_batch(q_list, k)

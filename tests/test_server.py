@@ -217,3 +217,42 @@ def test_upload_limit_and_profile_endpoint(server, tmp_path):
     p = pathlib.Path(out["trace_dir"])
     assert p.exists() and str(p).startswith(str(data_root.resolve()))
     assert any(p.rglob("*")), "trace dir empty"
+
+
+def test_search_strategies_over_http(server, rng, tmp_path):
+    """Historical strategy surface over the production index
+    (streamlit_app_backup.py:62-66 dispatch, :1110-1133 compare-all)."""
+    server, _ = server
+    wave = (rng.normal(size=16000 * 8) * 0.3).astype(np.float32)
+    p = tmp_path / "s.wav"
+    write_wav(str(p), wave, 16000)
+    req = urllib.request.Request(
+        server + "/api/ingest?name=s.wav", data=p.read_bytes(),
+        method="POST")
+    urllib.request.urlopen(req, timeout=300).read()
+
+    for strat in ("fixed_5050", "dynamic_selection", "adaptive_weighting",
+                  "audio_only"):
+        st, out = _get(server + "/api/search?q=loud%20music&strategy="
+                       + strat)
+        assert st == 200
+        assert out["weight_info"]["strategy"] == strat
+        for r in out["results"]:
+            assert "fusion_score" in r and "index" in r
+            assert "audio_data" not in r
+
+    st, out = _get(server + "/api/search?q=drums&strategy=compare_all")
+    assert st == 200
+    per = out["weight_info"]["per_strategy"]
+    assert set(per) == {"audio_only", "fixed_5050", "dynamic_selection",
+                        "adaptive_weighting"}
+    for s, o in per.items():
+        assert len(o["top"]) == len(o["scores"])
+
+    # default stays the production fusion path
+    st, out = _get(server + "/api/search?q=drums&strategy=fusion")
+    assert st == 200 and "asr_weight" in out["weight_info"]
+    # UI carries the dropdown
+    with urllib.request.urlopen(server + "/", timeout=30) as r:
+        html = r.read().decode()
+    assert 'id="strategy"' in html and "compare_all" in html
