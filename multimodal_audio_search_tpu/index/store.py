@@ -168,6 +168,11 @@ class SegmentStore:
         past ~100k segments where decompress-on-load dominates cold start."""
         p = pathlib.Path(path)
         p.mkdir(parents=True, exist_ok=True)
+        # a full save supersedes any sharded layout in the directory
+        # (load() prefers the manifest, which would otherwise go stale)
+        (p / "manifest.json").unlink(missing_ok=True)
+        for f in p.glob("*.shard-*.np*"):
+            f.unlink()
         n = len(self.meta)
         if mmap:
             np.save(p / "emb.npy", self._emb[:n])
@@ -191,9 +196,100 @@ class SegmentStore:
                 [0 if a is None else len(a) for a in self._audio], np.int64)
             np.savez_compressed(p / "audio.npz", flat=flat, lens=lens)
 
+    def save_incremental(self, path: str | pathlib.Path) -> int:
+        """Append-only sharded persistence: write ONLY the rows added
+        since the last save to ``emb.shard-K.npy``/``success.shard-K.npy``
+        (+ ``audio.shard-K.npz``), append their meta lines, and update
+        ``manifest.json`` last (write-tmp + atomic rename), so a crash
+        mid-save leaves the previous manifest consistent. O(new rows) per
+        call where ``save()`` rewrites the whole store — the right
+        persistence for streaming ingest's periodic commits
+        (pipelines/streaming.py). Returns rows written.
+
+        A directory previously written by ``save()`` is not extendable —
+        call on a fresh directory (load() accepts either layout)."""
+        p = pathlib.Path(path)
+        p.mkdir(parents=True, exist_ok=True)
+        manifest = p / "manifest.json"
+        if not manifest.exists() and (p / "meta.jsonl").exists():
+            raise ValueError(
+                f"{p} holds a full-save layout; incremental save needs "
+                "a fresh directory (or keep using save())")
+        state = {"rows": 0, "shards": 0, "embed_dim": self.embed_dim,
+                 "keep_audio": self.keep_audio}
+        if manifest.exists():
+            state = json.loads(manifest.read_text())
+            if state["embed_dim"] != self.embed_dim:
+                raise ValueError("manifest embed_dim mismatch")
+        lo, n = state["rows"], len(self.meta)
+        if lo > n:
+            raise ValueError(
+                f"directory already holds {lo} rows > store's {n}; "
+                "incremental save can only append")
+        if lo == n:
+            return 0
+        k = state["shards"]
+        np.save(p / f"emb.shard-{k:05d}.npy", self._emb[lo:n])
+        np.save(p / f"success.shard-{k:05d}.npy", self._success[lo:n])
+        if self.keep_audio:
+            chunk = self._audio[lo:n]
+            flat = np.concatenate(
+                [a if a is not None else np.zeros(0, np.float32)
+                 for a in chunk]) if chunk else np.zeros(0, np.float32)
+            lens = np.array([0 if a is None else len(a) for a in chunk],
+                            np.int64)
+            np.savez_compressed(p / f"audio.shard-{k:05d}.npz",
+                                flat=flat, lens=lens)
+        with open(p / "meta.jsonl", "a") as f:
+            for row in self.meta[lo:n]:
+                f.write(json.dumps(row) + "\n")
+        state.update(rows=n, shards=k + 1)
+        tmp = p / "manifest.json.tmp"
+        tmp.write_text(json.dumps(state))
+        tmp.replace(manifest)
+        return n - lo
+
+    @classmethod
+    def _load_shards(cls, p: pathlib.Path) -> "SegmentStore":
+        state = json.loads((p / "manifest.json").read_text())
+        st = cls(embed_dim=int(state["embed_dim"]),
+                 keep_audio=bool(state.get("keep_audio", True)))
+        n = int(state["rows"])
+        st._cap = _next_pow2(max(n, 1))
+        st._emb = np.zeros((st._cap, 2, st.embed_dim), np.float32)
+        st._success = np.zeros((st._cap, 2), bool)
+        row = 0
+        for k in range(int(state["shards"])):
+            e = np.load(p / f"emb.shard-{k:05d}.npy")
+            st._emb[row: row + len(e)] = e
+            st._success[row: row + len(e)] = np.load(
+                p / f"success.shard-{k:05d}.npy")
+            if st.keep_audio and (p / f"audio.shard-{k:05d}.npz").exists():
+                za = np.load(p / f"audio.shard-{k:05d}.npz")
+                flat, lens = za["flat"], za["lens"]
+                offs = np.concatenate([[0], np.cumsum(lens)])
+                st._audio.extend(
+                    flat[offs[i]: offs[i + 1]].astype(np.float32)
+                    if lens[i] > 0 else None for i in range(len(lens)))
+            row += len(e)
+        with open(p / "meta.jsonl") as f:
+            st.meta = [json.loads(line) for line in f if line.strip()]
+        # the manifest is authoritative: a crash after shard write but
+        # before the manifest update leaves orphan rows to ignore
+        st.meta = st.meta[:n]
+        if not st.keep_audio:
+            st._audio = []
+        elif len(st._audio) < n:
+            st._audio.extend([None] * (n - len(st._audio)))
+        else:
+            st._audio = st._audio[:n]
+        return st
+
     @classmethod
     def load(cls, path: str | pathlib.Path) -> "SegmentStore":
         p = pathlib.Path(path)
+        if (p / "manifest.json").exists():    # append-only sharded format
+            return cls._load_shards(p)
         if (p / "emb.npy").exists():          # mmap format
             emb = np.load(p / "emb.npy", mmap_mode="r")
             ok = np.load(p / "success.npy", mmap_mode="r")

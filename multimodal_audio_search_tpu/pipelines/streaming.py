@@ -86,8 +86,19 @@ class StreamingIngest:
             tail, self._buf = self._buf, np.zeros(0, np.float32)
             if self._rate is None or len(tail) < int(
                     self.cfg.segment.min_segment_seconds * self._rate):
-                return []
-            return self._commit(tail)
+                records = []
+            else:
+                records = self._commit(tail)
+            # final autosave: don't leave a sub-threshold remainder
+            # unsaved when the stream ends
+            if (self.autosave_path is not None and self.autosave_every > 0
+                    and self._since_save > 0):
+                try:
+                    self.store.save_incremental(self.autosave_path)
+                except ValueError:
+                    self.store.save(self.autosave_path)
+                self._since_save = 0
+            return records
 
     def _commit(self, wave: np.ndarray) -> list[dict]:
         offset_s = self._consumed / self._rate
@@ -101,7 +112,13 @@ class StreamingIngest:
         self._since_save += len(records)
         if (self.autosave_path is not None and self.autosave_every > 0
                 and self._since_save >= self.autosave_every):
-            self.store.save(self.autosave_path)
+            # append-only shard write (O(new rows)); falls back to a full
+            # rewrite when the directory/store can't be extended (full-
+            # save layout, or rows were deleted since the last save)
+            try:
+                self.store.save_incremental(self.autosave_path)
+            except ValueError:
+                self.store.save(self.autosave_path)
             self._since_save = 0
         return records
 
