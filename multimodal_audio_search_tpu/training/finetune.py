@@ -33,12 +33,35 @@ class TrainConfig:
     b2: float = 0.98
     grad_clip: float = 1.0
     label_smoothing: float = 0.0
+    # LR schedule: "constant", or "warmup_cosine" (linear warmup ->
+    # cosine decay to end_lr_frac * learning_rate over total_steps —
+    # the standard production fine-tuning schedule)
+    schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: int = 10_000
+    end_lr_frac: float = 0.1
+
+
+def make_schedule(cfg: TrainConfig):
+    """Returns an optax schedule (callable step -> lr)."""
+    if cfg.schedule == "constant":
+        if cfg.warmup_steps > 0:
+            return optax.linear_schedule(
+                0.0, cfg.learning_rate, cfg.warmup_steps)
+        return optax.constant_schedule(cfg.learning_rate)
+    if cfg.schedule == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.learning_rate,
+            warmup_steps=max(cfg.warmup_steps, 1),
+            decay_steps=cfg.total_steps,
+            end_value=cfg.learning_rate * cfg.end_lr_frac)
+    raise ValueError(f"unknown schedule {cfg.schedule!r}")
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2,
+        optax.adamw(make_schedule(cfg), b1=cfg.b1, b2=cfg.b2,
                     weight_decay=cfg.weight_decay),
     )
 

@@ -74,3 +74,29 @@ def test_prefetch_loader_order_and_errors():
 
     chunks = list(batched(list(range(7)), 3, tuple))
     assert chunks == [(0, 1, 2), (3, 4, 5), (6,)]
+
+
+def test_lr_schedules():
+    """warmup_cosine: 0 at step 0, peak after warmup, decays to
+    end_lr_frac * peak; constant+warmup ramps linearly."""
+    from multimodal_audio_search_tpu.training.finetune import (
+        TrainConfig, make_schedule)
+    import numpy as np
+
+    cfg = TrainConfig(learning_rate=1e-3, schedule="warmup_cosine",
+                      warmup_steps=10, total_steps=100, end_lr_frac=0.1)
+    s = make_schedule(cfg)
+    assert float(s(0)) == pytest.approx(0.0, abs=1e-9)
+    assert float(s(10)) == pytest.approx(1e-3, rel=1e-6)
+    assert float(s(100)) == pytest.approx(1e-4, rel=1e-3)
+    mid = float(s(55))
+    assert 1e-4 < mid < 1e-3
+
+    warm = make_schedule(TrainConfig(learning_rate=1e-3,
+                                     warmup_steps=4))
+    assert float(warm(2)) == pytest.approx(5e-4, rel=1e-6)
+    assert float(warm(4)) == pytest.approx(1e-3, rel=1e-6)
+    const = make_schedule(TrainConfig(learning_rate=1e-3))
+    assert float(const(0)) == float(const(999)) == pytest.approx(1e-3)
+    with pytest.raises(ValueError):
+        make_schedule(TrainConfig(schedule="nope"))
