@@ -316,6 +316,11 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
 
 
 def main() -> None:
+    # opt-in persistent compilation cache (MAS_COMPILE_CACHE=<dir>);
+    # default off so the driver's recorded run keeps stock behavior
+    from multimodal_audio_search_tpu.utils.compile_cache import (
+        enable_from_env)
+    enable_from_env()
     import jax
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"

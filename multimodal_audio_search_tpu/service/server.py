@@ -503,6 +503,8 @@ def serve(
     data_root: str | os.PathLike | None = None,
     api_token: str | None = None,
 ) -> ThreadingHTTPServer:
+    from ..utils.compile_cache import enable_from_env
+    enable_from_env()                   # MAS_COMPILE_CACHE=<dir> opt-in
     engine = engine or AudioSearchEngine()
     engine.load_all_models(warmup=warmup)
     root = Path(data_root if data_root is not None
