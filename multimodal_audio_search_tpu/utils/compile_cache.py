@@ -23,12 +23,24 @@ import os
 import pathlib
 
 
-def enable(path: str | os.PathLike) -> str:
+def enable(path: str | os.PathLike) -> str | None:
     """Enable the persistent compilation cache at ``path``. Safe to call
-    more than once and at any point before (or between) compilations."""
+    more than once and at any point before (or between) compilations.
+
+    Refuses on the experimental `axon` tunneled-TPU backend: measured
+    twice on this rig, JAX's executable serialization DEADLOCKS the
+    remote server (compiles hang minutes to ~45 min until the session
+    resets). Real TPU/GPU/CPU backends are fine."""
+    import jax
+    d = jax.devices()[0]
+    if "axon" in getattr(d.client, "platform_version", "").lower():
+        import warnings
+        warnings.warn("MAS_COMPILE_CACHE: persistent compilation cache "
+                      "deadlocks the axon backend; not enabling",
+                      stacklevel=2)
+        return None
     target = pathlib.Path(path).expanduser()
     target.mkdir(parents=True, exist_ok=True)
-    import jax
     jax.config.update("jax_compilation_cache_dir", str(target))
     # cache everything with noticeable compile time; tiny programs
     # recompile faster than a cache round-trip
