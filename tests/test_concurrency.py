@@ -101,3 +101,68 @@ def test_concurrent_ingest_and_search(server, rng, tmp_path):
     assert len(eng.store) == sum(ingested)
     # store arrays and metadata agree
     assert eng.store.embeddings.shape[0] == len(eng.store.meta)
+
+
+def test_concurrent_delete_ingest_search(server, rng, tmp_path):
+    """Deletion compaction racing ingest + search under the server's
+    single-writer lock: no torn reads, exact final accounting."""
+    url, eng = server
+    p = tmp_path / "dw.wav"
+    write_wav(str(p), (rng.normal(size=16000 * 4) * 0.3)
+              .astype(np.float32), 16000)
+    data = p.read_bytes()
+    errors: list[str] = []
+    removed: list[int] = []
+    kept_new: list[int] = []
+
+    def do_ingest(i, name):
+        try:
+            req = urllib.request.Request(
+                f"{url}/api/ingest?name={name}", data=data, method="POST")
+            with urllib.request.urlopen(req, timeout=300) as r:
+                kept_new.append(len(json.loads(r.read())["segments"]))
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"ingest {i}: {e}")
+
+    def do_delete(i):
+        try:
+            req = urllib.request.Request(
+                f"{url}/api/delete?source=victim{i}", method="POST")
+            with urllib.request.urlopen(req, timeout=300) as r:
+                removed.append(json.loads(r.read())["removed"])
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"delete {i}: {e}")
+
+    def do_search(i):
+        try:
+            with urllib.request.urlopen(
+                    f"{url}/api/search?q=probe+{i}", timeout=300) as r:
+                body = json.loads(r.read())
+            for hit in body["results"]:
+                assert "fusion_score" in hit
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"search {i}: {e}")
+
+    # seed victims to delete
+    for i in range(3):
+        do_ingest(i, f"victim{i}")
+    victims = sum(kept_new)
+    kept_new.clear()
+
+    threads = [threading.Thread(target=do_ingest, args=(10 + i, f"keep{i}"))
+               for i in range(3)]
+    threads += [threading.Thread(target=do_delete, args=(i,))
+                for i in range(3)]
+    threads += [threading.Thread(target=do_search, args=(i,))
+                for i in range(6)]
+    before = len(eng.store)
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert sum(removed) == victims
+    assert len(eng.store) == before - victims + sum(kept_new)
+    assert eng.store.embeddings.shape[0] == len(eng.store.meta)
+    assert not any(r["source"].startswith("victim")
+                   for r in eng.store.meta)
