@@ -319,6 +319,11 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                 q_list = qs.get("q", [""])
                 k = int(qs.get("k", ["10"])[0])
                 strategy = qs.get("strategy", ["fusion"])[0]
+                if strategy != "fusion" and len(q_list) > 1:
+                    self._json({"error": "strategy search is "
+                                "single-query; repeat ?q= only with "
+                                "the default fusion strategy"}, 400)
+                    return
                 if strategy != "fusion" and len(q_list) == 1:
                     with self.lock:
                         results, info = self.engine.search_strategy(

@@ -256,3 +256,12 @@ def test_search_strategies_over_http(server, rng, tmp_path):
     with urllib.request.urlopen(server + "/", timeout=30) as r:
         html = r.read().decode()
     assert 'id="strategy"' in html and "compare_all" in html
+
+
+def test_batched_query_with_strategy_rejected(server):
+    server, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(
+            server + "/api/search?q=a&q=b&strategy=audio_only",
+            timeout=30)
+    assert e.value.code == 400
