@@ -100,8 +100,13 @@ class DecodeConfig:
     cross_attn: str = "auto"
     # route the decode self sub-block (LN + q/k/v + cache write +
     # attention + o-proj + residual) through one Pallas kernel per layer
-    # (ops/decoder_block.py); opt-in while maturing
-    fused_layer: bool = False
+    # (ops/decoder_block.py); opt-in while maturing. "v2" additionally
+    # folds the cross-LN/q-proj into the self kernel and the cross
+    # o-proj/residual into the MLP kernel (3 kernels + 2 cache writes
+    # per layer, nothing else) — measured EQUAL to True at whisper-base
+    # (0.850 vs 0.838 ms/step, B=64/10 s): the per-step residue is not
+    # XLA op overhead (docs/BENCHMARKS.md)
+    fused_layer: bool | str = False
 
 
 def asr_parity_decode() -> DecodeConfig:

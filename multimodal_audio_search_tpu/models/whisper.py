@@ -356,7 +356,46 @@ def decode_step(
     x = x.astype(cache[0]["k"].dtype)
     new_cache = []
     fused_layer = fused_layer and x.shape[0] % 8 == 0
+    # v2 folds the WHOLE layer into 3 kernels: self block also emits the
+    # cross query (cross-LN + q-proj tail), the cross kernel consumes it
+    # directly, and the MLP kernel starts with the cross o-proj +
+    # residual — leaving only the two cache-row writes as XLA ops.
+    # Requires the merged-head cross K/V format.
+    v2 = (fused_layer == "v2"
+          and len(ckv[0]) == 2 and ckv[0][0].ndim == 3)
     for blk, layer_cache, ckv_entry in zip(dec["blocks"], cache, ckv):
+        if v2:
+            from ..ops.cross_attention import (
+                fused_single_query_attention)
+            from ..ops.decoder_block import (
+                fused_mlp_block_o, fused_self_block_q)
+            a = blk["self_attn"]
+            c = blk["cross_attn"]
+            interpret = jax.devices()[0].platform != "tpu"
+            x1, k1, v1, qc = fused_self_block_q(
+                x[:, 0, :],
+                blk["self_ln"]["scale"], blk["self_ln"]["bias"],
+                a["q"]["w"], a["q"]["b"], a["k"]["w"],
+                a["v"]["w"], a["v"]["b"], a["o"]["w"], a["o"]["b"],
+                blk["cross_ln"]["scale"], blk["cross_ln"]["bias"],
+                c["q"]["w"], c["q"]["b"],
+                layer_cache["k"], layer_cache["v"], pos,
+                heads=cfg.heads, eps=cfg.ln_eps, interpret=interpret)
+            k = jax.lax.dynamic_update_slice(
+                layer_cache["k"], k1[:, None, :], (0, pos, 0))
+            v = jax.lax.dynamic_update_slice(
+                layer_cache["v"], v1[:, None, :], (0, pos, 0))
+            new_cache.append({"k": k, "v": v})
+            k_m, v_m = ckv_entry
+            attn = fused_single_query_attention(
+                qc, k_m, v_m, heads=cfg.heads, interpret=interpret)
+            x = fused_mlp_block_o(
+                x1, attn, c["o"]["w"], c["o"]["b"],
+                blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"],
+                blk["mlp_in"]["w"], blk["mlp_in"]["b"],
+                blk["mlp_out"]["w"], blk["mlp_out"]["b"],
+                eps=cfg.ln_eps, interpret=interpret)[:, None, :]
+            continue
         if fused_layer:
             from ..ops.decoder_block import fused_self_block
             a = blk["self_attn"]

@@ -36,11 +36,11 @@ from .cross_attention import KV_BUDGET_BYTES
 BC = 8
 
 
-def _self_block_kernel(pos_ref, x_ref, g1_ref, b1_ref, wq_ref, bq_ref,
-                       wk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
-                       kin_ref, vin_ref,
-                       xo_ref, k1_ref, v1_ref, *,
-                       scale: float, heads: int, d: int, eps: float):
+def _self_block_body(pos_ref, x_ref, g1_ref, b1_ref, wq_ref, bq_ref,
+                     wk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+                     kin_ref, vin_ref, *,
+                     scale: float, heads: int, d: int, eps: float):
+    """Shared self sub-block math; returns (x_out f32 [BC, D], k1, v1)."""
     bc, l, hd = kin_ref.shape
     pos = pos_ref[0, 0]
     x = x_ref[...].astype(jnp.float32)                         # [BC, D]
@@ -69,8 +69,6 @@ def _self_block_kernel(pos_ref, x_ref, g1_ref, b1_ref, wq_ref, bq_ref,
     # STALE cache rows (< pos) and adds the fresh row's term in closed
     # form: its logit is the per-head dot q1.k1, computed for all heads
     # at once as (q1*k1) @ blockmask.
-    k1_ref[...] = k1
-    v1_ref[...] = v1
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 1)
@@ -122,7 +120,50 @@ def _self_block_kernel(pos_ref, x_ref, g1_ref, b1_ref, wq_ref, bq_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) \
         + bo_ref[0].astype(jnp.float32)
-    xo_ref[...] = (x + o).astype(xo_ref.dtype)
+    return x + o, k1, v1
+
+
+def _self_block_kernel(pos_ref, x_ref, g1_ref, b1_ref, wq_ref, bq_ref,
+                       wk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+                       kin_ref, vin_ref,
+                       xo_ref, k1_ref, v1_ref, *,
+                       scale: float, heads: int, d: int, eps: float):
+    xo, k1, v1 = _self_block_body(
+        pos_ref, x_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, wv_ref,
+        bv_ref, wo_ref, bo_ref, kin_ref, vin_ref,
+        scale=scale, heads=heads, d=d, eps=eps)
+    k1_ref[...] = k1
+    v1_ref[...] = v1
+    xo_ref[...] = xo.astype(xo_ref.dtype)
+
+
+def _self_block_q_kernel(pos_ref, x_ref, g1_ref, b1_ref, wq_ref, bq_ref,
+                         wk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+                         kin_ref, vin_ref,
+                         g2_ref, b2_ref, wcq_ref, bcq_ref,
+                         xo_ref, k1_ref, v1_ref, qc_ref, *,
+                         scale: float, heads: int, d: int, eps: float):
+    """v2 tail: also emit the NEXT sub-block's query — cross-LN + cross
+    q-projection on the self output, removing those XLA ops from the
+    per-step graph (wcq adds 0.5 MB of resident VMEM weights)."""
+    xo, k1, v1 = _self_block_body(
+        pos_ref, x_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, wv_ref,
+        bv_ref, wo_ref, bo_ref, kin_ref, vin_ref,
+        scale=scale, heads=heads, d=d, eps=eps)
+    k1_ref[...] = k1
+    v1_ref[...] = v1
+    xo_ref[...] = xo.astype(xo_ref.dtype)
+    mu = jnp.mean(xo, axis=-1, keepdims=True)
+    var = jnp.mean((xo - mu) ** 2, axis=-1, keepdims=True)
+    h2 = ((xo - mu) * jax.lax.rsqrt(var + eps)
+          * g2_ref[0].astype(jnp.float32)
+          + b2_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+    qc = jax.lax.dot_general(
+        h2, wcq_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + bcq_ref[0].astype(jnp.float32)
+    qc_ref[...] = qc.astype(qc_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -191,6 +232,158 @@ def fused_self_block(
       wk.astype(x.dtype), wv.astype(x.dtype), vec(bv),
       wo.astype(x.dtype), vec(bo), k_cache, v_cache)
     return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "eps", "interpret"))
+def fused_self_block_q(
+    x: jnp.ndarray,        # [B, D]
+    ln_g: jnp.ndarray, ln_b: jnp.ndarray,
+    wq: jnp.ndarray, bq: jnp.ndarray,
+    wk: jnp.ndarray,
+    wv: jnp.ndarray, bv: jnp.ndarray,
+    wo: jnp.ndarray, bo: jnp.ndarray,
+    cross_ln_g: jnp.ndarray, cross_ln_b: jnp.ndarray,
+    wcq: jnp.ndarray, bcq: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    pos: jnp.ndarray,
+    *,
+    heads: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """fused_self_block + the next sub-block's cross-LN + q-projection in
+    the same kernel. Returns (x_out, k1, v1, q_cross [B, D])."""
+    b, hd = x.shape
+    l = k_cache.shape[1]
+    d = hd // heads
+    scale = 1.0 / math.sqrt(d)
+    assert b % BC == 0, "decode batches are power-of-two bucketed (>=8)"
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1, 1)
+    vec = lambda a: a.reshape(1, hd).astype(x.dtype)  # noqa: E731
+    kernel = functools.partial(_self_block_q_kernel, scale=scale,
+                               heads=heads, d=d, eps=eps)
+    row = lambda i: (i, 0)          # noqa: E731
+    full = lambda i: (0, 0)         # noqa: E731
+    wspec = pl.BlockSpec((hd, hd), full, memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, hd), full, memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((BC, hd), row, memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // BC,),
+        in_specs=[
+            pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+            rspec, vspec, vspec, wspec, vspec, wspec, wspec, vspec,
+            wspec, vspec,
+            pl.BlockSpec((BC, l, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC, l, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vspec, vspec, wspec, vspec,
+        ],
+        out_specs=(rspec, rspec, rspec, rspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hd), x.dtype),
+            jax.ShapeDtypeStruct((b, hd), k_cache.dtype),
+            jax.ShapeDtypeStruct((b, hd), v_cache.dtype),
+            jax.ShapeDtypeStruct((b, hd), x.dtype),
+        ),
+        interpret=interpret,
+    )(pos_arr, x, vec(ln_g), vec(ln_b), wq.astype(x.dtype), vec(bq),
+      wk.astype(x.dtype), wv.astype(x.dtype), vec(bv),
+      wo.astype(x.dtype), vec(bo), k_cache, v_cache,
+      vec(cross_ln_g), vec(cross_ln_b), wcq.astype(x.dtype), vec(bcq))
+    return out
+
+
+def _mlp_o_kernel(x_ref, attn_ref, wco_ref, bco_ref,
+                  g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  xo_ref, *, eps: float):
+    """v2: cross o-projection + residual folded in front of the MLP
+    sub-block — x = x_prev + attn @ wco + bco, then x + MLP(LN(x))."""
+    x = x_ref[...].astype(jnp.float32)                          # [R, D]
+    x = x + jax.lax.dot_general(
+        attn_ref[...], wco_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + bco_ref[0].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    h = ((x - mu) * jax.lax.rsqrt(var + eps)
+         * g_ref[0].astype(jnp.float32)
+         + b_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+    u = jax.lax.dot_general(
+        h, w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + b1_ref[0].astype(jnp.float32)                         # [R, F]
+    z = u / jnp.sqrt(2.0).astype(u.dtype)
+    s = jnp.sign(z)
+    az = jnp.abs(z)
+    tt = 1.0 / (1.0 + 0.3275911 * az)
+    poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
+        1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
+    erf = s * (1.0 - poly * jnp.exp(-az * az))
+    u = 0.5 * u * (1.0 + erf)
+    y = jax.lax.dot_general(
+        u.astype(x_ref.dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + b2_ref[0].astype(jnp.float32)
+    xo_ref[...] = (x + y).astype(xo_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_mlp_block_o(
+    x: jnp.ndarray,                                # [B, D] (pre-cross-o)
+    attn: jnp.ndarray,                             # [B, D] merged attn
+    wco: jnp.ndarray, bco: jnp.ndarray,            # cross o-projection
+    ln_g: jnp.ndarray, ln_b: jnp.ndarray,
+    w1: jnp.ndarray, b1: jnp.ndarray,
+    w2: jnp.ndarray, b2: jnp.ndarray,
+    *,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """cross o-proj + residual + LN + MLP + residual in ONE all-rows
+    kernel (v2 of fused_mlp_block; +0.5 MB resident wco)."""
+    b, hd = x.shape
+    f = w1.shape[1]
+    rows = b
+    while rows > 8 and (2 * hd * f * 2 + hd * hd * 2
+                        + rows * f * 4
+                        + 5 * rows * hd * 4) > KV_BUDGET_BYTES:
+        rows //= 2
+    assert b % rows == 0
+    dt = x.dtype
+    vec = lambda a, n: a.reshape(1, n).astype(dt)   # noqa: E731
+    full2 = lambda i: (0, 0)                        # noqa: E731
+    kernel = functools.partial(_mlp_o_kernel, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, hd), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, hd), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, f), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, hd), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), full2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, hd), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hd), dt),
+        interpret=interpret,
+    )(x, attn.astype(dt), wco.astype(dt), vec(bco, hd),
+      vec(ln_g, hd), vec(ln_b, hd), w1.astype(dt), vec(b1, f),
+      w2.astype(dt), vec(b2, hd))
 
 
 def _cross_mlp_kernel(x_ref, g2_ref, b2_ref, wcq_ref, bcq_ref,

@@ -248,3 +248,29 @@ def test_fused_mlp_block_correct(rng):
                       L.gelu(L.dense(blk["mlp_in"], h)))[:, 0, :]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=3e-5, rtol=1e-5)
+
+
+def test_fused_layer_v2_token_exact(rng):
+    """fused_layer='v2' (self+cross-q kernel, cross kernel on the emitted
+    query, o-proj+MLP kernel) must match the unfused path token-for-token
+    (f32, interpret). Requires the merged-head cross K/V format."""
+    cfg = tiny_cfg()
+    params = W.init_params(jax.random.PRNGKey(2), cfg)
+    enc_out = jnp.asarray(rng.normal(size=(8, 40, cfg.d_model)),
+                          jnp.float32)
+    prefix = jnp.tile(jnp.asarray(W.forced_prefix(cfg), jnp.int32),
+                      (8, 1))
+    base = generate(
+        params, enc_out, prefix,
+        cfg=cfg, decode=DecodeConfig(method="greedy", max_new_tokens=10,
+                                     cross_attn="einsum",
+                                     fused_layer=False),
+        prefix_len=prefix.shape[1], max_new_tokens=10)
+    v2 = generate(
+        params, enc_out, prefix,
+        cfg=cfg, decode=DecodeConfig(method="greedy", max_new_tokens=10,
+                                     cross_attn="fused",
+                                     fused_layer="v2"),
+        prefix_len=prefix.shape[1], max_new_tokens=10)
+    np.testing.assert_array_equal(np.asarray(base.tokens),
+                                  np.asarray(v2.tokens))
