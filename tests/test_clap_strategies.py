@@ -1,3 +1,5 @@
+import zlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -86,7 +88,7 @@ def test_quality_adaptive_search(rng):
         out = np.zeros((len(texts), d), np.float32)
         for i, t in enumerate(texts):
             for w in t.lower().split():
-                out[i, hash(w) % d] += 1.0
+                out[i, zlib.crc32(w.encode()) % d] += 1.0
             n = np.linalg.norm(out[i])
             if n:
                 out[i] /= n

@@ -1,3 +1,5 @@
+import zlib
+
 import numpy as np
 import pytest
 
@@ -135,7 +137,7 @@ def test_search_batch_matches_singles(rng):
     def hash_embed(texts):
         out = []
         for t in texts:
-            h = abs(hash(t)) % 40
+            h = zlib.crc32(t.encode()) % 40
             out.append(emb[h, 0])
         return np.stack(out)
 
