@@ -137,6 +137,10 @@ class FusionConfig:
     mixed_span: float = 0.6
     relevance_threshold: float = 0.1      # audio_search.py:672
     top_k: int = 10                       # audio_search.py:699
+    # device index dtype: "float32" (default; exact top-k parity) or
+    # "bfloat16" (halves per-query HBM traffic; close-rank ties may
+    # flip — quantify with tools/compare_modes.py)
+    index_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -247,6 +251,7 @@ def config_from_env(base: EngineConfig | None = None) -> EngineConfig:
     fusion = dataclasses.replace(
         cfg.fusion,
         top_k=env("TOP_K", int, cfg.fusion.top_k),
+        index_dtype=env("INDEX_DTYPE", str, cfg.fusion.index_dtype),
         relevance_threshold=env("THRESHOLD", float,
                                 cfg.fusion.relevance_threshold))
     max_new = env("MAX_NEW_TOKENS", int, None)

@@ -97,7 +97,8 @@ class FusionSearcher:
         if getattr(self, "_batched", None) is None:
             self._batched = self._build_batched(self.embed_fn)
         was = [self.analyzer(q) for q in queries]
-        emb, ok = self.store.device_index()
+        emb, ok = self.store.device_index(
+            getattr(self.cfg, "index_dtype", "float32"))
         t0 = time.perf_counter()
         if self._batched is not None:
             program, embedder = self._batched
@@ -164,7 +165,8 @@ class FusionSearcher:
         k = k or self.cfg.top_k
         t0 = time.perf_counter()
         wa = self.analyzer(query)
-        emb, ok = self.store.device_index()
+        emb, ok = self.store.device_index(
+            getattr(self.cfg, "index_dtype", "float32"))
         if self._combined is not None:
             program, embedder = self._combined
             ids, mask = embedder.tokenizer.encode(

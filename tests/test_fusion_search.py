@@ -212,3 +212,35 @@ def test_engine_search_batch_and_http(rng):
         assert out["batch"][0]["weight_info"]["query"] == "music with drums"
     finally:
         srv.shutdown()
+
+
+def test_index_dtype_plumbing(rng):
+    """FusionConfig.index_dtype routes the searcher's device index (the
+    bf16 perf lever was previously reachable only by hand)."""
+    import jax.numpy as jnp
+
+    from multimodal_audio_search_tpu.config import FusionConfig
+    from multimodal_audio_search_tpu.index.search import FusionSearcher
+    from multimodal_audio_search_tpu.index.store import SegmentStore
+
+    d = 16
+
+    def embed(texts):
+        out = rng.normal(size=(len(texts), d)).astype(np.float32)
+        return out / np.linalg.norm(out, axis=-1, keepdims=True)
+
+    store = SegmentStore(embed_dim=d, keep_audio=False)
+    for i in range(12):
+        e = rng.normal(size=d)
+        store.add({"asr_text": f"t{i}", "audio_description": f"c{i}",
+                   "start_time": float(i), "source": "s"}, e, e)
+    s16 = FusionSearcher(store, embed,
+                         cfg=FusionConfig(index_dtype="bfloat16"))
+    hits, _ = s16("query words")
+    emb, _ = store.device_index("bfloat16")
+    assert emb.dtype == jnp.bfloat16
+    assert len(hits) > 0
+    s32 = FusionSearcher(store, embed)
+    emb32, _ = store.device_index("float32")   # cfg default refreshes
+    hits32, _ = s32("query words")
+    assert emb32.dtype == jnp.float32 and len(hits32) > 0
