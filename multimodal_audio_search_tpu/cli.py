@@ -21,14 +21,21 @@ def _engine(args):
     eng = AudioSearchEngine(cfg=config_from_env())
     if args.index:
         import pathlib
-        if (pathlib.Path(args.index) / "embeddings.npz").exists():
+        root = pathlib.Path(args.index)
+        # any persisted layout: compressed npz, raw-mmap, or sharded
+        if any((root / f).exists() for f in
+               ("embeddings.npz", "emb.npy", "manifest.json")):
             eng.load_index(args.index)
     return eng
 
 
 def main(argv: list[str] | None = None) -> int:
     common = argparse.ArgumentParser(add_help=False)
-    common.add_argument("--index", default=None,
+    # SUPPRESS: the option is accepted both before and after the
+    # subcommand; a subparser's default must not clobber a value the
+    # main parser already bound (argparse sets subparser defaults
+    # unconditionally on this Python)
+    common.add_argument("--index", default=argparse.SUPPRESS,
                         help="index directory to load/save")
     p = argparse.ArgumentParser(prog="multimodal_audio_search_tpu",
                                 parents=[common])
@@ -41,6 +48,14 @@ def main(argv: list[str] | None = None) -> int:
     ps = sub.add_parser("search", parents=[common], help="fusion search")
     ps.add_argument("query")
     ps.add_argument("-k", type=int, default=10)
+    ps.add_argument("--strategy", default="fusion",
+                    help="fusion (default) | fixed_5050 | "
+                         "dynamic_selection | adaptive_weighting | "
+                         "audio_only | compare_all")
+
+    pd = sub.add_parser("delete", parents=[common],
+                        help="remove one source's segments from the index")
+    pd.add_argument("source")
 
     pv = sub.add_parser("serve", parents=[common],
                         help="run the HTTP service + UI")
@@ -50,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("stats", parents=[common], help="print stats JSON")
 
     args = p.parse_args(argv)
+    args.index = getattr(args, "index", None)
 
     if args.cmd == "serve":
         from .service.server import serve
@@ -65,13 +81,24 @@ def main(argv: list[str] | None = None) -> int:
             eng.save_index(args.index)
             print(f"saved index to {args.index}")
     elif args.cmd == "search":
-        results, info = eng.search(args.query, args.k)
+        if args.strategy != "fusion":
+            results, info = eng.search_strategy(
+                args.query, args.strategy, args.k)
+        else:
+            results, info = eng.search(args.query, args.k)
         print(json.dumps({
             "weight_info": info,
             "results": [
                 {k: v for k, v in r.items()
                  if k not in ("audio_data",)} for r in results],
         }, indent=2, default=str))
+    elif args.cmd == "delete":
+        removed = eng.delete_source(args.source)
+        print(f"removed {removed} segment(s) "
+              f"(index total {len(eng.store)})")
+        if args.index and removed:
+            eng.save_index(args.index)
+            print(f"saved index to {args.index}")
     elif args.cmd == "stats":
         print(eng.export_stats_json())
     return 0
