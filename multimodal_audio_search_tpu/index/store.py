@@ -42,6 +42,10 @@ class SegmentStore:
         self._success = np.zeros((self._cap, 2), bool)
         self._audio: list[np.ndarray | None] = []
         self._device_view: tuple[int, Any, Any] | None = None  # (cap, emb, ok)
+        # bumped on every compaction; save_incremental records it in the
+        # manifest so a deleted-then-regrown store can't silently append
+        # to a stale on-disk prefix
+        self._compactions = 0
 
     def __len__(self) -> int:
         return len(self.meta)
@@ -115,6 +119,7 @@ class SegmentStore:
             self._audio = [self._audio[i] for i in keep
                            if i < len(self._audio)]
         self._device_view = None
+        self._compactions += 1
         return removed
 
     def delete_source(self, source_name: str) -> int:
@@ -216,11 +221,19 @@ class SegmentStore:
                 f"{p} holds a full-save layout; incremental save needs "
                 "a fresh directory (or keep using save())")
         state = {"rows": 0, "shards": 0, "embed_dim": self.embed_dim,
-                 "keep_audio": self.keep_audio}
+                 "keep_audio": self.keep_audio,
+                 "compactions": self._compactions}
         if manifest.exists():
             state = json.loads(manifest.read_text())
             if state["embed_dim"] != self.embed_dim:
                 raise ValueError("manifest embed_dim mismatch")
+            if state.get("compactions", 0) != self._compactions:
+                # rows were deleted since the last save: the on-disk
+                # prefix no longer matches this store's rows 0..lo, so
+                # appending would corrupt; caller must full-save
+                raise ValueError(
+                    "store was compacted since the last incremental "
+                    "save; use save() to rewrite")
         lo, n = state["rows"], len(self.meta)
         if lo > n:
             raise ValueError(
@@ -243,7 +256,8 @@ class SegmentStore:
         with open(p / "meta.jsonl", "a") as f:
             for row in self.meta[lo:n]:
                 f.write(json.dumps(row) + "\n")
-        state.update(rows=n, shards=k + 1)
+        state.update(rows=n, shards=k + 1,
+                     compactions=self._compactions)
         tmp = p / "manifest.json.tmp"
         tmp.write_text(json.dumps(state))
         tmp.replace(manifest)
@@ -254,6 +268,7 @@ class SegmentStore:
         state = json.loads((p / "manifest.json").read_text())
         st = cls(embed_dim=int(state["embed_dim"]),
                  keep_audio=bool(state.get("keep_audio", True)))
+        st._compactions = int(state.get("compactions", 0))
         n = int(state["rows"])
         st._cap = _next_pow2(max(n, 1))
         st._emb = np.zeros((st._cap, 2, st.embed_dim), np.float32)

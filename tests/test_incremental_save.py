@@ -57,6 +57,32 @@ def test_crash_between_shard_and_manifest(rng, tmp_path):
     assert len(SegmentStore.load(p)) == 6
 
 
+def test_delete_then_regrow_refuses_incremental(rng, tmp_path):
+    """The corruption window: save 4 rows, delete 2, add 3 — the store
+    is BIGGER than the saved prefix but its early rows no longer match
+    the disk. The compaction counter in the manifest must force a
+    refusal (streaming autosave then falls back to a full rewrite)."""
+    st = SegmentStore(embed_dim=8)
+    _add(st, 2, rng, src="a")
+    _add(st, 2, rng, src="b")
+    p = tmp_path / "idx"
+    st.save_incremental(p)
+    st.delete_source("a")                  # rows shift: disk prefix stale
+    _add(st, 3, rng, src="c")              # regrow past the saved count
+    assert len(st) == 5
+    with pytest.raises(ValueError):
+        st.save_incremental(p)
+    st.save(p)                             # full rewrite is the recovery
+    st2 = SegmentStore.load(p)
+    assert [r["source"] for r in st2.meta] == ["b", "b", "c", "c", "c"]
+    # and incremental works again on a fresh sharded dir
+    p2 = tmp_path / "idx2"
+    assert st.save_incremental(p2) == 5
+    _add(st, 1, rng, src="d")
+    assert st.save_incremental(p2) == 1
+    assert len(SegmentStore.load(p2)) == 6
+
+
 def test_full_save_supersedes_shards(rng, tmp_path):
     st = SegmentStore(embed_dim=8)
     p = tmp_path / "idx"
