@@ -200,6 +200,11 @@ class SegmentStore:
             lens = np.array(
                 [0 if a is None else len(a) for a in self._audio], np.int64)
             np.savez_compressed(p / "audio.npz", flat=flat, lens=lens)
+        else:
+            # no waveforms any more (keep_audio off, or delete_where
+            # removed every row that had audio): a stale audio.npz from a
+            # previous save would attach wrong waveforms to the new rows
+            (p / "audio.npz").unlink(missing_ok=True)
 
     def save_incremental(self, path: str | pathlib.Path) -> int:
         """Append-only sharded persistence: write ONLY the rows added
@@ -241,6 +246,24 @@ class SegmentStore:
                 "incremental save can only append")
         if lo == n:
             return 0
+        # A crash between the meta append and the manifest rename leaves
+        # orphan meta lines past the committed row count. They must be
+        # dropped BEFORE appending: _load_shards takes meta[:rows], so
+        # orphans would otherwise shadow the newly committed rows with
+        # stale metadata. The manifest records the committed byte length
+        # (meta_bytes) so the truncate is O(1); legacy manifests without
+        # it fall back to a one-time line-count rewrite.
+        meta_path = p / "meta.jsonl"
+        if meta_path.exists():
+            committed = state.get("meta_bytes")
+            if committed is not None:
+                if meta_path.stat().st_size != committed:
+                    with open(meta_path, "r+b") as f:
+                        f.truncate(committed)
+            else:
+                lines = meta_path.read_text().splitlines(keepends=True)
+                if len(lines) != lo:
+                    meta_path.write_text("".join(lines[:lo]))
         k = state["shards"]
         np.save(p / f"emb.shard-{k:05d}.npy", self._emb[lo:n])
         np.save(p / f"success.shard-{k:05d}.npy", self._success[lo:n])
@@ -257,7 +280,8 @@ class SegmentStore:
             for row in self.meta[lo:n]:
                 f.write(json.dumps(row) + "\n")
         state.update(rows=n, shards=k + 1,
-                     compactions=self._compactions)
+                     compactions=self._compactions,
+                     meta_bytes=meta_path.stat().st_size)
         tmp = p / "manifest.json.tmp"
         tmp.write_text(json.dumps(state))
         tmp.replace(manifest)

@@ -136,8 +136,12 @@ class DualPipelineIngest:
                 lut = _mulaw_lut()
                 for i, w in enumerate(chunk):
                     m = min(len(w), seg_len)
-                    idx = np.clip(w[:m] * 32767.5 + 32767.5,
-                                  0.0, 65535.0).astype(np.uint16)
+                    # rint before the uint16 cast: flooring would bias
+                    # boundary samples one grid code low vs the closed
+                    # form; nan_to_num keeps NaN from indexing undefined
+                    idx = np.clip(
+                        np.rint(np.nan_to_num(w[:m]) * 32767.5 + 32767.5),
+                        0.0, 65535.0).astype(np.uint16)
                     q[i, :m] = lut[idx]
             elif transfer == "int16":
                 q = np.zeros((b, seg_len), np.int16)

@@ -79,6 +79,8 @@ aside .metric{display:block;margin:.35rem 0}
 <h4>🧠 Fusion</h4>
 <small>Query keywords steer ASR vs audio-caption weights (20–80%);
 missing embeddings renormalize; threshold 0.1; top-10.</small>
+<h4>🔑 API token</h4>
+<input id="tok" size="14" placeholder="(if required)"/>
 </aside>
 <main>
 <h1>🎯 Dual Pipeline Audio Search (TPU)</h1>
@@ -120,6 +122,8 @@ missing embeddings renormalize; threshold 0.1; top-10.</small>
 <script>
 function esc(s){const d=document.createElement('span');
  d.textContent=s==null?'':String(s);return d.innerHTML;}
+function authHeaders(){const t=document.getElementById('tok').value;
+ return t?{'X-API-Token':t}:{};}
 function metric(label,value){return '<span class=metric><b>'+esc(value)+
  '</b><span>'+esc(label)+'</span></span>';}
 function show(id){document.querySelectorAll('.tab').forEach(
@@ -129,7 +133,7 @@ async function ingest(){
  const f=document.getElementById('file').files[0];
  if(!f)return alert('pick an audio file');
  const r=await fetch('/api/ingest?name='+encodeURIComponent(f.name),
-  {method:'POST',body:await f.arrayBuffer()});
+  {method:'POST',headers:authHeaders(),body:await f.arrayBuffer()});
  const j=await r.json();
  if(j.error){document.getElementById('ingest_out').innerHTML=
   '<p>❌ '+esc(j.error)+'</p>';return;}
@@ -151,14 +155,23 @@ async function loadSources(){
  const j=await (await fetch('/api/segments')).json();
  const by={};
  (j.segments||[]).forEach(s=>{by[s.source]=(by[s.source]||0)+1;});
- document.getElementById('sources_out').innerHTML=
-  Object.keys(by).sort().map(src=>'<div class=hit>'+esc(src)+' — '+
-   by[src]+' segment(s) <button onclick="delSource(\''+
-   encodeURIComponent(src)+'\')">🗑 Remove</button></div>').join('')||
-  '<p>No files indexed yet.</p>';}
+ const out=document.getElementById('sources_out');
+ out.textContent='';
+ const names=Object.keys(by).sort();
+ if(!names.length){out.innerHTML='<p>No files indexed yet.</p>';return;}
+ // Source names are attacker-controlled (upload filename / ?name=).
+ // Build the rows with DOM APIs — never string-spliced event handlers.
+ names.forEach(src=>{
+  const div=document.createElement('div');div.className='hit';
+  div.appendChild(document.createTextNode(
+   src+' — '+by[src]+' segment(s) '));
+  const b=document.createElement('button');b.textContent='🗑 Remove';
+  b.addEventListener('click',()=>delSource(src));
+  div.appendChild(b);out.appendChild(div);});}
 async function delSource(src){
- if(!confirm('Remove all segments of '+decodeURIComponent(src)+'?'))return;
- const r=await fetch('/api/delete?source='+src,{method:'POST'});
+ if(!confirm('Remove all segments of '+src+'?'))return;
+ const r=await fetch('/api/delete?source='+encodeURIComponent(src),
+  {method:'POST',headers:authHeaders()});
  const j=await r.json();
  if(j.error)alert(j.error);
  loadSources();pollStats();}
@@ -245,7 +258,7 @@ async function pollStats(){
  catch(e){}}
 async function runGC(){
  if(!confirm('Clear the index and run GC?'))return;
- await fetch('/api/reset',{method:'POST'});
+ await fetch('/api/reset',{method:'POST',headers:authHeaders()});
  loadStats();}
 pollStats();loadSources();setInterval(pollStats,5000);
 </script></body></html>"""

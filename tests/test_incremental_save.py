@@ -57,6 +57,72 @@ def test_crash_between_shard_and_manifest(rng, tmp_path):
     assert len(SegmentStore.load(p)) == 6
 
 
+def test_orphan_meta_never_shadows_new_rows(rng, tmp_path):
+    """The round-2 advisor finding: a crash between the meta append and
+    the manifest rename leaves orphan meta lines. If the process then
+    RESTARTS (store reloaded from disk at the committed row count) and
+    ingests different segments, the next incremental save must not let
+    the stale orphan lines shadow the newly committed rows."""
+    st = SegmentStore(embed_dim=8)
+    p = tmp_path / "idx"
+    _add(st, 4, rng, src="before")
+    st.save_incremental(p)
+    # crash mid-save: shard + meta appended, manifest not updated
+    _add(st, 2, rng, src="orphan")
+    np.save(p / "emb.shard-00001.npy", st.embeddings[4:6])
+    np.save(p / "success.shard-00001.npy", st.success[4:6])
+    with open(p / "meta.jsonl", "a") as f:
+        for row in st.meta[4:6]:
+            f.write(json.dumps(row) + "\n")
+    # restart: reload at the committed 4 rows, ingest DIFFERENT segments
+    st2 = SegmentStore.load(p)
+    assert len(st2) == 4
+    _add(st2, 3, rng, src="after")
+    assert st2.save_incremental(p) == 3
+    st3 = SegmentStore.load(p)
+    assert [r["source"] for r in st3.meta] == ["before"] * 4 + \
+        ["after"] * 3
+    np.testing.assert_allclose(st3.embeddings, st2.embeddings, rtol=1e-6)
+
+
+def test_legacy_manifest_without_meta_bytes(rng, tmp_path):
+    """Manifests written before the meta_bytes field must still truncate
+    orphans (one-time line-count rewrite), then upgrade in place."""
+    st = SegmentStore(embed_dim=8)
+    p = tmp_path / "idx"
+    _add(st, 3, rng, src="a")
+    st.save_incremental(p)
+    manifest = p / "manifest.json"
+    state = json.loads(manifest.read_text())
+    del state["meta_bytes"]
+    manifest.write_text(json.dumps(state))
+    with open(p / "meta.jsonl", "a") as f:        # orphan line
+        f.write(json.dumps({"source": "orphan"}) + "\n")
+    _add(st, 2, rng, src="b")
+    assert st.save_incremental(p) == 2
+    st2 = SegmentStore.load(p)
+    assert [r["source"] for r in st2.meta] == ["a"] * 3 + ["b"] * 2
+    assert "meta_bytes" in json.loads(manifest.read_text())
+
+
+def test_full_save_clears_stale_audio(rng, tmp_path):
+    """delete_where removing every row that carried audio must not leave
+    a stale audio.npz for load() to misalign onto the new rows."""
+    st = SegmentStore(embed_dim=8)
+    _add(st, 2, rng, src="a")                     # has audio
+    p = tmp_path / "idx"
+    st.save(p)
+    assert (p / "audio.npz").exists()
+    st.delete_source("a")
+    for i in range(2):                            # new rows, no audio
+        st.add({"source": "b"}, rng.normal(size=8), rng.normal(size=8),
+               audio_data=None)
+    st.save(p)
+    assert not (p / "audio.npz").exists()
+    st2 = SegmentStore.load(p)
+    assert len(st2) == 2 and st2.audio(0) is None
+
+
 def test_delete_then_regrow_refuses_incremental(rng, tmp_path):
     """The corruption window: save 4 rows, delete 2, add 3 — the store
     is BIGGER than the saved prefix but its early rows no longer match

@@ -171,3 +171,49 @@ def test_ingest_many_retry_and_skip(tmp_path, rng, monkeypatch):
 
     with pytest.raises(ValueError):
         eng.ingest_many([str(bad)], on_error="raise")
+
+
+# ---------------------------------------------------- round-2 advisor fixes
+
+def test_mulaw_lut_index_rounds_to_nearest():
+    """Round-2 advisor: the LUT index must round (not floor) onto the
+    int16 grid, matching the closed form within one LSB symmetrically,
+    and NaN samples must map to a defined (mid-scale) code."""
+    from multimodal_audio_search_tpu.pipelines.ingest import _mulaw_lut
+    lut = _mulaw_lut()
+    # boundary-adjacent samples: w slightly below a grid midpoint must
+    # round down, slightly above must round up
+    grid = (np.arange(100, 130, dtype=np.float64) - 0.0)  # raw indices
+    w_lo = ((grid - 0.49) - 32767.5) / 32767.5
+    w_hi = ((grid + 0.49) - 32767.5) / 32767.5
+    for w, expect in ((w_lo, grid), (w_hi, grid)):
+        idx = np.clip(np.rint(np.nan_to_num(w) * 32767.5 + 32767.5),
+                      0.0, 65535.0).astype(np.uint16)
+        np.testing.assert_array_equal(idx, expect.astype(np.uint16))
+    # closed-form parity on random waveforms: codes agree exactly when
+    # the index is the nearest grid point
+    rng = np.random.default_rng(0)
+    w = rng.uniform(-1, 1, 4096)
+    idx = np.clip(np.rint(w * 32767.5 + 32767.5), 0, 65535).astype(np.uint16)
+    closed = np.round(
+        np.sign(w) * np.log1p(255.0 * np.abs(w)) / np.log(256.0) * 127.0
+    ).astype(np.int8)
+    assert np.mean(lut[idx] == closed) > 0.999   # |diff| <= 1 only at grid
+    assert np.max(np.abs(lut[idx].astype(int) - closed.astype(int))) <= 1
+    # NaN: defined behavior (mid-scale silence), no undefined cast
+    w = np.array([np.nan, -np.nan, 0.0])
+    idx = np.clip(np.rint(np.nan_to_num(w) * 32767.5 + 32767.5),
+                  0.0, 65535.0).astype(np.uint16)
+    assert idx[0] == idx[1] == idx[2]
+
+
+def test_ui_has_no_string_spliced_handlers():
+    """Round-2 advisor: stored XSS via source names spliced into inline
+    onclick handlers. The delete buttons must be built with DOM APIs and
+    state-changing fetches must carry the API token header."""
+    from multimodal_audio_search_tpu.service.server import _UI
+    assert "delSource(\\'" not in _UI
+    assert "onclick=\"delSource" not in _UI
+    assert "addEventListener('click'" in _UI
+    # every state-changing fetch sends the token header
+    assert _UI.count("authHeaders()") >= 4
