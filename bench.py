@@ -211,12 +211,21 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
     # median of 3 timed runs: the tunnel's host->device bandwidth swings
     # 16-45 MB/s between runs and ingest is transfer-bound on this rig,
     # so a single-shot wall time conflates device perf with link weather
-    runs = []
+    runs, traces = [], []
     for r in range(3 if on_tpu else 1):
         t0 = time.perf_counter()
         segments = ingest.process_waveform(wave, sr, f"bench{r}")
         runs.append(time.perf_counter() - t0)
+        traces.append(dict(ingest.last_trace))
     ingest_s = float(np.median(runs))
+    # host-phase attribution of the MEDIAN run (round-2 verdict: half the
+    # wall was unattributed). "wait" = future drain (device compute +
+    # transfer not hidden behind host work); everything else is host time.
+    trace = traces[int(np.argsort(runs)[len(runs) // 2])]
+    host_ms = {k: round(v * 1e3, 1) for k, v in trace.items()}
+    host_ms["attributed_pct"] = round(
+        100.0 * sum(v for k, v in trace.items() if k != "wall")
+        / max(trace.get("wall", 1e-9), 1e-9), 1)
     throughput = audio_seconds / ingest_s
     itemsize = {"mulaw8": 1, "int16": 2, "float32": 4}[transfer_dtype]
     seg_len = min(int(cfg.segment.segment_seconds * sr), mel_cfg.n_samples)
@@ -294,6 +303,7 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
         "int8_cross_kv": int8_kv,
         "fused_layer": fused_layer,
         "transfer_dtype": transfer_dtype,
+        "host_ms": host_ms,
         "stage_ms": {
             "mel": round(mel_t * 1e3, 2),
             "encode": round(enc_t * 1e3, 2),

@@ -107,6 +107,11 @@ class DecodeConfig:
     # (0.850 vs 0.838 ms/step, B=64/10 s): the per-step residue is not
     # XLA op overhead (docs/BENCHMARKS.md)
     fused_layer: bool | str = False
+    # encoder fused blocks (ops/encoder_block.py): fold LN+qkv and
+    # LN+MLP+residual into Pallas kernels around the fused attention
+    # kernel — the ROADMAP-17 encoder MFU lever. bf16-rounding equal to
+    # the XLA path; opt-in like every perf mode.
+    fused_encoder: bool = False
 
 
 def asr_parity_decode() -> DecodeConfig:
@@ -211,6 +216,15 @@ class EngineConfig:
     # 96 dB SNR, inaudible), or "mulaw8" (telephony-grade 8-bit companding
     # for bandwidth-starved hosts)
     transfer_dtype: str = "int16"
+    # multi-chip execution (SURVEY §2c; the reference is single-device,
+    # audio_search.py:89,181). data_parallel shards ingest segment batches
+    # and the index N axis over the mesh 'data' axis; model_parallel
+    # applies the Megatron TP rules (parallel/mesh.py) to the Whisper /
+    # MiniLM params over 'model'. 1 x 1 (default) = single device, exact
+    # reference-parity execution. Requires data_parallel * model_parallel
+    # <= len(jax.devices()).
+    data_parallel: int = 1
+    model_parallel: int = 1
 
     def replace(self, **kw: Any) -> "EngineConfig":
         return dataclasses.replace(self, **kw)
@@ -266,6 +280,8 @@ def config_from_env(base: EngineConfig | None = None) -> EngineConfig:
         asr_language=env("ASR_LANGUAGE", str, cfg.asr_language),
         asr_task=env("ASR_TASK", str, cfg.asr_task),
         ingest_batch=env("INGEST_BATCH", int, cfg.ingest_batch),
+        data_parallel=env("DATA_PARALLEL", int, cfg.data_parallel),
+        model_parallel=env("MODEL_PARALLEL", int, cfg.model_parallel),
         short_context=env("SHORT_CONTEXT",
                           lambda v: v.lower() in ("1", "true", "yes"),
                           cfg.short_context),

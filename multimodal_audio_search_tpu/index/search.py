@@ -29,12 +29,30 @@ class FusionSearcher:
         embed_fn: Callable[[Sequence[str]], np.ndarray],
         analyzer: Callable[[str], WeightAnalysis] | None = None,
         cfg: FusionConfig | None = None,
+        mesh=None,
     ):
+        """``mesh`` shards the index N axis over the mesh's 'data' axis
+        and routes scoring through the per-shard-top-k + all-gather
+        program (parallel/sharding.py) — the multi-chip serving path.
+        Without it, the whole index scores on one device (exact
+        reference-parity execution)."""
         self.store = store
         self.embed_fn = embed_fn
         self.cfg = cfg or FusionConfig()
         self.analyzer = analyzer or KeywordAnalyzer(self.cfg)
+        self.mesh = mesh
+        self._sharded_cache: dict[tuple, Any] = {}
         self._combined = self._build_combined(embed_fn)
+
+    def _sharded_topk(self, k: int):
+        """Cached jitted sharded search program for (k, threshold)."""
+        from ..parallel.sharding import sharded_fused_search_impl
+        key = (k, self.cfg.relevance_threshold)
+        if key not in self._sharded_cache:
+            import jax
+            self._sharded_cache[key] = jax.jit(sharded_fused_search_impl(
+                self.mesh, k=k, threshold=self.cfg.relevance_threshold))
+        return self._sharded_cache[key]
 
     def _build_combined(self, embed_fn):
         """Single-dispatch query program: MiniLM embed + fused top-k in ONE
@@ -51,10 +69,17 @@ class FusionSearcher:
         import functools
         import jax
 
+        mesh = self.mesh
+
         @functools.partial(jax.jit, static_argnames=("k", "threshold"))
         def program(params, ids, mask, index_emb, success,
                     w_asr, w_audio, *, k, threshold):
             q = emb.sentence_fn(params, ids, mask)[0]
+            if mesh is not None:
+                from ..parallel.sharding import sharded_fused_search_impl
+                return sharded_fused_search_impl(
+                    mesh, k=k, threshold=threshold)(
+                    q, index_emb, success, w_asr, w_audio)
             return fused_topk_impl(
                 q, index_emb, success, w_asr, w_audio,
                 k=k, threshold=threshold)
@@ -94,6 +119,11 @@ class FusionSearcher:
         if len(self.store) == 0 or not queries:
             return [([], {}) for _ in queries]
         k = k or self.cfg.top_k
+        if self.mesh is not None:
+            # sharded index: one mesh-wide dispatch per query (a vmap over
+            # the shard_map'd per-shard top-k is not batchable; the index
+            # pass dominates per-query cost anyway)
+            return [self(q, k) for q in queries]
         if getattr(self, "_batched", None) is None:
             self._batched = self._build_batched(self.embed_fn)
         was = [self.analyzer(q) for q in queries]
@@ -166,7 +196,7 @@ class FusionSearcher:
         t0 = time.perf_counter()
         wa = self.analyzer(query)
         emb, ok = self.store.device_index(
-            getattr(self.cfg, "index_dtype", "float32"))
+            getattr(self.cfg, "index_dtype", "float32"), self.mesh)
         if self._combined is not None:
             program, embedder = self._combined
             ids, mask = embedder.tokenizer.encode(
@@ -182,11 +212,18 @@ class FusionSearcher:
             n = float(np.linalg.norm(q))
             if n > 0:
                 q = q / n
-            out = fused_topk(
-                jnp.asarray(q), emb, ok,
-                jnp.float32(wa.asr_weight), jnp.float32(wa.audio_weight),
-                k=min(k, emb.shape[0]),
-                threshold=self.cfg.relevance_threshold)
+            if self.mesh is not None:
+                out = self._sharded_topk(min(k, emb.shape[0]))(
+                    jnp.asarray(q), emb, ok,
+                    jnp.float32(wa.asr_weight),
+                    jnp.float32(wa.audio_weight))
+            else:
+                out = fused_topk(
+                    jnp.asarray(q), emb, ok,
+                    jnp.float32(wa.asr_weight),
+                    jnp.float32(wa.audio_weight),
+                    k=min(k, emb.shape[0]),
+                    threshold=self.cfg.relevance_threshold)
         out = {kk: np.asarray(v) for kk, v in out.items()}
         results = self._rows(out, wa)
         weight_info = {

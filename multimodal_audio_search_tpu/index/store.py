@@ -149,20 +149,28 @@ class SegmentStore:
         return self._audio[i] if self.keep_audio and i < len(self._audio) \
             else None
 
-    def device_index(self, dtype="float32") -> tuple[Any, Any]:
-        """(emb[cap,2,D], success[cap,2]) on the default device.
+    def device_index(self, dtype="float32", mesh=None) -> tuple[Any, Any]:
+        """(emb[cap,2,D], success[cap,2]) on the default device — or, with
+        ``mesh``, sharded on the N axis over its 'data' axis (the capacity
+        bucket is a power of two >= 1024, so every dp <= 1024 divides it).
 
         Padded to the capacity bucket; padding rows have success=False so the
         fused kernel scores them invalid. Cached until the store mutates or
-        the requested dtype changes. float32 keeps exact top-k parity with
-        the reference (the north-star contract); pass "bfloat16" to halve
-        per-query HBM traffic when close-rank flips are acceptable.
+        the requested dtype/mesh changes. float32 keeps exact top-k parity
+        with the reference (the north-star contract); pass "bfloat16" to
+        halve per-query HBM traffic when close-rank flips are acceptable.
         """
-        key = (self._cap, str(dtype))
+        key = (self._cap, str(dtype), id(mesh) if mesh is not None else None)
         if self._device_view is None or self._device_view[0] != key:
             import jax.numpy as jnp
-            emb = jax.device_put(jnp.asarray(self._emb, dtype))
-            ok = jax.device_put(self._success)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                s = NamedSharding(mesh, P("data"))
+                emb = jax.device_put(jnp.asarray(self._emb, dtype), s)
+                ok = jax.device_put(self._success, s)
+            else:
+                emb = jax.device_put(jnp.asarray(self._emb, dtype))
+                ok = jax.device_put(self._success)
             self._device_view = (key, emb, ok)
         return self._device_view[1], self._device_view[2]
 

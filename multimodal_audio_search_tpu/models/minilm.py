@@ -44,6 +44,10 @@ PRESETS = {
     # sentence_projection / convert_distilbert).
     "clip512_text": MiniLMConfig(vocab_size=119_547, hidden=768, layers=6,
                                  heads=12, intermediate=3072, type_vocab=0),
+    # CI/dryrun preset: real architecture at toy dims (heads/hidden
+    # divisible by model_parallel=2 for mesh tests)
+    "test": MiniLMConfig(vocab_size=512, hidden=64, layers=2, heads=4,
+                         intermediate=128),
 }
 
 

@@ -77,6 +77,16 @@ PRESETS.update({
 })
 
 
+# CI/dryrun preset: the production code paths (forced prefix layout,
+# KV-cached generate, mesh sharding — heads divisible by model_parallel=2)
+# at toy dims, so the REAL engine can compile+run on CPU test meshes
+PRESETS["test"] = WhisperConfig(
+    vocab_size=512, d_model=64, enc_layers=2, dec_layers=2, heads=4,
+    ffn=128, enc_positions=100, dec_positions=32, bos_token_id=500,
+    eos_token_id=501, pad_token_id=501, no_timestamps_id=502,
+    transcribe_id=503, lang_en_id=504)
+
+
 def config_for(preset: str, **overrides) -> WhisperConfig:
     import dataclasses
     return dataclasses.replace(PRESETS[preset], **overrides)
@@ -138,11 +148,15 @@ def _conv1d(p, x: jnp.ndarray, stride: int) -> jnp.ndarray:
 def encode(
     params, mel: jnp.ndarray, cfg: WhisperConfig,
     fused_attention: bool | None = None,
+    fused_blocks: bool = False,
 ) -> jnp.ndarray:
     """[B, n_mels, 3000] log-mel -> [B, 1500, d] encoder states.
 
     ``fused_attention``: route self-attention through the Pallas fused
     kernel (ops/attention.py). None = auto (real TPU and T >= 512).
+    ``fused_blocks``: additionally fold LN+qkv and LN+MLP+residual into
+    Pallas kernels (ops/encoder_block.py; opt-in perf mode, bf16-rounding
+    equal to the XLA path). Implies the fused attention kernel.
     """
     from ..ops.attention import fused_encoder_attention, use_pallas_attention
     enc = params["encoder"]
@@ -153,7 +167,26 @@ def encode(
     # fewer under the short-context speed mode (mel padded_seconds < 30)
     x = x + enc["positions"][: x.shape[1]][None].astype(x.dtype)
     if fused_attention is None:
-        fused_attention = use_pallas_attention(x.shape[1])
+        fused_attention = fused_blocks or use_pallas_attention(x.shape[1])
+    if fused_blocks:
+        from ..ops.encoder_block import encoder_ln_qkv, encoder_mlp
+        bsz, t, d = x.shape
+        for blk in params["encoder"]["blocks"]:
+            a = blk["self_attn"]
+            q2, k2, v2 = encoder_ln_qkv(
+                x.reshape(-1, d), blk["self_ln"]["scale"],
+                blk["self_ln"]["bias"], a["q"]["w"], a["q"]["b"],
+                a["k"]["w"], a["v"]["w"], a["v"]["b"], eps=cfg.ln_eps)
+            q = L.split_heads(q2.reshape(bsz, t, d), cfg.heads)
+            k = L.split_heads(k2.reshape(bsz, t, d), cfg.heads)
+            v = L.split_heads(v2.reshape(bsz, t, d), cfg.heads)
+            attn = L.merge_heads(fused_encoder_attention(q, k, v))
+            x = x + L.dense(a["o"], attn)
+            x = encoder_mlp(
+                x, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"],
+                blk["mlp_in"]["w"], blk["mlp_in"]["b"],
+                blk["mlp_out"]["w"], blk["mlp_out"]["b"], eps=cfg.ln_eps)
+        return L.layer_norm(params["encoder"]["ln"], x, cfg.ln_eps)
     for blk in params["encoder"]["blocks"]:
         h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
         if fused_attention:

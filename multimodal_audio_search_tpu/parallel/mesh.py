@@ -32,6 +32,17 @@ def make_mesh(
     return Mesh(grid, ("data", "model"))
 
 
+def mesh_from_config(cfg) -> Mesh | None:
+    """Engine knob -> mesh: ``EngineConfig.data_parallel/model_parallel``
+    select the production mesh; 1 x 1 returns None (single-device, the
+    reference's execution model, audio_search.py:89)."""
+    dp = getattr(cfg, "data_parallel", 1) or 1
+    mp = getattr(cfg, "model_parallel", 1) or 1
+    if dp * mp <= 1:
+        return None
+    return make_mesh(dp * mp, model_parallel=mp)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -66,6 +66,19 @@ class TextEmbedder:
         self.sentence_fn = functools.partial(
             model.sentence_embed, cfg=self.cfg)
         self._fn = jax.jit(self.sentence_fn)
+        self.mesh = None
+        self._batch_sharding = None
+
+    def use_mesh(self, mesh) -> None:
+        """Place params over ``mesh`` (TP rules where divisible, else
+        replicated) and shard embed batches over its 'data' axis. Batch
+        bucketing already pads to a power of two >= 8, which every
+        dp <= 8 divides; larger dp raises the bucket floor."""
+        from ..parallel.mesh import shard_params
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self.mesh = mesh
+        self.params = shard_params(self.params, mesh)
+        self._batch_sharding = NamedSharding(mesh, P("data"))
 
     @property
     def dim(self) -> int:
@@ -76,14 +89,18 @@ class TextEmbedder:
             return np.zeros((0, self.cfg.hidden), np.float32)
         t0 = time.perf_counter()
         ids, mask = self.tokenizer.encode(list(texts), self.max_tokens)
-        b = _bucket(len(texts))
+        floor = 8 if self.mesh is None else max(8, self.mesh.shape["data"])
+        b = _bucket(len(texts), floor)
         if b > len(texts):  # pad rows (masked out; results sliced away)
             pad = b - len(texts)
             ids = np.pad(ids, ((0, pad), (0, 0)))
             mask = np.pad(mask, ((0, pad), (0, 0)))
             mask[len(texts):, 0] = 1  # avoid 0/0 in mean pooling
-        out = np.asarray(self._fn(self.params, jnp.asarray(ids),
-                                  jnp.asarray(mask)))[: len(texts)]
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        if self._batch_sharding is not None:
+            ids = jax.device_put(ids, self._batch_sharding)
+            mask = jax.device_put(mask, self._batch_sharding)
+        out = np.asarray(self._fn(self.params, ids, mask))[: len(texts)]
         self.stats.update(time.perf_counter() - t0, success=True,
                           n=len(texts))
         return out

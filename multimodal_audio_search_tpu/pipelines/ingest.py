@@ -58,6 +58,21 @@ class DualPipelineIngest:
         # never collide within one store (the reference restarted numbering
         # per upload, audio_search.py:277 — ids there collided across files)
         self._seg_counter = itertools.count()
+        self.mesh = None
+        self._batch_sharding = None
+
+    def use_mesh(self, mesh) -> None:
+        """Run production ingest over a device mesh: segment batches shard
+        over 'data' (the DP equivalent of the reference's single-device
+        per-segment loop, audio_search.py:89,268-271), params placed by
+        the TP rules over 'model'. Applies to both extractors and the
+        embedder; search gets the same mesh via FusionSearcher(mesh=...)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self.mesh = mesh
+        self._batch_sharding = NamedSharding(mesh, P("data"))
+        self.asr.use_mesh(mesh)
+        self.caption.use_mesh(mesh)
+        self.embedder.use_mesh(mesh)
 
     def process_file(
         self, src, source_name: str = "upload"
@@ -74,6 +89,17 @@ class DualPipelineIngest:
         SegmentStore(keep_audio=False) if undesired.
         """
         cfg = self.cfg
+        t_wall0 = time.perf_counter()
+        # Host-phase attribution (round-2 verdict: ~half of fast-mode
+        # ingest wall was invisible to the bench). Every phase of this
+        # function is timed into last_trace so bench.py can print a
+        # host_ms breakdown whose sum ~= wall; "wait" is the only phase
+        # containing device time (future drain = transfer + compute that
+        # did NOT overlap with host work).
+        tr = {k: 0.0 for k in (
+            "resample", "segment", "quantize", "put", "dispatch", "wait",
+            "detok", "validate", "embed", "build")}
+        self.last_trace = tr
         target_sr = self.asr.mel_cfg.sample_rate
         if sr != target_sr:
             # the mel frontend is calibrated for its configured rate; a raw
@@ -81,11 +107,15 @@ class DualPipelineIngest:
             # with the reference's librosa.load(sr=16000))
             from ..audio import native
             from ..audio.resample import resample
+            t0 = time.perf_counter()
             y = native.resample(wave, sr, target_sr) \
                 if native.available() else None
             wave = y if y is not None else resample(wave, sr, target_sr)
             sr = target_sr
+            tr["resample"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         wins, waves = segment_audio(wave, sr, cfg.segment, cfg.audio)
+        tr["segment"] = time.perf_counter() - t0
         if not wins:
             return []
         n_samples = self.asr.mel_cfg.n_samples
@@ -161,36 +191,91 @@ class DualPipelineIngest:
             n = hi - lo
             t0 = time.perf_counter()
             if shared_mel:
-                b = _bucket(n)
+                tq = time.perf_counter()
+                b = _bucket(n, self.asr.batch_floor())
                 q = encode_transfer(waves[lo:hi], b)
-                mel = self._mel16_fn(jax.device_put(q))
+                tp = time.perf_counter()
+                tr["quantize"] += tp - tq
+                qd = jax.device_put(q) if self._batch_sharding is None \
+                    else jax.device_put(q, self._batch_sharding)
+                td = time.perf_counter()
+                tr["put"] += td - tp
+                mel = self._mel16_fn(qd)
                 a_fut = self.asr.dispatch_mel(mel)
                 c_fut = self.caption.dispatch_mel(mel)
+                tr["dispatch"] += time.perf_counter() - td
             else:
                 batch, _ = pad_segment_batch(waves[lo:hi], n_samples)
                 a_fut, c_fut = None, batch
             pending.append((lo, hi, t0, a_fut, c_fut))
 
-        records: list[dict[str, Any]] = []
-        for lo, hi, t0, a_fut, c_fut in pending:
+        def produce_texts(lo, hi, a_fut, c_fut):
+            """Drain one batch's futures into texts (or run the non-shared
+            -mel synchronous path). Raises on device failure."""
             n = hi - lo
             if a_fut is not None:
-                asr_texts = self.asr.texts_from_tokens(
-                    np.asarray(a_fut[0]), np.asarray(a_fut[1]), n)
+                tw = time.perf_counter()
+                a_tok, a_len = np.asarray(a_fut[0]), np.asarray(a_fut[1])
+                c_tok, c_len = np.asarray(c_fut[0]), np.asarray(c_fut[1])
+                tk = time.perf_counter()
+                tr["wait"] += tk - tw
+                asr_texts = self.asr.texts_from_tokens(a_tok, a_len, n)
                 t1 = time.perf_counter()
-                cap_texts = self.caption.texts_from_tokens(
-                    np.asarray(c_fut[0]), np.asarray(c_fut[1]), n)
+                cap_texts = self.caption.texts_from_tokens(c_tok, c_len, n)
+                tr["detok"] += time.perf_counter() - tk
             else:
                 batch = c_fut
                 asr_texts = self.asr.transcribe_batch(batch)
                 t1 = time.perf_counter()
                 cap_texts = self.caption.transcribe_batch(batch)
+            return asr_texts, cap_texts, t1
+
+        records: list[dict[str, Any]] = []
+        for lo, hi, t0, a_fut, c_fut in pending:
+            n = hi - lo
+            try:
+                asr_texts, cap_texts, t1 = produce_texts(
+                    lo, hi, a_fut, c_fut)
+            except Exception as err:  # noqa: BLE001
+                # Bounded ingest-job retry (SURVEY §5's addition on top of
+                # the reference's per-segment graceful degradation,
+                # audio_search.py:346-350): a transient device failure
+                # mid-batch re-dispatches the batch ONCE from the
+                # still-host-resident waveforms before degrading.
+                if self.stats is not None:
+                    self.stats.log.log("ingest_batch_retry", 0.0,
+                                       batch=f"{lo}:{hi}", error=str(err))
+                try:
+                    if a_fut is not None:
+                        b = _bucket(n, self.asr.batch_floor())
+                        q = encode_transfer(waves[lo:hi], b)
+                        qd = jax.device_put(q) \
+                            if self._batch_sharding is None \
+                            else jax.device_put(q, self._batch_sharding)
+                        mel = self._mel16_fn(qd)
+                        a_fut = self.asr.dispatch_mel(mel)
+                        c_fut = self.caption.dispatch_mel(mel)
+                    asr_texts, cap_texts, t1 = produce_texts(
+                        lo, hi, a_fut, c_fut)
+                except Exception as err2:  # noqa: BLE001
+                    # degrade exactly as the reference would: every
+                    # segment in the batch fails both pipelines -> no
+                    # text -> dropped by the keep-if-either rule; the
+                    # failure lands in stats, ingest continues
+                    if self.stats is not None:
+                        self.stats.log.log(
+                            "ingest_batch_failed", 0.0,
+                            batch=f"{lo}:{hi}", error=str(err2))
+                    asr_texts = [""] * n
+                    cap_texts = [""] * n
+                    t1 = time.perf_counter()
             t2 = time.perf_counter()
 
             asr_ok = [bool(validate_asr_text(t, cfg.validator))
                       for t in asr_texts]
             cap_ok = [bool(validate_audio_description(t, cfg.validator))
                       for t in cap_texts]
+            tr["validate"] += time.perf_counter() - t2
             if self.stats is not None:
                 self.stats.pipelines["asr_pipeline"].update_batch(
                     t1 - t0, asr_ok.count(True), asr_ok.count(False))
@@ -198,6 +283,7 @@ class DualPipelineIngest:
                     t2 - t1, cap_ok.count(True), cap_ok.count(False))
 
             # one embed batch for every surviving text
+            te = time.perf_counter()
             to_embed: list[str] = []
             slots: list[tuple[int, int]] = []  # (segment idx in batch, slot)
             for i in range(hi - lo):
@@ -211,6 +297,8 @@ class DualPipelineIngest:
                 np.zeros((0, self.embedder.dim), np.float32)
             emb_map: dict[tuple[int, int], np.ndarray] = {
                 s: embs[j] for j, s in enumerate(slots)}
+            tb = time.perf_counter()
+            tr["embed"] += tb - te
 
             for i in range(hi - lo):
                 w = wins[lo + i]
@@ -233,6 +321,8 @@ class DualPipelineIngest:
                     "audio_data": waves[lo + i],
                     "sample_rate": sr,
                 })
+            tr["build"] += time.perf_counter() - tb
+        tr["wall"] = time.perf_counter() - t_wall0
         return records
 
 
@@ -241,6 +331,7 @@ def make_default_ingest(
     stats: StatsRegistry | None = None,
     seed: int = 0,
     dtype=None,
+    mesh=None,
 ) -> DualPipelineIngest:
     """Build the reference-configured dual pipeline (random-init weights
     unless ModelSpec.weights_path points at converted checkpoints)."""
@@ -319,4 +410,10 @@ def make_default_ingest(
     embedder = TextEmbedder(
         params=params, cfg=mcfg, seed=seed, tokenizer=emb_tok,
         model=emb_model, stats=stats_reg.pipelines["text_embedder"])
-    return DualPipelineIngest(asr, caption, embedder, cfg, stats_reg)
+    ing = DualPipelineIngest(asr, caption, embedder, cfg, stats_reg)
+    if mesh is None:
+        from ..parallel.mesh import mesh_from_config
+        mesh = mesh_from_config(cfg)
+    if mesh is not None:
+        ing.use_mesh(mesh)
+    return ing

@@ -68,10 +68,12 @@ class WhisperTextPipeline:
             f"{name} pipeline", name)
         self.name = name
 
+        fused_enc = bool(getattr(self.decode, "fused_encoder", False))
+
         @functools.partial(jax.jit, static_argnames=())
         def _run(params, waves, prefix, rng):
             mel = log_mel_spectrogram(waves, self.mel_cfg).astype(dtype)
-            enc = W.encode(params, mel, self.cfg)
+            enc = W.encode(params, mel, self.cfg, fused_blocks=fused_enc)
             out = generate(
                 params, enc, prefix, cfg=self.cfg, decode=self.decode,
                 prefix_len=len(self.prefix_ids),
@@ -80,7 +82,8 @@ class WhisperTextPipeline:
 
         @functools.partial(jax.jit, static_argnames=())
         def _run_mel(params, mel, prefix, rng):
-            enc = W.encode(params, mel.astype(dtype), self.cfg)
+            enc = W.encode(params, mel.astype(dtype), self.cfg,
+                           fused_blocks=fused_enc)
             out = generate(
                 params, enc, prefix, cfg=self.cfg, decode=self.decode,
                 prefix_len=len(self.prefix_ids),
@@ -90,15 +93,35 @@ class WhisperTextPipeline:
         self._run = _run
         self._run_mel = _run_mel
         self._step = 0
+        self.mesh = None
+        self._batch_sharding = None
+
+    def use_mesh(self, mesh) -> None:
+        """Run this pipeline's programs over ``mesh``: params placed by
+        the Megatron TP rules over 'model' (replicated where dims don't
+        divide), batches sharded over 'data'. The jitted programs are
+        unchanged — GSPMD partitions them from the input shardings (the
+        pattern proven in tests/test_sampling_sharded_infer.py)."""
+        from ..parallel.mesh import shard_params
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self.mesh = mesh
+        self.params = shard_params(self.params, mesh)
+        self._batch_sharding = NamedSharding(mesh, P("data"))
+
+    def batch_floor(self) -> int:
+        """Minimum batch bucket: 'data'-sharded batches must divide dp."""
+        return 8 if self.mesh is None else max(8, self.mesh.shape["data"])
 
     def transcribe_batch(self, waves: np.ndarray) -> list[str]:
         """waves: [B, mel_cfg.n_samples] float32 (already padded)."""
         n = len(waves)
-        b = _bucket(n)
+        b = _bucket(n, self.batch_floor())
         if b > n:
             waves = np.pad(waves, ((0, b - n), (0, 0)))
-        return self._decode_to_texts(
-            self._run, jnp.asarray(waves, jnp.float32), n, b)
+        waves = jnp.asarray(waves, jnp.float32)
+        if self._batch_sharding is not None:
+            waves = jax.device_put(waves, self._batch_sharding)
+        return self._decode_to_texts(self._run, waves, n, b)
 
     def transcribe_mel(self, mel: jnp.ndarray, n: int) -> list[str]:
         """mel: [B_bucket, n_mels, frames] device array (precomputed once
@@ -112,6 +135,8 @@ class WhisperTextPipeline:
         overlap the next batch's host->device transfer with this compute."""
         b = mel.shape[0]
         prefix = np.tile(np.asarray(self.prefix_ids, np.int32), (b, 1))
+        if self._batch_sharding is not None:
+            prefix = jax.device_put(prefix, self._batch_sharding)
         self._step += 1
         rng = jax.random.PRNGKey(self._step)
         return self._run_mel(self.params, mel, prefix, rng)
@@ -134,6 +159,8 @@ class WhisperTextPipeline:
     def _decode_to_texts(self, run, model_in, n: int, b: int) -> list[str]:
         t0 = time.perf_counter()
         prefix = np.tile(np.asarray(self.prefix_ids, np.int32), (b, 1))
+        if self._batch_sharding is not None:
+            prefix = jax.device_put(prefix, self._batch_sharding)
         self._step += 1
         rng = jax.random.PRNGKey(self._step)
         tokens, lengths = run(self.params, model_in, prefix, rng)

@@ -66,6 +66,15 @@ class AudioSearchEngine:
         self.store = store or SegmentStore(
             embed_dim=self.cfg.embed_dim, keep_audio=keep_audio)
         self._searcher: FusionSearcher | None = None
+        # production multi-chip: EngineConfig.data_parallel/model_parallel
+        # build the mesh every engine program runs over (ingest batches +
+        # index sharded on 'data', params TP-sharded on 'model'); None =
+        # the reference's single-device execution (audio_search.py:89)
+        from ..parallel.mesh import mesh_from_config
+        self.mesh = mesh_from_config(self.cfg)
+        if self.mesh is not None and ingest_pipeline is not None \
+                and ingest_pipeline.mesh is None:
+            ingest_pipeline.use_mesh(self.mesh)
 
     # -------------------------------------------------------------- models
     def load_all_models(self, warmup: bool = False) -> bool:
@@ -83,7 +92,7 @@ class AudioSearchEngine:
             # embedder is built first inside make_default_ingest; a failure
             # there leaves the engine unable to search at all
             self._ingest = make_default_ingest(
-                self.cfg, self.stats, seed=self._seed)
+                self.cfg, self.stats, seed=self._seed, mesh=self.mesh)
             self.stats.pipelines["text_embedder"].load_time = \
                 time.perf_counter() - t0
         if warmup:
@@ -104,8 +113,8 @@ class AudioSearchEngine:
                                    keep_audio=False)
                 tmp.add({"segment_id": "w"},
                         np.ones(self.cfg.embed_dim, np.float32), None)
-                FusionSearcher(tmp, self.embedder,
-                               cfg=self.cfg.fusion)("warmup query")
+                FusionSearcher(tmp, self.embedder, cfg=self.cfg.fusion,
+                               mesh=self.mesh)("warmup query")
             self.stats.log.log("warmup", time.perf_counter() - t0)
         return True
 
@@ -190,7 +199,8 @@ class AudioSearchEngine:
                 self.cfg.analyzer,
                 embed_fn=self.embedder, cfg=self.cfg.fusion)
             self._searcher = FusionSearcher(
-                self.store, self.embedder, analyzer, self.cfg.fusion)
+                self.store, self.embedder, analyzer, self.cfg.fusion,
+                mesh=self.mesh)
         return self._searcher
 
     def search(
@@ -285,6 +295,93 @@ class AudioSearchEngine:
             self._combined_searcher = CombinedTextSearcher(
                 self.store, self.embedder)
         return self._combined_searcher(query, mode, k)
+
+    # ------------------------------------------------------- reconfigure
+    EMBEDDER_CHOICES = {
+        # reference dropdown values (clean_audio_search.py:32-47)
+        "all-MiniLM-L6-v2": ("minilm", "L6"),
+        "all-mpnet-base-v2": ("mpnet", "base"),
+        "clip-ViT-B-32-multilingual-v1": ("minilm", "clip512_text"),
+    }
+
+    def reconfigure(
+        self,
+        segment_seconds: float | None = None,
+        min_segment_seconds: float | None = None,
+        asr_preset: str | None = None,
+        caption_preset: str | None = None,
+        embedder: str | None = None,
+    ) -> dict[str, Any]:
+        """Runtime re-configuration: the historical UI's chunk-duration
+        slider (streamlit_app_backup.py:875, 5-30 s) and model dropdowns
+        (clean_audio_search.py:32-47), rebuilt the TPU way — a new
+        EngineConfig, fresh jitted pipelines, and an index reset (the
+        model-comparison semantics of streamlit_app_backup.py:1419-1433:
+        embeddings from different models/segmentations don't mix)."""
+        import dataclasses
+        from ..models import whisper as W
+        cfg = self.cfg
+        if segment_seconds is not None:
+            s = float(segment_seconds)
+            if not 1.0 <= s <= 30.0:
+                raise ValueError("segment_seconds must be in [1, 30]")
+            cfg = cfg.replace(segment=dataclasses.replace(
+                cfg.segment, segment_seconds=s))
+        if min_segment_seconds is not None:
+            cfg = cfg.replace(segment=dataclasses.replace(
+                cfg.segment,
+                min_segment_seconds=float(min_segment_seconds)))
+        for name, preset in (("asr_model", asr_preset),
+                             ("caption_model", caption_preset)):
+            if preset is not None:
+                if preset not in W.PRESETS:
+                    raise ValueError(f"unknown whisper preset {preset!r}")
+                cfg = cfg.replace(**{name: dataclasses.replace(
+                    getattr(cfg, name), preset=preset)})
+        if embedder is not None:
+            if embedder not in self.EMBEDDER_CHOICES:
+                raise ValueError(
+                    f"unknown embedder {embedder!r}; options: "
+                    f"{sorted(self.EMBEDDER_CHOICES)}")
+            family, preset = self.EMBEDDER_CHOICES[embedder]
+            cfg = cfg.replace(text_embedder=dataclasses.replace(
+                cfg.text_embedder, family=family, preset=preset))
+        self.cfg = cfg
+        self._ingest = None
+        self._searcher = None
+        self._combined_searcher = None
+        self.load_all_models()
+        # embed dim follows the embedder; the index resets with it
+        self.cfg = self.cfg.replace(embed_dim=self.embedder.dim)
+        keep_audio = self.store.keep_audio
+        self.store = SegmentStore(
+            embed_dim=self.cfg.embed_dim, keep_audio=keep_audio)
+        self.stats.log.log("reconfigure", 0.0,
+                           segment_seconds=cfg.segment.segment_seconds,
+                           asr=cfg.asr_model.preset,
+                           caption=cfg.caption_model.preset,
+                           embedder=f"{cfg.text_embedder.family}/"
+                                    f"{cfg.text_embedder.preset}")
+        return self.describe_config()
+
+    def describe_config(self) -> dict[str, Any]:
+        from ..models import whisper as W
+        return {
+            "segment_seconds": self.cfg.segment.segment_seconds,
+            "min_segment_seconds": self.cfg.segment.min_segment_seconds,
+            "asr_preset": self.cfg.asr_model.preset,
+            "caption_preset": self.cfg.caption_model.preset,
+            "embedder": next(
+                (k for k, v in self.EMBEDDER_CHOICES.items()
+                 if v == (self.cfg.text_embedder.family,
+                          self.cfg.text_embedder.preset)),
+                f"{self.cfg.text_embedder.family}/"
+                f"{self.cfg.text_embedder.preset}"),
+            "embed_dim": self.cfg.embed_dim,
+            "asr_options": sorted(
+                k for k in W.PRESETS if k not in ("test", "large-v3")),
+            "embedder_options": sorted(self.EMBEDDER_CHOICES),
+        }
 
     # --------------------------------------------------------- persistence
     def save_index(self, path) -> None:

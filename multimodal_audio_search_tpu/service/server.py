@@ -95,6 +95,17 @@ missing embeddings renormalize; threshold 0.1; top-10.</small>
 <button onclick="ingest()">Process with Both Pipelines</button>
 <div id="ingest_metrics"></div>
 <div id="ingest_out"></div>
+<h3>⚙️ Configuration</h3>
+<div class="card">
+<label>Segment length
+ <input type="range" id="seg_s" min="5" max="30" step="1" value="10"
+  oninput="document.getElementById('seg_v').textContent=this.value"/>
+ <b id="seg_v">10</b> s</label><br>
+<label>ASR model <select id="asr_sel"></select></label>
+<label>Caption model <select id="cap_sel"></select></label>
+<label>Embedder <select id="emb_sel"></select></label>
+<button onclick="applyConfig()">Apply (resets index)</button>
+<span id="cfg_out"></span></div>
 <h3>Indexed files</h3><div id="sources_out"></div></div>
 <div id="search" class="tab">
 <h2>Weighted fusion search</h2>
@@ -189,9 +200,22 @@ async function doSearch(){
    '<p>🧠 '+esc(w.analysis)+'</p>';
  else if(w.strategy)whtml=metric('Strategy',w.strategy)+
   (w.selected?metric('Selected',w.selected):'');
- if(w.per_strategy)whtml+='<p>'+Object.keys(w.per_strategy).map(s=>
-  esc(s)+': top '+w.per_strategy[s].top.slice(0,3).join(',')).join(' · ')
-  +'</p>';
+ if(w.per_strategy){
+  // Compare-All side-by-side panel (streamlit_app_backup.py:1110-1133)
+  const sj=await (await fetch('/api/segments')).json();
+  const meta=sj.segments||[];
+  whtml+='<h3>Strategy comparison</h3><div class=grid>'+
+   Object.keys(w.per_strategy).map(s=>{
+    const o=w.per_strategy[s];
+    return '<div class=card><h4>'+esc(s)+'</h4>'+
+     (o.top.length?o.top.slice(0,5).map((ix,r)=>{
+      const m=meta[ix]||{};
+      return '<small>#'+(r+1)+' '+
+       (o.scores[r]!==undefined?o.scores[r].toFixed(3):'')+'</small> '+
+       esc(String(m.asr_text||m.audio_description||('seg '+ix))
+           .slice(0,60))+'<br>';
+     }).join(''):'<small>no hits</small>')+'</div>';
+   }).join('')+'</div>';}
  document.getElementById('weights').innerHTML=whtml;
  const fx=(v,d)=>v===undefined?'—':v.toFixed(d);
  document.getElementById('hits').innerHTML=(j.results||[]).map((h,i)=>
@@ -260,7 +284,36 @@ async function runGC(){
  if(!confirm('Clear the index and run GC?'))return;
  await fetch('/api/reset',{method:'POST',headers:authHeaders()});
  loadStats();}
-pollStats();loadSources();setInterval(pollStats,5000);
+async function loadConfig(){
+ try{
+  const j=await (await fetch('/api/config')).json();
+  document.getElementById('seg_s').value=j.segment_seconds;
+  document.getElementById('seg_v').textContent=j.segment_seconds;
+  const fill=(id,opts,cur)=>{const s=document.getElementById(id);
+   s.textContent='';(opts||[]).forEach(o=>{
+    const e=document.createElement('option');
+    e.value=o;e.textContent=o;if(o===cur)e.selected=true;
+    s.appendChild(e);});};
+  fill('asr_sel',j.asr_options,j.asr_preset);
+  fill('cap_sel',j.asr_options,j.caption_preset);
+  fill('emb_sel',j.embedder_options,j.embedder);
+ }catch(e){}}
+async function applyConfig(){
+ if(!confirm('Applying a new configuration resets the index. Continue?'))
+  return;
+ document.getElementById('cfg_out').textContent='⏳ rebuilding models…';
+ const body={segment_seconds:+document.getElementById('seg_s').value,
+  asr_preset:document.getElementById('asr_sel').value,
+  caption_preset:document.getElementById('cap_sel').value,
+  embedder:document.getElementById('emb_sel').value};
+ const r=await fetch('/api/config',{method:'POST',
+  headers:Object.assign({'Content-Type':'application/json'},authHeaders()),
+  body:JSON.stringify(body)});
+ const j=await r.json();
+ document.getElementById('cfg_out').textContent=
+  j.error?('❌ '+j.error):'✓ applied (models rebuilt, index reset)';
+ loadConfig();loadSources();pollStats();}
+pollStats();loadSources();loadConfig();setInterval(pollStats,5000);
 </script></body></html>"""
 
 
@@ -375,6 +428,9 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                 with self.lock:
                     body = self.engine.stats.log.export_csv()
                 self._send(200, body.encode(), "text/csv")
+            elif url.path == "/api/config":
+                with self.lock:
+                    self._json(self.engine.describe_config())
             elif url.path == "/api/segments":
                 with self.lock:
                     total = len(self.engine.store)
@@ -408,9 +464,26 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
         qs = urllib.parse.parse_qs(url.query)
         try:
             if url.path in ("/api/save", "/api/load", "/api/reset",
-                            "/api/delete",
+                            "/api/delete", "/api/config",
                             "/api/profile") and not self._authorized():
                 self._json({"error": "missing or bad X-API-Token"}, 401)
+                return
+            if url.path == "/api/config":
+                # chunk-duration + model selection at runtime (the
+                # historical UI's slider/dropdowns,
+                # streamlit_app_backup.py:875, clean_audio_search.py:32-47);
+                # rebuilds pipelines and RESETS the index
+                body = json.loads(self._body() or b"{}")
+                allowed = {"segment_seconds", "min_segment_seconds",
+                           "asr_preset", "caption_preset", "embedder"}
+                bad = set(body) - allowed
+                if bad:
+                    self._json({"error": f"unknown config keys {bad}"},
+                               400)
+                    return
+                with self.lock:
+                    out = self.engine.reconfigure(**body)
+                self._json(out)
                 return
             if url.path == "/api/ingest":
                 data = self._body()

@@ -265,3 +265,78 @@ def test_batched_query_with_strategy_rejected(server):
             server + "/api/search?q=a&q=b&strategy=audio_only",
             timeout=30)
     assert e.value.code == 400
+
+
+@pytest.fixture(scope="module")
+def cfg_server(tmp_path_factory):
+    """Server over a test-preset engine built FROM CONFIG (so
+    /api/config can rebuild models without heavyweight presets)."""
+    from multimodal_audio_search_tpu.config import ModelSpec, SegmentConfig
+    cfg = EngineConfig(
+        asr_model=ModelSpec(family="whisper", preset="test"),
+        caption_model=ModelSpec(family="whisper", preset="test"),
+        text_embedder=ModelSpec(family="minilm", preset="test"),
+        embed_dim=64, ingest_batch=4,
+        segment=SegmentConfig(segment_seconds=2.0,
+                              min_segment_seconds=0.5),
+        short_context=True,
+        asr_decode=DecodeConfig(max_new_tokens=3),
+        caption_decode=DecodeConfig(max_new_tokens=3))
+    engine = AudioSearchEngine(cfg=cfg, keep_audio=False)
+    root = tmp_path_factory.mktemp("cfg_root")
+    srv = serve(engine, host="127.0.0.1", port=0, block=False,
+                data_root=root)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_config_endpoint_knobs(cfg_server, rng, tmp_path):
+    """The historical UI's chunk-duration slider + model dropdowns
+    (streamlit_app_backup.py:875, clean_audio_search.py:32-47) over HTTP:
+    reconfigure changes segmentation behavior and resets the index."""
+    st, cfg0 = _get(cfg_server + "/api/config")
+    assert st == 200
+    assert cfg0["segment_seconds"] == 2.0
+    assert "base" in cfg0["asr_options"]
+    assert "all-mpnet-base-v2" in cfg0["embedder_options"]
+
+    wave = (rng.normal(size=16000 * 4) * 0.3).astype(np.float32)
+    p = tmp_path / "c.wav"
+    write_wav(str(p), wave, 16000)
+
+    def ingest():
+        req = urllib.request.Request(
+            cfg_server + "/api/ingest?name=c.wav", data=p.read_bytes(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+
+    n2 = len(ingest()["segments"])          # 2 s windows over 4 s
+    assert n2 == 2
+
+    req = urllib.request.Request(
+        cfg_server + "/api/config",
+        data=json.dumps({"segment_seconds": 1.5}).encode(),
+        method="POST", headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        out = json.loads(r.read())
+    assert out["segment_seconds"] == 1.5
+
+    st, segs = _get(cfg_server + "/api/segments")
+    assert segs["total"] == 0               # index reset on reconfigure
+    n15 = len(ingest()["segments"])         # 1.5 s windows: 1.5/1.5/1.0
+    assert n15 == 3
+
+    # validation errors surface as 400s
+    for bad in ({"segment_seconds": 99}, {"asr_preset": "nope"},
+                {"bogus_key": 1}):
+        req = urllib.request.Request(
+            cfg_server + "/api/config", data=json.dumps(bad).encode(),
+            method="POST", headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError(f"{bad} should have failed")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
