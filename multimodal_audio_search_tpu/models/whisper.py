@@ -169,23 +169,27 @@ def encode(
     if fused_attention is None:
         fused_attention = fused_blocks or use_pallas_attention(x.shape[1])
     if fused_blocks:
-        from ..ops.encoder_block import encoder_ln_qkv, encoder_mlp
-        bsz, t, d = x.shape
+        # Round-3 profile (tools/profile_encode.py): XLA already runs the
+        # LN and MLP sub-blocks at MFU ~1.0 — the only kernel that pays
+        # is the all-heads attention + o-proj + residual block (the
+        # per-head kernel ran at MFU 0.11 on per-step overhead).
+        from ..ops.encoder_block import fused_attention_o_residual
+        t = x.shape[1]
+        # measured on-chip (B=64, 10 s ctx): one whole-T step per batch
+        # (blk_q=512) beats 256 (16.2 vs 17.7 ms encode) — K/V are
+        # fetched once; larger contexts block at 256 for VMEM headroom
+        blk_q = 512 if t <= 512 else 256
         for blk in params["encoder"]["blocks"]:
             a = blk["self_attn"]
-            q2, k2, v2 = encoder_ln_qkv(
-                x.reshape(-1, d), blk["self_ln"]["scale"],
-                blk["self_ln"]["bias"], a["q"]["w"], a["q"]["b"],
-                a["k"]["w"], a["v"]["w"], a["v"]["b"], eps=cfg.ln_eps)
-            q = L.split_heads(q2.reshape(bsz, t, d), cfg.heads)
-            k = L.split_heads(k2.reshape(bsz, t, d), cfg.heads)
-            v = L.split_heads(v2.reshape(bsz, t, d), cfg.heads)
-            attn = L.merge_heads(fused_encoder_attention(q, k, v))
-            x = x + L.dense(a["o"], attn)
-            x = encoder_mlp(
-                x, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"],
-                blk["mlp_in"]["w"], blk["mlp_in"]["b"],
-                blk["mlp_out"]["w"], blk["mlp_out"]["b"], eps=cfg.ln_eps)
+            h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
+            q = L.split_heads(L.dense(a["q"], h), cfg.heads)
+            k = L.split_heads(L.dense(a["k"], h), cfg.heads)
+            v = L.split_heads(L.dense(a["v"], h), cfg.heads)
+            x = fused_attention_o_residual(
+                q, k, v, x, a["o"]["w"], a["o"]["b"], blk_q=blk_q)
+            h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
+            x = x + L.dense(blk["mlp_out"],
+                            L.gelu(L.dense(blk["mlp_in"], h)))
         return L.layer_norm(params["encoder"]["ln"], x, cfg.ln_eps)
     for blk in params["encoder"]["blocks"]:
         h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)

@@ -1,146 +1,137 @@
-"""Fused encoder sub-block kernels (round-3 MFU push, ROADMAP 17).
+"""Fused encoder attention block: all heads + o-proj + residual in ONE
+kernel (round-3 MFU push, ROADMAP 17).
 
-BENCH_r02 measured encoder MFU 0.36 (parity) / 0.43 (fast) with the fused
-attention kernel already in place — the residue is XLA elementwise passes
-between the matmuls: LN before qkv, LN before MLP, gelu, residual adds,
-and the head split/merge transposes, each a full [B, T, D] HBM round trip.
-These kernels fold the elementwise work into the matmul kernels:
+What the round-3 TPU profile showed (tools/profile_encode.py, B=64/10 s):
 
-  * ``encoder_ln_qkv``  — LN + the three qkv projections in ONE kernel:
-    x is read once (instead of LN read+write plus three matmul reads).
-  * ``encoder_mlp``     — LN + fc1 + erf-GELU + fc2 + residual in ONE
-    kernel over row blocks (the encoder-shaped sibling of
-    decoder_block.fused_mlp_block, which is sized for decode rows).
+  * XLA already runs the LN+MLP+residual sub-block at MFU ~1.0 — Pallas
+    LN/MLP kernels measured SLOWER (grid + weight-DMA overhead), so no
+    kernels exist for those stages; XLA keeps them.
+  * The per-(batch, head) fused attention kernel (ops/attention.py) ran
+    at MFU 0.114: its grid is B*H*T/blk steps of ~34 MFLOP each — a
+    microsecond-scale fixed cost per step (DMA setup/semaphores)
+    dominates, and every block has a 64-lane last dim (half of each
+    128-lane row idle).
+
+This kernel restructures the grid to (B, T/blk_q): one step processes
+ALL heads for a query block (8x the arithmetic per step at whisper-base),
+then concatenates head outputs to the merged [blk_q, H*D] layout in VMEM
+and applies the o-projection + residual add in the epilogue — the XLA
+merge-heads transpose and the separate o-proj matmul (MFU 0.111)
+disappear entirely.
 
 Accelerates the per-segment HF encoder call of the reference
-(/root/reference/audio_search.py:358-362) — behavior-neutral: outputs
-match the XLA path to bf16 rounding (erf via Abramowitz-Stegun 7.1.26,
-|err| < 1.5e-7, far below bf16 resolution).
+(/root/reference/audio_search.py:358-362); behavior-neutral to bf16
+rounding (parity-tested in interpret mode on CPU).
 """
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .decoder_block import _mlp_kernel
+NEG_INF = -1e30
 
 
-def _ln(x_ref, g_ref, b_ref, eps: float):
-    x = x_ref[...].astype(jnp.float32)
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
-    return ((x - mu) * jax.lax.rsqrt(var + eps)
-            * g_ref[0].astype(jnp.float32)
-            + b_ref[0].astype(jnp.float32))
+def _attn_o_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
+                   *, t_real: int, scale: float, heads: int):
+    """One query block, every head, + o-proj + residual.
 
-
-def _ln_qkv_kernel(x_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref,
-                   wv_ref, bv_ref, q_ref, k_ref, v_ref, *, eps: float):
-    h = _ln(x_ref, g_ref, b_ref, eps).astype(x_ref.dtype)       # [R, D]
-
-    def proj(w_ref, b_ref, o_ref):
-        y = jax.lax.dot_general(
-            h, w_ref[...],
+    q_ref [1, H, blk_q, D]; k_ref/v_ref [1, H, T_pad, D];
+    x_ref/o_ref [1, blk_q, H*D]; wo_ref [H*D, H*D]; bo_ref [1, H*D].
+    """
+    t_pad = k_ref.shape[2]
+    outs = []
+    for h in range(heads):                      # static unroll
+        q = q_ref[0, h].astype(jnp.float32) * scale        # [blk_q, D]
+        k = k_ref[0, h]                                    # [T_pad, D]
+        s = jax.lax.dot_general(
+            q.astype(k.dtype), k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [blk_q, T_pad]
+        if t_real < t_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < t_real, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        p = (p / l).astype(v_ref.dtype)
+        outs.append(jax.lax.dot_general(
+            p, v_ref[0, h],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if b_ref is not None:
-            y = y + b_ref[0].astype(jnp.float32)
-        o_ref[...] = y.astype(o_ref.dtype)
-
-    proj(wq_ref, bq_ref, q_ref)
-    proj(wk_ref, None, k_ref)         # whisper k-proj has no bias
-    proj(wv_ref, bv_ref, v_ref)
-
-
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
-def encoder_ln_qkv(
-    x: jnp.ndarray,                                # [N, D] flattened rows
-    ln_g: jnp.ndarray, ln_b: jnp.ndarray,          # [D]
-    wq: jnp.ndarray, bq: jnp.ndarray,              # [D, D], [D]
-    wk: jnp.ndarray,                               # [D, D] (no bias)
-    wv: jnp.ndarray, bv: jnp.ndarray,              # [D, D], [D]
-    *,
-    eps: float = 1e-5,
-    interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(q, k, v) = LN(x) @ (Wq, Wk, Wv) + biases, one x read."""
-    n, d = x.shape
-    rows = 256
-    while n % rows:
-        rows //= 2
-    dt = x.dtype
-    vec = lambda a: a.reshape(1, -1).astype(dt)     # noqa: E731
-    full = lambda i: (0, 0)                         # noqa: E731
-    kernel = functools.partial(_ln_qkv_kernel, eps=eps)
-    blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((d, d), full, memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(n // rows,),
-        in_specs=[blk, vspec, vspec, wspec, vspec, wspec, wspec, vspec],
-        out_specs=(blk, blk, blk),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((n, d), dt) for _ in range(3)),
-        interpret=interpret,
-    )(x, vec(ln_g), vec(ln_b), wq.astype(dt), vec(bq), wk.astype(dt),
-      wv.astype(dt), vec(bv))
+            preferred_element_type=jnp.float32))           # [blk_q, D]
+    attn = jnp.concatenate(outs, axis=-1)                  # [blk_q, H*D]
+    y = jax.lax.dot_general(
+        attn.astype(wo_ref.dtype), wo_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + bo_ref[0].astype(jnp.float32)
+    o_ref[0] = (x_ref[0].astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
-def encoder_mlp(
-    x: jnp.ndarray,                                # [B, T, D] or [N, D]
-    ln_g: jnp.ndarray, ln_b: jnp.ndarray,
-    w1: jnp.ndarray, b1: jnp.ndarray,              # [D, F], [F]
-    w2: jnp.ndarray, b2: jnp.ndarray,              # [F, D], [D]
-    *,
-    eps: float = 1e-5,
-    interpret: bool = False,
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blk_q", "interpret"))
+def fused_attention_o_residual(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,   # [B, H, T, D]
+    x: jnp.ndarray,                                   # [B, T, H*D] residual
+    wo: jnp.ndarray, bo: jnp.ndarray,                 # [H*D, H*D], [H*D]
+    blk_q: int = 256, interpret: bool = False,
 ) -> jnp.ndarray:
-    """x + fc2(gelu(fc1(LN(x)))) over encoder-scale row counts.
+    """x + (softmax(QK^T/sqrt(D)) V merged over heads) @ Wo + bo.
 
-    Row blocks sized for VMEM: weights (D*F bf16 x2) stay resident,
-    the f32 [rows, F] intermediate is the budget driver."""
-    shape = x.shape
-    d = shape[-1]
-    f = w1.shape[1]
-    x2 = x.reshape(-1, d)
-    n = x2.shape[0]
-    rows = 256
-    # f32 intermediate [rows, F] + 2x weights + in/out blocks under ~12 MB
-    while rows > 8 and (rows * f * 4 + 4 * d * f + 4 * rows * d) > 12e6:
-        rows //= 2
-    while n % rows:
-        rows //= 2
+    Non-causal, padding-masked (keys >= T are masked), f32 softmax and
+    accumulation. Output is [B, T, H*D] — the next LN consumes it
+    directly, no head merge transpose.
+    """
+    b, h, t, d = q.shape
+    hd = h * d
+    scale = 1.0 / math.sqrt(d)
+    t_pad = _round_up(t, blk_q)
+    if t_pad != t:
+        pad4 = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
+        q = jnp.pad(q, pad4)
+        k = jnp.pad(k, pad4)
+        v = jnp.pad(v, pad4)
+        x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
     dt = x.dtype
-    vec = lambda a: a.reshape(1, -1).astype(dt)     # noqa: E731
-    full = lambda i: (0, 0)                         # noqa: E731
-    kernel = functools.partial(_mlp_kernel, eps=eps)
-    blk = pl.BlockSpec((rows, d), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _attn_o_kernel, t_real=t, scale=scale, heads=h)
+    qkv_spec = pl.BlockSpec((1, h, t_pad, d), lambda bi, i: (bi, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(n // rows,),
+        grid=(b, t_pad // blk_q),
         in_specs=[
-            blk,
-            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, f), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, blk_q, d), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec((1, blk_q, hd), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, hd), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct((n, d), dt),
+        out_specs=pl.BlockSpec((1, blk_q, hd), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, hd), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * t_pad * t_pad * d
+            + 2 * b * t_pad * hd * hd,
+            bytes_accessed=b * t_pad * hd * 6 * 2,
+            transcendentals=b * h * t_pad * t_pad),
         interpret=interpret,
-    )(x2, vec(ln_g), vec(ln_b), w1.astype(dt), vec(b1),
-      w2.astype(dt), vec(b2))
-    return out.reshape(shape)
+    )(q.astype(dt), k.astype(dt), v.astype(dt), x,
+      wo.astype(dt), bo.reshape(1, hd).astype(dt))
+    return out[:, :t, :]
 
 
 def use_fused_blocks(t: int) -> bool:

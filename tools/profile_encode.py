@@ -120,22 +120,15 @@ def main() -> None:
     # ---- fused Pallas alternatives
     if on_tpu:
         from multimodal_audio_search_tpu.ops.encoder_block import (
-            encoder_ln_qkv, encoder_mlp)
+            fused_attention_o_residual)
 
-        def qkv_pl(x):
-            return encoder_ln_qkv(
-                x.reshape(-1, d), blk["self_ln"]["scale"],
-                blk["self_ln"]["bias"], a["q"]["w"], a["q"]["b"],
-                a["k"]["w"], a["v"]["w"], a["v"]["b"], eps=cfg.ln_eps)
-        t("layer: LN+qkv (PL)", jax.jit(qkv_pl), x,
-          3 * 2 * b * tt * d * d)
+        blkq = 256 if tt <= 1024 else 128
 
-        def enc_mlp_pl(x2):
-            return encoder_mlp(
-                x2, blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"],
-                blk["mlp_in"]["w"], blk["mlp_in"]["b"],
-                blk["mlp_out"]["w"], blk["mlp_out"]["b"], eps=cfg.ln_eps)
-        t("layer: encoder_mlp (PL)", jax.jit(enc_mlp_pl), x2, mlp_flops)
+        def attn_o_pl(q):
+            return fused_attention_o_residual(
+                q, k, v, x, a["o"]["w"], a["o"]["b"], blk_q=blkq)
+        t("layer: attn+o+res (PL)", jax.jit(attn_o_pl), q,
+          attn_flops + 2 * b * tt * d * d)
 
         t("encode (fused blocks)", jax.jit(
             lambda m: W.encode(params, m, cfg, fused_blocks=True)), mel,
