@@ -20,9 +20,14 @@ TPU-native notes:
     assignment); attention over the 64-token windows is batched into one
     [B*nW, heads, 64, 64] einsum per block.
 
-Weight-fusion (``enable_fusion=True`` checkpoints) is not implemented: the
-reference used the *unfused* checkpoint; converting a fused state_dict raises
-with that explanation.
+Weight-fusion (``enable_fusion=True`` checkpoints — the reference's
+``laion/clap-htsat-fused`` dropdown option, streamlit_app_backup.py:22-35) is
+supported: 4-channel fused inputs (downsampled-global + three crops), the
+``mel_conv2d`` local patch conv, and the attentional-feature-fusion (AFF)
+block, selected per row by ``is_longer``. The fusion select is a
+``jnp.where`` over batch rows (both paths computed at static shape — the
+TPU-native form of HF's index assignment, modeling_clap.py's
+ClapAudioPatchEmbed.forward).
 """
 from __future__ import annotations
 
@@ -55,6 +60,9 @@ class HTSATConfig:
     projection_dim: int = 512
     ln_eps: float = 1e-5
     bn_eps: float = 1e-5
+    # laion/clap-htsat-fused: 4-channel inputs + AFF fusion in patch embed
+    enable_fusion: bool = False
+    aff_block_r: int = 4
 
     @property
     def freq_ratio(self) -> int:
@@ -248,15 +256,59 @@ def _patch_merge(params, x, hw, cfg: HTSATConfig):
     return L.dense(params["reduction"], y)
 
 
+# -------------------------------------------- fusion (AFF) patch-embed path
+def _conv1x1(p, x: jnp.ndarray) -> jnp.ndarray:
+    """1x1 Conv2d as a channel matmul. x [B,C,H,W], w [O,C,1,1]."""
+    y = jnp.einsum("oc,bchw->bohw", p["w"][:, :, 0, 0].astype(x.dtype), x,
+                   preferred_element_type=jnp.float32)
+    return (y + p["b"].astype(jnp.float32)[None, :, None, None]) \
+        .astype(x.dtype)
+
+
+def _bn2d(p, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Inference BatchNorm2d over the channel dim."""
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(p["var"].astype(jnp.float32) + eps)
+    y = (xf - p["mean"][None, :, None, None]) \
+        * (inv * p["scale"])[None, :, None, None] \
+        + p["bias"][None, :, None, None]
+    return y.astype(x.dtype)
+
+
+def _aff_fuse(p, hidden: jnp.ndarray, residual: jnp.ndarray,
+              eps: float) -> jnp.ndarray:
+    """ClapAudioAFFBlock: sigmoid-gated mix of global and local patches."""
+    x = hidden + residual
+
+    def att(branch, y):
+        y = jax.nn.relu(_bn2d(branch["bn1"], _conv1x1(branch["conv1"], y),
+                              eps))
+        return _bn2d(branch["bn2"], _conv1x1(branch["conv2"], y), eps)
+
+    gate = jax.nn.sigmoid(
+        att(p["local"], x).astype(jnp.float32)
+        + att(p["global"], jnp.mean(x, axis=(2, 3), keepdims=True))
+        .astype(jnp.float32))
+    return (2.0 * hidden.astype(jnp.float32) * gate
+            + 2.0 * residual.astype(jnp.float32) * (1.0 - gate)) \
+        .astype(hidden.dtype)
+
+
 # ---------------------------------------------------------------- audio tower
 def htsat_pooled(params, input_features: jnp.ndarray,
-                 cfg: HTSATConfig = HTSATConfig()) -> jnp.ndarray:
-    """[B, 1, T, F] log-mel -> [B, hidden_size] pooled HTSAT features.
+                 cfg: HTSATConfig = HTSATConfig(),
+                 is_longer: jnp.ndarray | None = None) -> jnp.ndarray:
+    """[B, C, T, F] log-mel -> [B, hidden_size] pooled HTSAT features.
 
     Matches ClapAudioEncoder.forward (modeling_clap.py:860-977): per-mel-bin
     eval BatchNorm, mel->image reshape, patch conv + LN, 4 Swin stages with
     patch merging, final LN, mean pool (the reference's permute + adaptive
     avg-pool over all 64 tokens is exactly a token mean).
+
+    ``enable_fusion`` checkpoints take C=4 (global + 3 crops) and a
+    per-row ``is_longer`` bool [B]: longer rows get the mel_conv2d local
+    path fused into the global patches by the AFF block; short rows use
+    the global channel alone (ClapAudioPatchEmbed.forward).
     """
     bn = params["batch_norm"]
     xf = input_features.astype(jnp.float32)
@@ -264,19 +316,42 @@ def htsat_pooled(params, input_features: jnp.ndarray,
     x = (xf - bn["mean"]) * inv * bn["scale"] + bn["bias"]
     x = x.astype(input_features.dtype)
 
-    x = reshape_mel2img(x, cfg)                        # [B, 1, S, S]
+    x = reshape_mel2img(x, cfg)                        # [B, C, S, S]
 
     pe = params["patch_embed"]
     ps = (cfg.patch_size, cfg.patch_size)
     pad = ((ps[0] - cfg.patch_stride[0]) // 2,
            (ps[1] - cfg.patch_stride[1]) // 2)
-    x = jax.lax.conv_general_dilated(
-        x, pe["w"].astype(x.dtype),
+    glob = x[:, 0:1] if cfg.enable_fusion else x
+    y = jax.lax.conv_general_dilated(
+        glob, pe["w"].astype(x.dtype),
         window_strides=cfg.patch_stride,
         padding=((pad[0], pad[0]), (pad[1], pad[1])),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=jnp.float32).astype(x.dtype)
-    x = x + pe["b"].astype(x.dtype)[None, :, None, None]
+    y = y + pe["b"].astype(x.dtype)[None, :, None, None]
+    if cfg.enable_fusion and is_longer is not None:
+        f = pe["fusion"]
+        bsz, nch, s1, s2 = x.shape
+        loc = x[:, 1:].reshape(bsz * (nch - 1), 1, s1, s2)
+        loc = jax.lax.conv_general_dilated(
+            loc, f["mel_conv2d"]["w"].astype(x.dtype),
+            window_strides=(cfg.patch_stride[0], cfg.patch_stride[1] * 3),
+            padding=((pad[0], pad[0]), (pad[1], pad[1])),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        loc = loc + f["mel_conv2d"]["b"].astype(x.dtype)[None, :, None,
+                                                         None]
+        _, cc, lh, lw = loc.shape
+        loc = loc.reshape(bsz, nch - 1, cc, lh, lw) \
+            .transpose(0, 2, 3, 1, 4).reshape(bsz, cc, lh, (nch - 1) * lw)
+        loc = jnp.pad(
+            loc, ((0, 0), (0, 0), (0, 0),
+                  (0, y.shape[-1] - (nch - 1) * lw)))
+        fused = _aff_fuse(f, y, loc, cfg.bn_eps)
+        y = jnp.where(
+            jnp.asarray(is_longer).reshape(-1, 1, 1, 1), fused, y)
+    x = y
     b, c, gh, gw = x.shape
     x = x.reshape(b, c, gh * gw).transpose(0, 2, 1)    # [B, N, C]
     x = L.layer_norm(pe["norm"], x, cfg.ln_eps)
@@ -302,10 +377,11 @@ def projection(params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def audio_embed(params, input_features: jnp.ndarray,
-                cfg: HTSATConfig = HTSATConfig()) -> jnp.ndarray:
+                cfg: HTSATConfig = HTSATConfig(),
+                is_longer: jnp.ndarray | None = None) -> jnp.ndarray:
     """ClapModel.get_audio_features: pooled -> projection -> L2 norm."""
     z = projection(params["proj"],
-                   htsat_pooled(params, input_features, cfg))
+                   htsat_pooled(params, input_features, cfg, is_longer))
     z = z.astype(jnp.float32)
     return z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
 
@@ -347,8 +423,9 @@ def text_embed(params, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
 
 # -------------------------------------------------------------- random init
 def init_audio_params(key, cfg: HTSATConfig = HTSATConfig()) -> dict:
-    ks = iter(jax.random.split(key,
-                               8 + 8 * sum(cfg.depths) + len(cfg.depths)))
+    ks = iter(jax.random.split(
+        key, 8 + 8 * sum(cfg.depths) + len(cfg.depths)
+        + (8 if cfg.enable_fusion else 0)))
     params: dict = {
         "batch_norm": {
             "mean": jnp.zeros((cfg.num_mel_bins,), jnp.float32),
@@ -372,6 +449,35 @@ def init_audio_params(key, cfg: HTSATConfig = HTSATConfig()) -> dict:
         },
         "stages": [],
     }
+    if cfg.enable_fusion:
+        inter = cfg.patch_embed_dim // cfg.aff_block_r
+
+        def bn_init(c):
+            return {"mean": jnp.zeros((c,), jnp.float32),
+                    "var": jnp.ones((c,), jnp.float32),
+                    "scale": jnp.ones((c,), jnp.float32),
+                    "bias": jnp.zeros((c,), jnp.float32)}
+
+        def conv1x1_init(cin, cout):
+            return {"w": jax.random.normal(
+                next(ks), (cout, cin, 1, 1), jnp.float32) * 0.02,
+                "b": jnp.zeros((cout,), jnp.float32)}
+
+        def att_init():
+            return {"conv1": conv1x1_init(cfg.patch_embed_dim, inter),
+                    "bn1": bn_init(inter),
+                    "conv2": conv1x1_init(inter, cfg.patch_embed_dim),
+                    "bn2": bn_init(cfg.patch_embed_dim)}
+
+        params["patch_embed"]["fusion"] = {
+            "mel_conv2d": {
+                "w": jax.random.normal(
+                    next(ks), (cfg.patch_embed_dim, 1, cfg.patch_size,
+                               cfg.patch_size * 3), jnp.float32) * 0.02,
+                "b": jnp.zeros((cfg.patch_embed_dim,), jnp.float32)},
+            "local": att_init(),
+            "global": att_init(),
+        }
     n_stages = len(cfg.depths)
     for si in range(n_stages):
         dim = cfg.patch_embed_dim * (2 ** si)
@@ -469,7 +575,9 @@ def htsat_config_from_hf(hf_cfg) -> HTSATConfig:
         window_size=hf_cfg.window_size, mlp_ratio=hf_cfg.mlp_ratio,
         hidden_size=hf_cfg.hidden_size,
         projection_dim=hf_cfg.projection_dim,
-        ln_eps=hf_cfg.layer_norm_eps)
+        ln_eps=hf_cfg.layer_norm_eps,
+        enable_fusion=bool(getattr(hf_cfg, "enable_fusion", False)),
+        aff_block_r=int(getattr(hf_cfg, "aff_block_r", 4)))
 
 
 def roberta_config_from_hf(hf_cfg) -> RobertaConfig:
@@ -487,10 +595,16 @@ def convert_clap_audio(state_dict: Mapping[str, Any],
                        cfg: HTSATConfig) -> dict:
     """ClapModel / ClapAudioModelWithProjection state_dict -> audio pytree."""
     sd = dict(state_dict)
-    if any(".fusion_model." in k or ".mel_conv2d." in k for k in sd):
+    has_fusion = any(".fusion_model." in k or ".mel_conv2d." in k
+                     for k in sd)
+    if has_fusion and not cfg.enable_fusion:
         raise ValueError(
-            "enable_fusion checkpoints are not supported; the reference used "
-            "laion/clap-htsat-unfused (streamlit_app_backup.py:22)")
+            "this is an enable_fusion checkpoint (laion/clap-htsat-fused);"
+            " pass an HTSATConfig(enable_fusion=True)")
+    if cfg.enable_fusion and not has_fusion:
+        raise ValueError(
+            "enable_fusion=True but the state_dict has no fusion weights "
+            "(is this laion/clap-htsat-unfused?)")
     enc = "audio_model.audio_encoder"
     params = {
         "batch_norm": {
@@ -511,6 +625,35 @@ def convert_clap_audio(state_dict: Mapping[str, Any],
         },
         "stages": [],
     }
+    if cfg.enable_fusion:
+        pe = f"{enc}.patch_embed"
+
+        def conv(prefix):
+            return {"w": _np(sd[f"{prefix}.weight"]),
+                    "b": _np(sd[f"{prefix}.bias"])}
+
+        def bn(prefix):
+            return {"mean": _np(sd[f"{prefix}.running_mean"]),
+                    "var": _np(sd[f"{prefix}.running_var"]),
+                    "scale": _np(sd[f"{prefix}.weight"]),
+                    "bias": _np(sd[f"{prefix}.bias"])}
+
+        # Sequential indices (modeling_clap.py ClapAudioAFFBlock):
+        # local_att = [Conv, BN, ReLU, Conv, BN]; global_att has an
+        # AdaptiveAvgPool2d at slot 0, shifting everything by one
+        params["patch_embed"]["fusion"] = {
+            "mel_conv2d": conv(f"{pe}.mel_conv2d"),
+            "local": {
+                "conv1": conv(f"{pe}.fusion_model.local_att.0"),
+                "bn1": bn(f"{pe}.fusion_model.local_att.1"),
+                "conv2": conv(f"{pe}.fusion_model.local_att.3"),
+                "bn2": bn(f"{pe}.fusion_model.local_att.4")},
+            "global": {
+                "conv1": conv(f"{pe}.fusion_model.global_att.1"),
+                "bn1": bn(f"{pe}.fusion_model.global_att.2"),
+                "conv2": conv(f"{pe}.fusion_model.global_att.4"),
+                "bn2": bn(f"{pe}.fusion_model.global_att.5")},
+        }
     for si in range(len(cfg.depths)):
         st = f"{enc}.layers.{si}"
         blocks = []

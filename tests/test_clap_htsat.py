@@ -114,11 +114,83 @@ def test_audio_tower_parity_default_geometry():
     np.testing.assert_allclose(got, want, atol=5e-5)
 
 
-def test_fusion_checkpoint_rejected():
+def test_fusion_config_checkpoint_mismatch_rejected():
     sd = {"audio_model.audio_encoder.patch_embed.fusion_model.x": 0,
           "audio_model.audio_encoder.patch_embed.mel_conv2d.weight": 0}
-    with pytest.raises(ValueError, match="unfused"):
+    with pytest.raises(ValueError, match="enable_fusion"):
         CH.convert_clap_audio(sd, CH.HTSATConfig())
+    with pytest.raises(ValueError, match="fusion weights"):
+        CH.convert_clap_audio(
+            {"audio_model.audio_encoder.norm.weight": 0},
+            CH.HTSATConfig(enable_fusion=True))
+
+
+def test_fused_audio_tower_parity_tiny():
+    """laion/clap-htsat-fused architecture (streamlit_app_backup.py:22-35):
+    4-channel fused input, mel_conv2d local path + AFF gate for longer
+    rows, global-only for short rows — vs torch at tiny geometry."""
+    cfg_hf = transformers.ClapAudioConfig(
+        **{**TINY_AUDIO, "enable_fusion": True})
+    model = _randomize(
+        transformers.ClapAudioModelWithProjection(cfg_hf), seed=21)
+    cfg = CH.htsat_config_from_hf(cfg_hf)
+    assert cfg.enable_fusion
+    params = CH.convert_clap_audio(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(22)
+    feats = rng.normal(size=(3, 4, 200, 16)).astype(np.float32)
+    is_longer = np.array([True, False, True])
+    with torch.inference_mode():
+        want = model(torch.from_numpy(feats),
+                     is_longer=torch.from_numpy(is_longer[:, None])
+                     ).audio_embeds.numpy()
+    want = want / np.linalg.norm(want, axis=-1, keepdims=True)
+    got = np.asarray(CH.audio_embed(
+        params, jnp.asarray(feats), cfg, is_longer=jnp.asarray(is_longer)))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+    # init pytree shapes match the converted fused checkpoint
+    import jax
+    mine = CH.init_audio_params(jax.random.PRNGKey(0), cfg)
+    assert jax.tree_util.tree_map(lambda a: np.shape(a), params) == \
+        jax.tree_util.tree_map(lambda a: np.shape(a), mine)
+
+
+def test_fusion_features_parity(monkeypatch):
+    """clap_fusion_features vs ClapFeatureExtractor(truncation='fusion'):
+    short clips (4x repeat, not longer) and long clips (bilinear global
+    shrink + three crops, longer). HF draws crop starts with np.random;
+    both sides are pinned to the first start of each third."""
+    from multimodal_audio_search_tpu.audio import clap_features as CF
+
+    fe = transformers.ClapFeatureExtractor(truncation="fusion",
+                                           padding="repeatpad")
+    rng = np.random.default_rng(23)
+
+    wave = rng.normal(size=123_456).astype(np.float32) * 0.1   # short
+    out = fe(wave, sampling_rate=48_000, return_tensors="np")
+    want = out["input_features"][0]
+    got, longer = CF.clap_fusion_features(wave)
+    assert not longer          # truly short...
+    # ...but HF forces one is_longer=True per all-short batch; the batch
+    # helper reproduces that quirk
+    assert bool(out["is_longer"][0])
+    bf, bl = CF.clap_fusion_batch([wave])
+    np.testing.assert_array_equal(bl, [True])
+    assert got.shape == (1, 4, 1001, 64)
+    np.testing.assert_allclose(got[0], want, atol=2e-4)
+    np.testing.assert_allclose(bf[0], want, atol=2e-4)
+
+    wave = rng.normal(size=700_000).astype(np.float32) * 0.1   # longer
+    monkeypatch.setattr(np.random, "choice", lambda arr: arr[0])
+    out = fe(wave, sampling_rate=48_000, return_tensors="np")
+    want = out["input_features"][0]
+    got, longer = CF.clap_fusion_features(wave)
+    assert longer and bool(out["is_longer"][0])
+    # crops are exact; the global channel's bilinear shrink runs f32 in
+    # torch vs our f64 interpolation matrix (~4e-5 relative on dB values)
+    np.testing.assert_allclose(got[0, 1:], want[1:], atol=2e-4)
+    np.testing.assert_allclose(got[0, 0], want[0], atol=5e-3)
 
 
 def test_init_shapes_match_converted_tiny():

@@ -201,3 +201,54 @@ def test_forced_prefix_language_and_task():
     en_cfg = W.PRESETS["base.en"] if "base.en" in W.PRESETS else None
     if en_cfg is not None:
         assert len(W.forced_prefix(en_cfg, language="de")) == 2
+
+
+def test_sampling_distribution_matches_hf_at_reference_knobs(rng):
+    """Distribution-level sampling parity (round-2 verdict item 9): the
+    reference's PRODUCTION ASR decode is sampling at temperature 0.2 with
+    repetition_penalty 1.05 and no_repeat_ngram_size 2
+    (audio_search.py:316-327). Seed-free check: the full processed
+    next-token probability VECTOR (penalty -> ngram ban -> temperature ->
+    softmax) must equal HF's LogitsProcessorList + TemperatureLogitsWarper
+    chain on identical raw logits and histories."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from transformers import (
+        LogitsProcessorList, NoRepeatNGramLogitsProcessor,
+        RepetitionPenaltyLogitsProcessor, TemperatureLogitsWarper)
+    from multimodal_audio_search_tpu.models.generate import (
+        apply_repetition_penalty, ban_repeated_ngrams)
+
+    B, V, L = 5, 64, 12
+    temp, pen, n = 0.2, 1.05, 2
+    logits = rng.normal(size=(B, V)).astype(np.float32) * 3.0
+    # histories of different lengths, with planted repeats so both the
+    # penalty and the 2-gram ban actually fire
+    cur_len = np.array([3, 5, 8, 12, 4], np.int32)
+    tokens = rng.integers(0, V, size=(B, L)).astype(np.int32)
+    tokens[1, :5] = [7, 9, 7, 9, 7]        # 2-gram (7,9) must be banned
+    tokens[2, :8] = [3, 3, 4, 5, 3, 4, 6, 3]
+
+    # ours: the exact processing chain of models/generate.py::body
+    valid = np.arange(L)[None, :] < cur_len[:, None]
+    out = apply_repetition_penalty(
+        jnp.asarray(logits), jnp.asarray(tokens), jnp.asarray(valid),
+        pen)
+    out = ban_repeated_ngrams(
+        out, jnp.asarray(tokens), jnp.asarray(cur_len), n)
+    ours = jax.nn.softmax(np.asarray(out) / temp, axis=-1)
+
+    # HF: per-row (ragged histories), processors then warper then softmax
+    procs = LogitsProcessorList([
+        RepetitionPenaltyLogitsProcessor(pen),
+        NoRepeatNGramLogitsProcessor(n)])
+    warper = TemperatureLogitsWarper(temp)
+    for i in range(B):
+        ids = torch.tensor(tokens[None, i, :cur_len[i]].astype(np.int64))
+        raw = torch.tensor(logits[None, i])
+        hf = warper(ids, procs(ids, raw))
+        hf_probs = torch.softmax(hf, dim=-1).numpy()[0]
+        np.testing.assert_allclose(
+            np.asarray(ours[i]), hf_probs, atol=1e-5,
+            err_msg=f"row {i} (cur_len={cur_len[i]})")
