@@ -1,0 +1,216 @@
+"""Procedural audio/caption pairs + self-trained captioner weights.
+
+Round-2 verdict item 4: with no egress, real checkpoints cannot land, so
+every perf-mode accuracy claim was unmeasurable — random-init weights
+produce degenerate transcripts whose drift numbers mean nothing. This
+module makes the framework its own weights supplier: a procedural
+generator of audio events with deterministic captions (tones, sweeps,
+noise bursts — no TTS needed), an exact word-level vocabulary, and a
+training recipe over training/finetune.py that takes the "test"-preset
+whisper captioner from random to reliably transcribing the grammar.
+tools/synth_drift.py then measures the REAL accuracy cost of each perf
+lever (short_context, mulaw8 transfer, bf16, int8 decoder weights)
+against these non-degenerate transcripts.
+
+Reference tie-in: the trainable-component lineage of the reference is the
+bridge MLP (lightweight_audio_search.py:163-195); this extends the same
+"train what you need" idea to the caption tower so the framework's eval
+story does not depend on downloads.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from ..models import whisper as W
+
+SAMPLE_RATE = 16_000
+
+# event name -> synthesis function(dur_samples, rng) -> waveform
+_TONES = {"low": 220.0, "mid": 880.0, "high": 3520.0}
+
+
+def _tone(freq: float, n: int) -> np.ndarray:
+    t = np.arange(n) / SAMPLE_RATE
+    env = np.minimum(1.0, np.minimum(t, t[::-1]) * 40.0)   # 25 ms ramps
+    return (0.4 * np.sin(2 * np.pi * freq * t) * env).astype(np.float32)
+
+
+def _noise(n: int, rng: np.random.Generator) -> np.ndarray:
+    return (0.25 * rng.normal(size=n)).astype(np.float32)
+
+
+def _sweep(n: int) -> np.ndarray:
+    t = np.arange(n) / SAMPLE_RATE
+    f0, f1 = 300.0, 3000.0
+    phase = 2 * np.pi * (f0 * t + (f1 - f0) * t * t
+                         / (2 * t[-1] if n > 1 else 1.0))
+    env = np.minimum(1.0, np.minimum(t, t[::-1]) * 40.0)
+    return (0.4 * np.sin(phase) * env).astype(np.float32)
+
+
+EVENTS = ("low tone", "mid tone", "high tone", "noise", "sweep")
+
+
+def render_event(name: str, n: int, rng: np.random.Generator) -> np.ndarray:
+    if name.endswith("tone"):
+        return _tone(_TONES[name.split()[0]], n)
+    if name == "noise":
+        return _noise(n, rng)
+    if name == "sweep":
+        return _sweep(n)
+    raise ValueError(name)
+
+
+def make_clip(
+    rng: np.random.Generator,
+    clip_seconds: float = 1.0,
+    n_events: tuple[int, int] = (1, 3),
+) -> tuple[np.ndarray, str]:
+    """One clip: 1-3 sequential events filling clip_seconds, caption =
+    event names joined by 'then' ("low tone then noise")."""
+    k = int(rng.integers(n_events[0], n_events[1] + 1))
+    names = [EVENTS[int(rng.integers(len(EVENTS)))] for _ in range(k)]
+    n = int(clip_seconds * SAMPLE_RATE)
+    per = n // k
+    wave = np.concatenate(
+        [render_event(nm, per, rng) for nm in names])
+    wave = np.pad(wave, (0, n - len(wave)))
+    return wave, " then ".join(names)
+
+
+class SynthVocab:
+    """Exact word<->id vocabulary for the synth grammar, shaped like the
+    pipeline tokenizer protocol (encode / decode / specials)."""
+
+    WORDS = ("low", "mid", "high", "tone", "noise", "sweep", "then")
+
+    def __init__(self, cfg: W.WhisperConfig):
+        self.vocab_size = cfg.vocab_size
+        self.pad_id = cfg.pad_token_id
+        self.eos_id = cfg.eos_token_id
+        self.bos_id = cfg.bos_token_id
+        self._w2i = {w: 10 + i for i, w in enumerate(self.WORDS)}
+        self._i2w = {i: w for w, i in self._w2i.items()}
+        self._special = {cfg.pad_token_id, cfg.eos_token_id,
+                         cfg.bos_token_id, cfg.no_timestamps_id,
+                         cfg.transcribe_id, cfg.lang_en_id}
+
+    def words_to_ids(self, text: str) -> list[int]:
+        return [self._w2i[w] for w in text.split()]
+
+    def decode(self, ids: Sequence[int],
+               skip_special_tokens: bool = True) -> str:
+        out = []
+        for i in ids:
+            i = int(i)
+            if skip_special_tokens and i in self._special:
+                continue
+            out.append(self._i2w.get(i, f"<{i}>"))
+        return " ".join(out)
+
+
+@dataclass
+class SynthModel:
+    params: dict
+    cfg: W.WhisperConfig
+    vocab: SynthVocab
+    mel_seconds: float
+    losses: list
+
+
+def train_synth_captioner(
+    steps: int = 400,
+    batch: int = 16,
+    clip_seconds: float = 1.0,
+    mel_seconds: float = 2.0,
+    preset: str = "test",
+    seed: int = 0,
+    lr: float = 3e-4,
+    mesh=None,
+) -> SynthModel:
+    """Train the preset captioner on procedural clips until transcripts
+    are non-degenerate. Prompt = <sot>; tokens = <sot> words <eot>.
+
+    ``mesh`` runs the train step dp-sharded (params replicated) — the
+    same pattern as the production engine's mesh knob."""
+    import jax.numpy as jnp
+    from ..config import MelConfig
+    from ..ops.mel import log_mel_spectrogram
+    from .finetune import TrainConfig, make_train_step
+
+    cfg = W.PRESETS[preset]
+    vocab = SynthVocab(cfg)
+    mel_cfg = MelConfig(padded_seconds=mel_seconds)
+    params = W.init_params(jax.random.PRNGKey(seed), cfg)
+    tcfg = TrainConfig(learning_rate=lr, schedule="warmup_cosine",
+                       warmup_steps=20, total_steps=steps,
+                       weight_decay=0.0)
+    train_step, opt = make_train_step(cfg, tcfg, donate=False)
+    opt_state = opt.init(params)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
+
+    mel_fn = jax.jit(lambda w: log_mel_spectrogram(w, mel_cfg))
+    rng = np.random.default_rng(seed)
+    max_words = 3 * 2 + 2                # 3 two-word events + 2 'then's
+    tok_len = 1 + max_words + 1          # <sot> words <eot>
+    losses = []
+    for step in range(steps):
+        waves, texts = zip(*(make_clip(rng, clip_seconds)
+                             for _ in range(batch)))
+        waves = np.stack(waves)
+        # log_mel expects waves at the full mel context length
+        waves = np.pad(
+            waves, ((0, 0), (0, mel_cfg.n_samples - waves.shape[1])))
+        tokens = np.full((batch, tok_len), cfg.pad_token_id, np.int32)
+        mask = np.zeros((batch, tok_len - 1), np.float32)
+        for i, t in enumerate(texts):
+            ids = [cfg.bos_token_id] + vocab.words_to_ids(t) \
+                + [cfg.eos_token_id]
+            tokens[i, : len(ids)] = ids
+            mask[i, : len(ids) - 1] = 1.0
+        b = {"mel": mel_fn(jnp.asarray(waves)),
+             "tokens": jnp.asarray(tokens),
+             "loss_mask": jnp.asarray(mask)}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            b = jax.device_put(b, NamedSharding(mesh, P("data")))
+        params, opt_state, metrics = train_step(params, opt_state, b)
+        losses.append(float(metrics["loss"]))
+    return SynthModel(params=params, cfg=cfg, vocab=vocab,
+                      mel_seconds=mel_seconds, losses=losses)
+
+
+def transcribe(
+    model: SynthModel,
+    waves: np.ndarray,
+    mel_seconds: float | None = None,
+    max_new: int = 8,
+    dtype=None,
+) -> list[str]:
+    """Greedy decode through the PRODUCTION pipeline machinery (the same
+    WhisperTextPipeline the engine uses), at an optionally overridden mel
+    context (the short_context lever) or compute dtype."""
+    import jax.numpy as jnp
+    from ..config import DecodeConfig, MelConfig
+    from ..pipelines.whisper_pipeline import WhisperTextPipeline
+
+    pipe = WhisperTextPipeline(
+        params=model.params, cfg=model.cfg, tokenizer=model.vocab,
+        decode=DecodeConfig(max_new_tokens=max_new),
+        mel_cfg=MelConfig(
+            padded_seconds=mel_seconds or model.mel_seconds),
+        prefix_ids=[model.cfg.bos_token_id],
+        dtype=dtype or jnp.float32, name="synth")
+    n = len(waves)
+    pad = np.zeros((n, pipe.mel_cfg.n_samples), np.float32)
+    for i, w in enumerate(waves):
+        m = min(len(w), pad.shape[1])
+        pad[i, :m] = w[:m]
+    return pipe.transcribe_batch(pad)

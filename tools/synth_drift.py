@@ -1,0 +1,137 @@
+"""Perf-mode accuracy drift measured on SELF-TRAINED weights.
+
+Round-2 verdict item 4: with random-init weights every transcript is
+degenerate, so tools/compare_modes.py could only say "short_context
+changes 100% of transcripts" — meaningless. This harness trains the
+"test"-preset captioner on procedural audio (training/synth.py) until
+transcripts carry real signal, then measures each perf lever against the
+parity configuration on held-out clips:
+
+  * short_context — mel context halved (positions sliced), the audio_ctx
+    lever scaled to the test geometry (2 s trained context -> 1 s)
+  * mulaw8 / int16 — host->device transfer quantization round trips
+  * bf16          — model compute dtype
+  * int8_dec      — int8-quantized decoder weights (ops/quant.py)
+
+Reported per mode: transcript agreement vs the parity decode (exact rate
++ token F1) and ground-truth exact rate (vs the generator's captions).
+One JSON line on stdout, bench.py-style.
+
+    python tools/synth_drift.py [--steps 600] [--clips 64] [--out f.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def token_f1(a: str, b: str) -> float:
+    ta, tb = a.split(), b.split()
+    if not ta and not tb:
+        return 1.0
+    used = [False] * len(tb)
+    common = 0
+    for w in ta:
+        for j, v in enumerate(tb):
+            if not used[j] and v == w:
+                used[j] = True
+                common += 1
+                break
+    if common == 0:
+        return 0.0
+    p, r = common / len(ta), common / len(tb)
+    return 2 * p * r / (p + r)
+
+
+def mulaw_roundtrip(w: np.ndarray) -> np.ndarray:
+    """The production mulaw8 transfer: LUT encode (pipelines/ingest.py)
+    + the device-side expansion of _mel16."""
+    from multimodal_audio_search_tpu.pipelines.ingest import _mulaw_lut
+    lut = _mulaw_lut()
+    idx = np.clip(np.rint(np.nan_to_num(w) * 32767.5 + 32767.5),
+                  0.0, 65535.0).astype(np.uint16)
+    q = lut[idx].astype(np.float32) / 127.0
+    return (np.sign(q) * (np.power(256.0, np.abs(q)) - 1.0) / 255.0
+            ).astype(np.float32)
+
+
+def int16_roundtrip(w: np.ndarray) -> np.ndarray:
+    q = (np.clip(w, -1.0, 1.0) * 32767.0).astype(np.int16)
+    return q.astype(np.float32) / 32767.0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--clips", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    # test-preset training is CPU-sized; opt into the chip explicitly
+    # (probing the backend would hang if the remote compile service is
+    # recovering — see .claude/skills/verify/SKILL.md)
+    if not os.environ.get("MAS_DRIFT_TPU"):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from multimodal_audio_search_tpu.ops.quant import (
+        quantize_whisper_decoder)
+    from multimodal_audio_search_tpu.training.synth import (
+        make_clip, train_synth_captioner, transcribe)
+
+    model = train_synth_captioner(steps=args.steps, batch=args.batch,
+                                  seed=args.seed)
+    rng = np.random.default_rng(args.seed + 1)
+    waves, truths = zip(*(make_clip(rng) for _ in range(args.clips)))
+    waves = np.stack(waves)
+
+    parity = transcribe(model, waves)
+
+    def drift(texts):
+        exact = float(np.mean([g == p for g, p in zip(texts, parity)]))
+        f1 = float(np.mean([token_f1(g, p)
+                            for g, p in zip(texts, parity)]))
+        truth = float(np.mean([g == t for g, t in zip(texts, truths)]))
+        return {"agree_exact": round(exact, 3),
+                "agree_token_f1": round(f1, 3),
+                "truth_exact": round(truth, 3)}
+
+    import dataclasses
+    modes = {
+        "parity": drift(parity),
+        "short_context": drift(transcribe(
+            model, waves, mel_seconds=model.mel_seconds / 2)),
+        "mulaw8": drift(transcribe(model, mulaw_roundtrip(waves))),
+        "int16": drift(transcribe(model, int16_roundtrip(waves))),
+        "bf16": drift(transcribe(model, waves, dtype=jnp.bfloat16)),
+        "int8_dec": drift(transcribe(
+            dataclasses.replace(
+                model, params=quantize_whisper_decoder(model.params)),
+            waves)),
+    }
+    out = {
+        "metric": "synth_drift",
+        "train": {"steps": args.steps,
+                  "final_loss": round(float(
+                      np.mean(model.losses[-20:])), 4),
+                  "preset": "test"},
+        "clips": args.clips,
+        "modes": modes,
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
