@@ -146,6 +146,19 @@ const SfbTable kSfb8000 = {
      400, 476, 566, 568, 570, 572, 574, 576},
     {0, 8, 16, 24, 36, 52, 72, 96, 124, 160, 162, 164, 192}};
 
+// Mixed-block spectral split for requantize/reorder/intensity: the long
+// scalefactor bands cover the lines below the first short band's start
+// (x3 windows). 3*short_[3] == 36 at every rate EXCEPT MPEG-2.5 8 kHz,
+// where the wide short bands put it at 72 — hardcoding 36 there decoded
+// LSF mixed frames with the wrong band layout (round-2 advisor finding;
+// conformance-fixed against libmpg123 with crafted frames,
+// tests/test_mp3_native.py::test_lsf_mixed_block_crafted_frames). The
+// FILTERBANK split (antialias subbands, IMDCT window types) stays at 2
+// subbands = 36 lines by construction.
+static inline int mixed_split(const SfbTable& sfb) {
+  return 3 * sfb.short_[3];
+}
+
 const SfbTable* sfb_for(int rate) {
   switch (rate) {
     case 44100: return &kSfb44100;
@@ -565,17 +578,19 @@ void requantize(const Header& h, const Granule& gr, const SfbTable& sfb,
   double sf_mult = gr.scalefac_scale ? 1.0 : 0.5;
   if (gr.block_type == 2) {
     int line = 0;
+    int split = mixed_split(sfb);
     if (gr.mixed) {
-      // long bands 0..7 cover lines 0..35 at MPEG-1 rates (0..5 at LSF)
+      // long bands cover lines below the split (0..35 at most rates,
+      // 0..71 at 8 kHz MPEG-2.5)
       int b = 0;
-      while (sfb.long_[b] < 36 && b < 22) {
+      while (sfb.long_[b] < split && b < 22) {
         double s = gr.scf_l[b] + (gr.preflag ? kPretab[b] : 0);
         double f = gain * std::pow(2.0, -sf_mult * s);
-        for (int i = sfb.long_[b]; i < sfb.long_[b + 1] && i < 36; ++i)
+        for (int i = sfb.long_[b]; i < sfb.long_[b + 1] && i < split; ++i)
           xr[i] = pow43((int)is576[i]) * f;
         b++;
       }
-      line = 36;
+      line = split;
     }
     // short region: lines arrive WINDOW-GROUPED per band (before reorder)
     int start_band = gr.mixed ? 3 : 0;
@@ -641,7 +656,7 @@ void apply_stereo(const Header& h, const Granule& grL, const Granule& grR,
     int start_band = grR.mixed ? 3 : 0;
     for (int b = start_band; b < 12; ++b) {
       int width = sfb.short_[b + 1] - sfb.short_[b];
-      int region0 = grR.mixed ? 36 : 0;
+      int region0 = grR.mixed ? mixed_split(sfb) : 0;
       int short_start =
           region0 + 3 * (sfb.short_[b] - sfb.short_[start_band]);
       if (short_start < bound) continue;
@@ -689,7 +704,7 @@ void reorder_short(const Granule& gr, const SfbTable& sfb, double* xr) {
   if (gr.block_type != 2) return;
   double tmp[576];
   int start_band = gr.mixed ? 3 : 0;
-  int base = gr.mixed ? 36 : 0;
+  int base = gr.mixed ? mixed_split(sfb) : 0;
   for (int i = 0; i < base; ++i) tmp[i] = xr[i];
   int line = base;
   for (int b = start_band; b < 13 && line < 576; ++b) {

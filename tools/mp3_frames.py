@@ -213,3 +213,75 @@ def frame_stereo(granules: list[tuple], rate: int = 48000,
     assert len(body) <= nbytes - 4, "main data exceeds frame"
     payload = body + b"\x00" * (nbytes - 4 - len(body))
     return hdr.to_bytes() + payload
+
+
+# ------------------------------------------------------------ LSF frames
+BITRATES_V2L3 = {8: 1, 16: 2, 24: 3, 32: 4, 40: 5, 48: 6, 56: 7, 64: 8,
+                 80: 9, 96: 10, 112: 11, 128: 12, 144: 13, 160: 14}
+RATES_V2 = {22050: 0, 24000: 1, 16000: 2}
+RATES_V25 = {11025: 0, 12000: 1, 8000: 2}
+
+
+def frame_mono_lsf(granule: GranuleSpec, rate: int = 22050,
+                   bitrate: int = 64) -> bytes:
+    """One MPEG-2/2.5 (LSF) mono Layer III frame: 1 granule, 8-bit
+    main_data_begin, 9-bit scalefac_compress (kept 0 = no scalefactor
+    bits), no preflag field. Exists to craft LSF mixed-block conformance
+    vectors — no encoder in the image emits mixed blocks at all."""
+    v25 = rate in RATES_V25
+    nbytes = 72 * bitrate * 1000 // rate
+    hdr = BitWriter()
+    hdr.write(0x7FF, 11)                 # sync
+    hdr.write(0b00 if v25 else 0b10, 2)  # MPEG-2.5 / MPEG-2
+    hdr.write(0b01, 2)                   # Layer III
+    hdr.write(1, 1)                      # no CRC
+    hdr.write(BITRATES_V2L3[bitrate], 4)
+    hdr.write((RATES_V25 if v25 else RATES_V2)[rate], 2)
+    hdr.write(0, 1).write(0, 1)          # padding / private
+    hdr.write(0b11, 2)                   # mono
+    hdr.write(0, 2)                      # mode ext
+    hdr.write(0, 1).write(0, 1).write(0, 2)
+
+    side = BitWriter()
+    side.write(0, 8)                     # main_data_begin
+    side.write(0, 1)                     # private (mono)
+    g = granule
+    p23 = g.part2_3_length if g.part2_3_length is not None \
+        else len(g.data_bits)
+    assert p23 < 4096 and g.big_values < 512
+    side.write(p23, 12)
+    side.write(g.big_values, 9)
+    side.write(g.global_gain, 8)
+    side.write(g.scalefac_compress, 9)
+    if g.window_switching:
+        side.write(1, 1)
+        side.write(g.block_type, 2)
+        side.write(1 if g.mixed_block else 0, 1)
+        for t in g.table_select[:2]:
+            side.write(t, 5)
+        for sg in g.subblock_gain:
+            side.write(sg, 3)
+    else:
+        side.write(0, 1)
+        for t in g.table_select:
+            side.write(t, 5)
+        side.write(g.region0_count, 4)
+        side.write(g.region1_count, 3)
+    side.write(g.scalefac_scale, 1)      # no preflag at LSF
+    side.write(g.count1table_select, 1)
+
+    main = BitWriter()
+    main.write_bits(g.data_bits)
+    main.write(0, p23 - len(g.data_bits))
+    body = side.to_bytes() + main.to_bytes()
+    assert len(body) <= nbytes - 4, "main data exceeds frame"
+    return hdr.to_bytes() + body + b"\x00" * (nbytes - 4 - len(body))
+
+
+def probe_stream_lsf(probes: list[GranuleSpec], rate: int = 22050,
+                     bitrate: int = 64) -> bytes:
+    frames = [frame_mono_lsf(SILENT, rate, bitrate)]
+    for g in probes:
+        frames.append(frame_mono_lsf(g, rate, bitrate))
+        frames.append(frame_mono_lsf(SILENT, rate, bitrate))
+    return b"".join(frames)
