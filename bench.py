@@ -162,6 +162,7 @@ def calibrate(on_tpu: bool) -> dict:
 def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
                  int8_kv: bool, fused_layer: bool, index_dtype,
                  transfer_dtype: str = "int16",
+                 fused_encoder: bool = False,
                  audio_seconds: float,
                  batch: int, max_new: int, n_index: int, n_queries: int,
                  asr_preset: str, cap_preset: str, cal: dict) -> dict:
@@ -186,7 +187,8 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
     mel_cfg = MelConfig(padded_seconds=10.0) if short_context \
         else MelConfig()
     decode = DecodeConfig(method="greedy", max_new_tokens=max_new,
-                          int8_cross_kv=int8_kv, fused_layer=fused_layer)
+                          int8_cross_kv=int8_kv, fused_layer=fused_layer,
+                          fused_encoder=fused_encoder)
     cfg = EngineConfig(ingest_batch=batch, asr_decode=decode,
                        caption_decode=decode,
                        transfer_dtype=transfer_dtype)
@@ -240,7 +242,8 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
     mel_fn = jax.jit(lambda w: log_mel_spectrogram(w, mel_cfg))
     mel_t = _stage_time(mel_fn, waves_d, 32 if on_tpu else 2, rtt)
     mel_d = mel_fn(waves_d).astype(dtype)
-    enc_fn = jax.jit(lambda m: W.encode(asr.params, m, asr_cfg))
+    enc_fn = jax.jit(lambda m: W.encode(asr.params, m, asr_cfg,
+                                        fused_blocks=fused_encoder))
     enc_t = _stage_time(enc_fn, mel_d, 8 if on_tpu else 1, rtt)
     enc_d = enc_fn(mel_d)
     prefix = jnp.tile(jnp.asarray(W.forced_prefix(asr_cfg), jnp.int32),
@@ -360,6 +363,7 @@ def main() -> None:
     # (tests/test_transfer_dtype.py) and the mode is opt-in like the rest
     fast = measure_mode("fast", short_context=True, int8_kv=False,
                         fused_layer=on_tpu, transfer_dtype="mulaw8",
+                        fused_encoder=on_tpu,
                         index_dtype=jnp.bfloat16 if on_tpu
                         else jnp.float32, **common)
 
