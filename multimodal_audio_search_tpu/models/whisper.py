@@ -177,8 +177,10 @@ def encode(
         t = x.shape[1]
         # measured on-chip (B=64, 10 s ctx): one whole-T step per batch
         # (blk_q=512) beats 256 (16.2 vs 17.7 ms encode) — K/V are
-        # fetched once; larger contexts block at 256 for VMEM headroom
-        blk_q = 512 if t <= 512 else 256
+        # fetched once. At the 30 s parity context (t_pad 1536) the
+        # [blk, T] f32 score tile pushes scoped VMEM past the 16 MB
+        # limit at 256 (measured overflow: 220 KB) — block at 128 there.
+        blk_q = 512 if t <= 512 else (256 if t <= 1024 else 128)
         for blk in params["encoder"]["blocks"]:
             a = blk["self_attn"]
             h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
