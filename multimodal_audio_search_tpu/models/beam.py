@@ -173,9 +173,8 @@ def beam_generate(
         (tokens, beam_scores, hyp_tokens, hyp_scores, n_hyps, hyp_len,
          parent) = jax.lax.cond(in_prefix, prefix_step, beam_step,
                                 operand=None)
-        # reorder KV cache by parent beam (batch is axis 1 of the
-        # layer-stacked cache)
-        cache = jax.tree_util.tree_map(lambda c: c[:, parent], cache)
+        # reorder KV cache by parent beam
+        cache = jax.tree_util.tree_map(lambda c: c[parent], cache)
         return (pos + 1, tokens, cache, beam_scores,
                 hyp_tokens, hyp_scores, n_hyps, hyp_len)
 

@@ -352,23 +352,17 @@ def _tied_logits(dec, x: jnp.ndarray) -> jnp.ndarray:
 
 # ----------------------------------------------------------- cached decode
 def init_cache(cfg: WhisperConfig, batch: int, max_len: int, dtype):
-    """Merged-head self-attention KV cache, LAYER-STACKED:
-    {"k","v": [dec_layers, B, max_len, d_model]}.
+    """Merged-head self-attention KV cache: [B, max_len, d_model].
 
-    The merged feature layout (f = head*hd + i — exactly the k/v dense
+    The merged layout (feature f = head*hd + i — exactly the k/v dense
     layers' output order) keeps rows at full 128-lane width; the round-1
     [B, H, L, hd=64] layout wasted half of every lane row and needed a
-    head split plus two strided dynamic_update_slices per layer. The
-    layer stack (round 3) lets decode_step defer every layer's new K/V
-    row and commit them with TWO dynamic_update_slice ops per step
-    instead of 2*layers — the per-layer op overhead that made
-    whisper-small run 2.4x its KV floor (docs/BENCHMARKS.md)."""
-    return {
-        "k": jnp.zeros((cfg.dec_layers, batch, max_len, cfg.d_model),
-                       dtype),
-        "v": jnp.zeros((cfg.dec_layers, batch, max_len, cfg.d_model),
-                       dtype),
-    }
+    head split plus two strided dynamic_update_slices per layer."""
+    return [
+        {"k": jnp.zeros((batch, max_len, cfg.d_model), dtype),
+         "v": jnp.zeros((batch, max_len, cfg.d_model), dtype)}
+        for _ in range(cfg.dec_layers)
+    ]
 
 
 def _self_attend_cached(q1, k, v, pos, cfg: WhisperConfig):
@@ -398,13 +392,8 @@ def decode_step(
     dec = params["decoder"]
     x = dec["embed_tokens"][token][:, None, :] \
         + jax.lax.dynamic_slice_in_dim(dec["positions"], pos, 1)[None]
-    x = x.astype(cache["k"].dtype)
-    # fused kernels attend to the new K/V row internally, so its cache
-    # commit is deferred: rows collect here and land in TWO stacked
-    # dynamic_update_slice ops after the layer loop (instead of 2/layer)
-    k_rows: list = []
-    v_rows: list = []
-    ck, cv = cache["k"], cache["v"]
+    x = x.astype(cache[0]["k"].dtype)
+    new_cache = []
     fused_layer = fused_layer and x.shape[0] % 8 == 0
     # v2 folds the WHOLE layer into 3 kernels: self block also emits the
     # cross query (cross-LN + q-proj tail), the cross kernel consumes it
@@ -413,8 +402,7 @@ def decode_step(
     # Requires the merged-head cross K/V format.
     v2 = (fused_layer == "v2"
           and len(ckv[0]) == 2 and ckv[0][0].ndim == 3)
-    for li, (blk, ckv_entry) in enumerate(zip(dec["blocks"], ckv)):
-        layer_cache = {"k": ck[li], "v": cv[li]}
+    for blk, layer_cache, ckv_entry in zip(dec["blocks"], cache, ckv):
         if v2:
             from ..ops.cross_attention import (
                 fused_single_query_attention)
@@ -432,8 +420,11 @@ def decode_step(
                 c["q"]["w"], c["q"]["b"],
                 layer_cache["k"], layer_cache["v"], pos,
                 heads=cfg.heads, eps=cfg.ln_eps, interpret=interpret)
-            k_rows.append(k1)
-            v_rows.append(v1)
+            k = jax.lax.dynamic_update_slice(
+                layer_cache["k"], k1[:, None, :], (0, pos, 0))
+            v = jax.lax.dynamic_update_slice(
+                layer_cache["v"], v1[:, None, :], (0, pos, 0))
+            new_cache.append({"k": k, "v": v})
             k_m, v_m = ckv_entry
             attn = fused_single_query_attention(
                 qc, k_m, v_m, heads=cfg.heads, interpret=interpret)
@@ -455,10 +446,13 @@ def decode_step(
                 a["v"]["w"], a["v"]["b"], a["o"]["w"], a["o"]["b"],
                 layer_cache["k"], layer_cache["v"], pos,
                 heads=cfg.heads, eps=cfg.ln_eps, interpret=interpret)
-            # the kernel already attended to k1/v1; the row commits in
-            # the deferred stacked update after the loop
-            k_rows.append(k1)
-            v_rows.append(v1)
+            # the kernel already attended to k1/v1; persist the row here
+            # (in-place dynamic_update_slice inside the decode loop)
+            k = jax.lax.dynamic_update_slice(
+                layer_cache["k"], k1[:, None, :], (0, pos, 0))
+            v = jax.lax.dynamic_update_slice(
+                layer_cache["v"], v1[:, None, :], (0, pos, 0))
+            new_cache.append({"k": k, "v": v})
             x = x1[:, None, :]
         else:
             h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
@@ -466,11 +460,12 @@ def decode_step(
             k1 = L.dense(blk["self_attn"]["k"], h)        # [B, 1, D]
             v1 = L.dense(blk["self_attn"]["v"], h)
             k = jax.lax.dynamic_update_slice(
-                layer_cache["k"], k1.astype(ck.dtype), (0, pos, 0))
+                layer_cache["k"], k1.astype(layer_cache["k"].dtype),
+                (0, pos, 0))
             v = jax.lax.dynamic_update_slice(
-                layer_cache["v"], v1.astype(cv.dtype), (0, pos, 0))
-            k_rows.append(k1[:, 0, :])
-            v_rows.append(v1[:, 0, :])
+                layer_cache["v"], v1.astype(layer_cache["v"].dtype),
+                (0, pos, 0))
+            new_cache.append({"k": k, "v": v})
             q1 = L.dense(blk["self_attn"]["q"], h)[:, 0, :]
             attn = _self_attend_cached(q1, k, v, pos, cfg)
             x = x + L.dense(blk["self_attn"]["o"],
@@ -490,13 +485,6 @@ def decode_step(
             h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
             x = x + L.dense(blk["mlp_out"],
                             L.gelu(L.dense(blk["mlp_in"], h)))
-    # commit every layer's new K/V row in two stacked updates
-    k_stack = jnp.stack(k_rows).astype(ck.dtype)[:, :, None, :]
-    v_stack = jnp.stack(v_rows).astype(cv.dtype)[:, :, None, :]
-    new_cache = {
-        "k": jax.lax.dynamic_update_slice(ck, k_stack, (0, 0, pos, 0)),
-        "v": jax.lax.dynamic_update_slice(cv, v_stack, (0, 0, pos, 0)),
-    }
     x = L.layer_norm(dec["ln"], x, cfg.ln_eps)
     logits = _tied_logits(dec, x[:, 0, :])
     return logits, new_cache
