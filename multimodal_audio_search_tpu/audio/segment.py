@@ -22,19 +22,42 @@ import numpy as np
 from ..config import AudioConfig, SegmentConfig
 
 
+def peak_scale(
+    audio: np.ndarray, cfg: AudioConfig | None = None
+) -> float:
+    """Peak-conditional normalization FACTOR (1.0 = untouched).
+
+    Temp-free scan (max/-min, no |x| materialization): on the 1-core
+    host a full-waveform abs+multiply pass was the single biggest ingest
+    host cost once attributed (bench host_ms round 3) — callers fold the
+    factor into work they already do (the transfer quantize multiply,
+    per-segment storage copies) instead of paying a dedicated 80 MB
+    pass."""
+    cfg = cfg or AudioConfig()
+    if audio.size == 0:
+        return 1.0
+    peak = max(float(audio.max()), -float(audio.min()))
+    if peak == 0.0:
+        return 1.0
+    if peak < cfg.quiet_peak:
+        return cfg.quiet_target / peak
+    if peak > cfg.loud_peak:
+        return cfg.loud_target / peak
+    return 1.0
+
+
 def normalize_peak(
     audio: np.ndarray, cfg: AudioConfig | None = None
 ) -> tuple[np.ndarray, float]:
     """Peak-conditional normalization. Returns (audio, original_peak)."""
     cfg = cfg or AudioConfig()
     audio = np.asarray(audio, np.float32)
-    peak = float(np.max(np.abs(audio))) if audio.size else 0.0
+    peak = float(max(audio.max(), -audio.min())) if audio.size else 0.0
     if peak == 0.0:
         return audio, peak
-    if peak < cfg.quiet_peak:
-        audio = audio * (cfg.quiet_target / peak)
-    elif peak > cfg.loud_peak:
-        audio = audio * (cfg.loud_target / peak)
+    c = peak_scale(audio, cfg)
+    if c != 1.0:
+        audio = audio * np.float32(c)
     return audio, peak
 
 

@@ -16,7 +16,7 @@ from typing import Any
 import numpy as np
 
 from ..audio.decode import load_audio
-from ..audio.segment import pad_segment_batch, segment_audio
+from ..audio.segment import pad_segment_batch
 from ..config import EngineConfig
 from ..service.stats import StatsRegistry
 from .embed import TextEmbedder
@@ -114,7 +114,17 @@ class DualPipelineIngest:
             sr = target_sr
             tr["resample"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        wins, waves = segment_audio(wave, sr, cfg.segment, cfg.audio)
+        # Normalization is a FACTOR here, not a pass: the 80 MB
+        # peak-normalize multiply was the biggest attributed host cost on
+        # the 1-core rig (bench host_ms). Windows stay views of the raw
+        # waveform; the factor folds into the transfer quantize and the
+        # per-segment storage copies (bitwise-identical f32 results).
+        from ..audio.segment import peak_scale, segment_windows
+        wave = np.asarray(wave, np.float32)
+        scale = np.float32(peak_scale(wave, cfg.audio))
+        wins = segment_windows(len(wave), sr, cfg.segment)
+        waves = [wave[w.start_sample: w.start_sample + w.length]
+                 for w in wins]
         tr["segment"] = time.perf_counter() - t0
         if not wins:
             return []
@@ -157,6 +167,8 @@ class DualPipelineIngest:
             self._mel16_key = (seg_len, mel_cfg, transfer)
 
         def encode_transfer(chunk, b):
+            # every branch first applies the deferred normalization scale
+            # (w * scale in f32 == slicing the normalized waveform)
             if transfer == "mulaw8":
                 # mu-law via a 64K-entry LUT over the int16 grid: one
                 # quantize pass + one gather instead of five float passes
@@ -166,23 +178,25 @@ class DualPipelineIngest:
                 lut = _mulaw_lut()
                 for i, w in enumerate(chunk):
                     m = min(len(w), seg_len)
+                    wn = w[:m] * scale if scale != 1.0 else w[:m]
                     # rint before the uint16 cast: flooring would bias
                     # boundary samples one grid code low vs the closed
                     # form; nan_to_num keeps NaN from indexing undefined
                     idx = np.clip(
-                        np.rint(np.nan_to_num(w[:m]) * 32767.5 + 32767.5),
+                        np.rint(np.nan_to_num(wn) * 32767.5 + 32767.5),
                         0.0, 65535.0).astype(np.uint16)
                     q[i, :m] = lut[idx]
             elif transfer == "int16":
                 q = np.zeros((b, seg_len), np.int16)
                 for i, w in enumerate(chunk):
                     m = min(len(w), seg_len)
-                    q[i, :m] = np.clip(w[:m], -1.0, 1.0) * 32767.0
+                    wn = w[:m] * scale if scale != 1.0 else w[:m]
+                    q[i, :m] = np.clip(wn, -1.0, 1.0) * 32767.0
             else:
                 q = np.zeros((b, seg_len), np.float32)
                 for i, w in enumerate(chunk):
                     m = min(len(w), seg_len)
-                    q[i, :m] = w[:m]
+                    q[i, :m] = w[:m] * scale if scale != 1.0 else w[:m]
             return q
 
         pending = []  # (lo, hi, t0, asr_future, cap_future) per batch
@@ -206,6 +220,8 @@ class DualPipelineIngest:
                 tr["dispatch"] += time.perf_counter() - td
             else:
                 batch, _ = pad_segment_batch(waves[lo:hi], n_samples)
+                if scale != 1.0:
+                    batch *= scale          # owned buffer: in-place
                 a_fut, c_fut = None, batch
             pending.append((lo, hi, t0, a_fut, c_fut))
 
@@ -318,7 +334,10 @@ class DualPipelineIngest:
                     "audio_description": c_text,
                     "audio_embedding": emb_map.get((i, 1)),
                     "audio_success": cap_ok[i],
-                    "audio_data": waves[lo + i],
+                    # stored playback audio is the NORMALIZED segment
+                    # (audio_search.py:292); the deferred scale lands here
+                    "audio_data": waves[lo + i] * scale
+                    if scale != 1.0 else waves[lo + i],
                     "sample_rate": sr,
                 })
             tr["build"] += time.perf_counter() - tb
