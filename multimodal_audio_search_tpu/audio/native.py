@@ -41,8 +41,11 @@ def _build_and_load() -> ctypes.CDLL | None:
     if not so.exists():
         _BUILD.mkdir(parents=True, exist_ok=True)
         tmp = so.with_suffix(".so.tmp")
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-               "-o", str(tmp)] + [str(s) for s in srcs]
+        # -ffp-contract=off: the quantize kernels must round exactly like
+        # the two-op f32 numpy path; an FMA-contracted mul+add computes a
+        # more-precise intermediate that can flip half-grid samples.
+        cmd = ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+               "-std=c++17", "-o", str(tmp)] + [str(s) for s in srcs]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             os.replace(tmp, so)
@@ -67,6 +70,14 @@ def _build_and_load() -> ctypes.CDLL | None:
     lib.mas_peak_abs.restype = ctypes.c_float
     lib.mas_peak_abs.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.mas_quantize_mulaw.restype = None
+    lib.mas_quantize_mulaw.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8)]
+    lib.mas_quantize_int16.restype = None
+    lib.mas_quantize_int16.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int16)]
     if hasattr(lib, "mas_flac_probe"):
         lib.mas_flac_probe.restype = ctypes.c_int
         lib.mas_flac_probe.argtypes = [
@@ -164,6 +175,35 @@ def flac_decode_mono(data: bytes) -> tuple[np.ndarray, int] | None:
         if known or n < cap:
             return out[:n].copy(), rate.value
         cap *= 4
+
+
+def quantize_mulaw(
+    w: np.ndarray, scale: float, lut: np.ndarray, out: np.ndarray,
+) -> bool:
+    """Fused (scale, int16-grid, mu-law LUT) encode of one window into
+    ``out`` (int8, contiguous, len == len(w)). Single pass, no temps —
+    bit-identical to the numpy closed form (see mas_quantize_mulaw)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.mas_quantize_mulaw(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(w),
+        ctypes.c_float(scale),
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    return True
+
+
+def quantize_int16(w: np.ndarray, scale: float, out: np.ndarray) -> bool:
+    """Fused (scale, clip, int16) encode of one window into ``out``."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.mas_quantize_int16(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(w),
+        ctypes.c_float(scale),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    return True
 
 
 def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray | None:

@@ -166,18 +166,24 @@ class DualPipelineIngest:
             self._mel16_fn = _mel16
             self._mel16_key = (seg_len, mel_cfg, transfer)
 
+        from ..audio import native as _native
+        have_native = _native.available()
+
         def encode_transfer(chunk, b):
             # every branch first applies the deferred normalization scale
-            # (w * scale in f32 == slicing the normalized waveform)
+            # (w * scale in f32 == slicing the normalized waveform); the
+            # native path fuses scale+quantize+LUT into ONE pass with no
+            # temporaries (native/audio_kernels.cc, bit-identical — the
+            # numpy closed form below needed five passes and was the
+            # largest quantize cost on the 1-core ingest host)
             if transfer == "mulaw8":
-                # mu-law via a 64K-entry LUT over the int16 grid: one
-                # quantize pass + one gather instead of five float passes
-                # (2.6x less host time; on the 1-core host the float
-                # encode was ~20% of a tunnel-bound ingest wall)
                 q = np.zeros((b, seg_len), np.int8)
                 lut = _mulaw_lut()
                 for i, w in enumerate(chunk):
                     m = min(len(w), seg_len)
+                    if have_native and _native.quantize_mulaw(
+                            w[:m], float(scale), lut, q[i, :m]):
+                        continue
                     wn = w[:m] * scale if scale != 1.0 else w[:m]
                     # rint before the uint16 cast: flooring would bias
                     # boundary samples one grid code low vs the closed
@@ -190,6 +196,9 @@ class DualPipelineIngest:
                 q = np.zeros((b, seg_len), np.int16)
                 for i, w in enumerate(chunk):
                     m = min(len(w), seg_len)
+                    if have_native and _native.quantize_int16(
+                            w[:m], float(scale), q[i, :m]):
+                        continue
                     wn = w[:m] * scale if scale != 1.0 else w[:m]
                     q[i, :m] = np.clip(wn, -1.0, 1.0) * 32767.0
             else:

@@ -150,4 +150,38 @@ float mas_peak_abs(const float* x, int64_t n) {
   return peak;
 }
 
+// --------------------------------------------- transfer-encode quantization
+// Single-pass fused (scale -> int16-grid index -> mu-law LUT) encode of one
+// segment window. Replaces five numpy passes (multiply, nan_to_num, rint,
+// clip, gather) plus their 80 MB of temporaries on the 1-core ingest host.
+// Arithmetic mirrors the numpy path bit-for-bit in f32 (the build passes
+// -ffp-contract=off so the mul+add below cannot fuse into an FMA, which
+// would round half-grid samples differently): nearbyintf under the default
+// rounding mode == np.rint (round-half-to-even); NaN maps to grid center
+// like nan_to_num; +/-inf clamp to the grid ends.
+void mas_quantize_mulaw(const float* x, int64_t n, float scale,
+                        const int8_t* lut /* 65536 entries */, int8_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    float v = x[i] * scale;
+    if (std::isnan(v)) v = 0.0f;
+    float t = v * 32767.5f + 32767.5f;
+    t = nearbyintf(t);
+    if (!(t >= 0.0f)) t = 0.0f;
+    if (t > 65535.0f) t = 65535.0f;
+    out[i] = lut[(uint32_t)t];
+  }
+}
+
+// int16 transfer encode: clip to [-1,1], scale, truncate toward zero —
+// identical to numpy's cast of `np.clip(w*scale,-1,1)*32767.0` to int16.
+void mas_quantize_int16(const float* x, int64_t n, float scale,
+                        int16_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    float v = x[i] * scale;
+    if (v < -1.0f) v = -1.0f;
+    if (v > 1.0f) v = 1.0f;
+    out[i] = (int16_t)(int32_t)(v * 32767.0f);
+  }
+}
+
 }  // extern "C"

@@ -53,3 +53,39 @@ def test_mulaw_roundtrip_accuracy(rng):
     # companded 8-bit: relative error small for mid/large amplitudes
     big = np.abs(x) > 0.05
     assert np.max(np.abs(xd[big] - x[big]) / np.abs(x[big])) < 0.04
+
+
+def test_native_quantize_bit_exact_vs_numpy(rng):
+    """The fused C quantizers (native/audio_kernels.cc) must match the
+    numpy closed forms bit-for-bit, including half-grid samples, NaN,
+    +/-inf, clipped values, and a non-unit deferred-normalization scale."""
+    from multimodal_audio_search_tpu.audio import native
+    from multimodal_audio_search_tpu.pipelines.ingest import _mulaw_lut
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    lut = _mulaw_lut()
+    # adversarial samples: exact grid points, half-grid midpoints, ends
+    grid = (np.arange(-8, 9, dtype=np.float32) - 0.5) / 32767.5
+    specials = np.array(
+        [0.0, 1.0, -1.0, 1.5, -1.5, np.nan, np.inf, -np.inf,
+         np.float32(1 / 32767.5), np.float32(-1 / 32767.5)], np.float32)
+    for scale in (1.0, 0.8 / 0.97, 0.5 / 0.03):
+        w = np.concatenate([
+            grid, specials,
+            (rng.normal(size=4096) * 0.4).astype(np.float32)])
+        w = w.astype(np.float32)
+        scale = np.float32(scale)
+        # numpy closed forms (the fallback path in encode_transfer)
+        wn = w * scale
+        idx = np.clip(np.rint(np.nan_to_num(wn) * 32767.5 + 32767.5),
+                      0.0, 65535.0).astype(np.uint16)
+        ref8 = lut[idx]
+        ref16 = (np.clip(wn, -1.0, 1.0) * 32767.0).astype(np.int16)
+        out8 = np.empty(len(w), np.int8)
+        assert native.quantize_mulaw(w, float(scale), lut, out8)
+        np.testing.assert_array_equal(out8, ref8)
+        out16 = np.empty(len(w), np.int16)
+        assert native.quantize_int16(w, float(scale), out16)
+        # NaN->int16 is platform-defined in numpy too; compare finite only
+        fin = np.isfinite(wn)
+        np.testing.assert_array_equal(out16[fin], ref16[fin])
