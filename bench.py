@@ -294,8 +294,19 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
         n_index, 384, np.dtype(index_dtype).itemsize)
     query_dev_s = max(p50_ms / 1e3 - rtt, 1e-5)
 
+    # Tunnel-normalized throughput: ingest on this rig is bound by a
+    # host->device tunnel whose bandwidth swings 16-45 MB/s BETWEEN
+    # ROUNDS, so raw audio-sec/sec is partly link weather. This extra
+    # removes the measured transfer term (wall - bytes/measured_MBps),
+    # i.e. the throughput the same run would post if transfer were free
+    # — comparable across rounds and an upper bound for a PCIe host.
+    tunnel_bps = max(cal.get("tunnel_mbps", 0.0), 1e-3) * 1e6
+    ex_transfer_s = max(ingest_s - transfer_mb * 1e6 / tunnel_bps,
+                        1e-3)
     return {
         "ingest_audio_sec_per_sec": round(throughput, 2),
+        "ingest_audio_sec_per_sec_ex_transfer": round(
+            audio_seconds / ex_transfer_s, 2),
         "ingest_wall_s": round(ingest_s, 2),
         "ingest_runs_s": [round(r, 2) for r in runs],
         "transfer_mb": round(transfer_mb, 1),
