@@ -165,3 +165,29 @@ def test_load_audio_from_bytes_and_stream(tmp_path, rng):
     y2, _ = load_audio(io.BytesIO(data))
     np.testing.assert_allclose(y1, y2)
     np.testing.assert_allclose(y1, x, atol=1e-4)
+
+
+def test_peak_scale_matches_normalize_peak():
+    """peak_scale is the FACTOR form of normalize_peak: multiplying the
+    raw waveform by it must reproduce normalize_peak bitwise in every
+    branch (quiet boost, loud attenuate, mid untouched, silent, empty).
+    The ingest hot path relies on this equivalence to defer the
+    normalization pass into quantize/storage."""
+    from multimodal_audio_search_tpu.audio.segment import peak_scale
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=4096).astype(np.float32)
+    cases = [
+        base * np.float32(0.05 / np.abs(base).max()),   # quiet  (<0.1)
+        base * np.float32(0.99 / np.abs(base).max()),   # loud   (>0.95)
+        base * np.float32(0.5 / np.abs(base).max()),    # mid    (untouched)
+        np.zeros(100, np.float32),                      # silent
+        np.zeros(0, np.float32),                        # empty
+    ]
+    for w in cases:
+        ref, _ = normalize_peak(w)
+        c = np.float32(peak_scale(w))
+        got = w * c if c != np.float32(1.0) else w
+        np.testing.assert_array_equal(got, ref)
+    # mid/silent/empty must be exactly factor 1 (no multiply pass at all)
+    for w in cases[2:]:
+        assert peak_scale(w) == 1.0
