@@ -312,6 +312,10 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
         "transfer_mb": round(transfer_mb, 1),
         "segments": len(segments),
         "query_p50_ms": round(p50_ms, 2),
+        # minus the measured tunnel RTT: the cross-round-comparable
+        # device+host cost (the RTT term swings 28-40 ms with tunnel
+        # weather and vanishes on a PCIe host)
+        "query_p50_ms_ex_rtt": round(max(p50_ms - cal["rtt_ms"], 0.0), 2),
         "index_dtype": np.dtype(index_dtype).name,
         "short_context": short_context,
         "int8_cross_kv": int8_kv,
