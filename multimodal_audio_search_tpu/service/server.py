@@ -481,8 +481,14 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                     self._json({"error": f"unknown config keys {bad}"},
                                400)
                     return
-                with self.lock:
-                    out = self.engine.reconfigure(**body)
+                try:
+                    with self.lock:
+                        out = self.engine.reconfigure(**body)
+                except (ValueError, TypeError) as e:
+                    # bad values (range/unknown preset/wrong type) are a
+                    # client error, not a server fault
+                    self._json({"error": str(e)}, 400)
+                    return
                 self._json(out)
                 return
             if url.path == "/api/ingest":
