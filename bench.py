@@ -229,7 +229,8 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
         100.0 * sum(v for k, v in trace.items() if k != "wall")
         / max(trace.get("wall", 1e-9), 1e-9), 1)
     throughput = audio_seconds / ingest_s
-    itemsize = {"mulaw8": 1, "int16": 2, "float32": 4}[transfer_dtype]
+    itemsize = {"mulaw8": 1, "int12": 1.5, "int16": 2,
+                "float32": 4}[transfer_dtype]
     seg_len = min(int(cfg.segment.segment_seconds * sr), mel_cfg.n_samples)
     transfer_mb = len(segments) * seg_len * itemsize / 1e6
 

@@ -78,6 +78,11 @@ def _build_and_load() -> ctypes.CDLL | None:
     lib.mas_quantize_int16.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
         ctypes.POINTER(ctypes.c_int16)]
+    if hasattr(lib, "mas_quantize_int12"):
+        lib.mas_quantize_int12.restype = None
+        lib.mas_quantize_int12.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_uint8)]
     if hasattr(lib, "mas_flac_probe"):
         lib.mas_flac_probe.restype = ctypes.c_int
         lib.mas_flac_probe.argtypes = [
@@ -203,6 +208,23 @@ def quantize_int16(w: np.ndarray, scale: float, out: np.ndarray) -> bool:
         w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(w),
         ctypes.c_float(scale),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    return True
+
+
+def quantize_int12(w: np.ndarray, scale: float, out: np.ndarray) -> bool:
+    """Fused (scale, round, 12-bit two's-complement pack) encode of one
+    window into ``out`` (uint8, contiguous, >= 3*ceil(len(w)/2) bytes;
+    two samples per 3 bytes, odd tail pairs with an implicit zero)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mas_quantize_int12"):
+        return False
+    need = 3 * ((len(w) + 1) // 2)
+    if out.size < need:
+        return False
+    lib.mas_quantize_int12(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(w),
+        ctypes.c_float(scale),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return True
 
 

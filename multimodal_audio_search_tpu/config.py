@@ -213,8 +213,10 @@ class EngineConfig:
     # parity contract is the exact 30 s pipeline.
     short_context: bool = False
     # host->device waveform encoding: "float32" (exact), "int16" (default;
-    # 96 dB SNR, inaudible), or "mulaw8" (telephony-grade 8-bit companding
-    # for bandwidth-starved hosts)
+    # 96 dB SNR, inaudible), "int12" (packed 1.5 B/sample, 72 dB SNR —
+    # 25% fewer bytes than int16 at a 16x finer grid than mulaw8), or
+    # "mulaw8" (telephony-grade 8-bit companding for bandwidth-starved
+    # hosts; has measured transcript drift, docs/BENCHMARKS.md)
     transfer_dtype: str = "int16"
     # multi-chip execution (SURVEY §2c; the reference is single-device,
     # audio_search.py:89,181). data_parallel shards ingest segment batches

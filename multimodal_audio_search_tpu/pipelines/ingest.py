@@ -40,6 +40,27 @@ def _mulaw_lut() -> np.ndarray:
     return _MULAW_LUT
 
 
+def _pack_int12(wn: np.ndarray) -> np.ndarray:
+    """Closed-form int12 packed transfer encode of one f32 window: round
+    onto the signed 12-bit grid, store two's-complement codes two-per-3-
+    bytes (little-endian nibbles; the numpy fallback for the fused C
+    kernel mas_quantize_int12, bit-identical — see
+    native/audio_kernels.cc). All-zero bytes decode to silence, so batch
+    row padding needs no special casing; an odd tail pairs with an
+    implicit zero sample."""
+    t = np.clip(np.rint(np.nan_to_num(wn) * np.float32(2047.0)),
+                -2048.0, 2047.0)
+    q = t.astype(np.int32) & 0xFFF
+    if len(q) % 2:
+        q = np.concatenate([q, np.zeros(1, np.int32)])
+    q = q.reshape(-1, 2)
+    out = np.empty((len(q), 3), np.uint8)
+    out[:, 0] = q[:, 0] & 0xFF
+    out[:, 1] = (q[:, 0] >> 8) | ((q[:, 1] & 0xF) << 4)
+    out[:, 2] = q[:, 1] >> 4
+    return out.reshape(-1)
+
+
 class DualPipelineIngest:
     def __init__(
         self,
@@ -156,6 +177,17 @@ class DualPipelineIngest:
                     y = wq.astype(jnp.float32) / 127.0
                     w = jnp.sign(y) * (jnp.power(256.0, jnp.abs(y)) - 1.0) \
                         / 255.0
+                elif transfer == "int12":
+                    # unpack 3 bytes -> two 12-bit two's-complement codes
+                    # (nibble layout documented at _pack_int12); the odd-
+                    # tail implicit zero sample is sliced off at seg_len
+                    u = wq.astype(jnp.int32).reshape(wq.shape[0], -1, 3)
+                    q0 = u[..., 0] | ((u[..., 1] & 0xF) << 8)
+                    q1 = (u[..., 1] >> 4) | (u[..., 2] << 4)
+                    q = jnp.stack([q0, q1], -1).reshape(wq.shape[0], -1)
+                    q = q[:, :seg_len]
+                    q = jnp.where(q >= 2048, q - 4096, q)
+                    w = q.astype(jnp.float32) / 2047.0
                 elif transfer == "int16":
                     w = wq.astype(jnp.float32) / 32767.0
                 else:
@@ -192,6 +224,20 @@ class DualPipelineIngest:
                         np.rint(np.nan_to_num(wn) * 32767.5 + 32767.5),
                         0.0, 65535.0).astype(np.uint16)
                     q[i, :m] = lut[idx]
+            elif transfer == "int12":
+                # 1.5 B/sample: 25% fewer tunnel bytes than int16 with a
+                # 16x finer grid than mulaw8's companded 8-bit (the mode
+                # for links where int16 is too slow and mulaw8's measured
+                # transcript drift is too costly; docs/BENCHMARKS.md)
+                q = np.zeros((b, 3 * ((seg_len + 1) // 2)), np.uint8)
+                for i, w in enumerate(chunk):
+                    m = min(len(w), seg_len)
+                    if have_native and _native.quantize_int12(
+                            w[:m], float(scale), q[i]):
+                        continue
+                    wn = w[:m] * scale if scale != 1.0 else w[:m]
+                    pk = _pack_int12(wn)
+                    q[i, : len(pk)] = pk
             elif transfer == "int16":
                 q = np.zeros((b, seg_len), np.int16)
                 for i, w in enumerate(chunk):

@@ -184,4 +184,31 @@ void mas_quantize_int16(const float* x, int64_t n, float scale,
   }
 }
 
+// int12 packed transfer encode: two signed 12-bit samples per 3 bytes
+// (little-endian nibble layout: b0 = q0&0xFF, b1 = q0>>8 | (q1&0xF)<<4,
+// b2 = q1>>4). Samples are two's-complement (v & 0xFFF) so all-zero
+// padding bytes decode to silence on the device. `out` must hold
+// 3*ceil(n/2) bytes; an odd tail pairs with an implicit zero sample.
+void mas_quantize_int12(const float* x, int64_t n, float scale,
+                        uint8_t* out) {
+  const int64_t pairs = (n + 1) / 2;
+  for (int64_t k = 0; k < pairs; ++k) {
+    uint32_t q[2] = {0u, 0u};
+    for (int j = 0; j < 2; ++j) {
+      const int64_t i = 2 * k + j;
+      if (i >= n) break;                // implicit zero for the odd tail
+      float v = x[i] * scale;
+      if (std::isnan(v)) v = 0.0f;
+      float t = v * 2047.0f;
+      t = nearbyintf(t);
+      if (!(t >= -2048.0f)) t = -2048.0f;
+      if (t > 2047.0f) t = 2047.0f;
+      q[j] = (uint32_t)(int32_t)t & 0xFFFu;
+    }
+    out[3 * k] = (uint8_t)(q[0] & 0xFFu);
+    out[3 * k + 1] = (uint8_t)((q[0] >> 8) | ((q[1] & 0xFu) << 4));
+    out[3 * k + 2] = (uint8_t)(q[1] >> 4);
+  }
+}
+
 }  // extern "C"

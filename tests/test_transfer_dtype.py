@@ -31,7 +31,7 @@ def make_ingest(transfer):
         cfg)
 
 
-@pytest.mark.parametrize("transfer", ["float32", "int16", "mulaw8"])
+@pytest.mark.parametrize("transfer", ["float32", "int16", "int12", "mulaw8"])
 def test_transfer_dtypes_agree(rng, transfer):
     """All transfer encodings produce identical decoded tokens on the same
     audio (the models are coarse enough that 8/16-bit waveform quantization
@@ -53,6 +53,49 @@ def test_mulaw_roundtrip_accuracy(rng):
     # companded 8-bit: relative error small for mid/large amplitudes
     big = np.abs(x) > 0.05
     assert np.max(np.abs(xd[big] - x[big]) / np.abs(x[big])) < 0.04
+
+
+def test_int12_roundtrip_accuracy(rng):
+    """Packed 12-bit transfer: uniform grid of 1/2047 — worst-case
+    absolute error half a step, ~72 dB SNR on full-scale signals."""
+    from multimodal_audio_search_tpu.pipelines.ingest import _pack_int12
+    x = np.clip(rng.normal(size=4097) * 0.3, -1, 1).astype(np.float32)
+    pk = _pack_int12(x).astype(np.int32).reshape(-1, 3)
+    q0 = pk[:, 0] | ((pk[:, 1] & 0xF) << 8)
+    q1 = (pk[:, 1] >> 4) | (pk[:, 2] << 4)
+    q = np.stack([q0, q1], -1).reshape(-1)[: len(x)]
+    q = np.where(q >= 2048, q - 4096, q)
+    xd = q.astype(np.float32) / 2047.0
+    assert np.max(np.abs(xd - x)) <= 0.5 / 2047.0 + 1e-7
+    # all-zero packed bytes decode to exact silence (batch padding rows)
+    z = np.zeros(6, np.int32)
+    qz0 = z[0] | ((z[1] & 0xF) << 8)
+    assert qz0 == 0
+
+
+def test_int12_native_bit_exact_vs_numpy(rng):
+    """The fused C int12 packer must match _pack_int12 byte-for-byte,
+    including half-grid points, NaN/inf, clipping, scale, and odd tails."""
+    from multimodal_audio_search_tpu.audio import native
+    from multimodal_audio_search_tpu.pipelines.ingest import _pack_int12
+    if not native.available() or not hasattr(
+            native.get_lib(), "mas_quantize_int12"):
+        pytest.skip("native toolchain unavailable")
+    grid = (np.arange(-8, 9, dtype=np.float32) - 0.5) / 2047.0
+    specials = np.array(
+        [0.0, 1.0, -1.0, 1.5, -1.5, np.nan, np.inf, -np.inf,
+         np.float32(0.5 / 2047.0), np.float32(-0.5 / 2047.0)], np.float32)
+    for scale in (1.0, 0.8 / 0.97, 0.5 / 0.03):
+        for extra in (0, 1):  # even and odd lengths (implicit-zero tail)
+            w = np.concatenate([
+                grid, specials,
+                (rng.normal(size=4096 + extra) * 0.4).astype(np.float32)])
+            w = w.astype(np.float32)
+            wn = w * np.float32(scale)
+            ref = _pack_int12(wn)
+            out = np.zeros(3 * ((len(w) + 1) // 2), np.uint8)
+            assert native.quantize_int12(w, float(scale), out)
+            np.testing.assert_array_equal(out, ref)
 
 
 def test_native_quantize_bit_exact_vs_numpy(rng):

@@ -56,7 +56,7 @@ def build_engine(mode: str, preset: str, max_new: int, seed: int):
         asr_model=ModelSpec(family="whisper", preset=preset),
         caption_model=ModelSpec(family="whisper", preset=preset),
         short_context=(mode == "short_context"),
-        transfer_dtype="mulaw8" if mode == "mulaw8" else "int16",
+        transfer_dtype=mode if mode in ("mulaw8", "int12") else "int16",
         fusion=FusionConfig(
             index_dtype="bfloat16" if mode == "bf16_index"
             else "float32"),

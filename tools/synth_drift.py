@@ -9,7 +9,7 @@ parity configuration on held-out clips:
 
   * short_context — mel context halved (positions sliced), the audio_ctx
     lever scaled to the test geometry (2 s trained context -> 1 s)
-  * mulaw8 / int16 — host->device transfer quantization round trips
+  * mulaw8 / int16 / int12 — host->device transfer quantization round trips
   * bf16          — model compute dtype
   * int8_dec      — int8-quantized decoder weights (ops/quant.py)
 
@@ -66,6 +66,21 @@ def int16_roundtrip(w: np.ndarray) -> np.ndarray:
     return q.astype(np.float32) / 32767.0
 
 
+def int12_roundtrip(w: np.ndarray) -> np.ndarray:
+    """The production int12 packed transfer: pack (pipelines/ingest.py
+    _pack_int12) + the device-side unpack of _mel16, per clip row."""
+    from multimodal_audio_search_tpu.pipelines.ingest import _pack_int12
+    out = np.empty_like(w, dtype=np.float32)
+    for i in range(w.shape[0]):
+        pk = _pack_int12(w[i]).astype(np.int32).reshape(-1, 3)
+        q0 = pk[:, 0] | ((pk[:, 1] & 0xF) << 8)
+        q1 = (pk[:, 1] >> 4) | (pk[:, 2] << 4)
+        q = np.stack([q0, q1], -1).reshape(-1)[: w.shape[1]]
+        q = np.where(q >= 2048, q - 4096, q)
+        out[i] = q.astype(np.float32) / 2047.0
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
@@ -111,6 +126,7 @@ def main() -> None:
             model, waves, mel_seconds=model.mel_seconds / 2)),
         "mulaw8": drift(transcribe(model, mulaw_roundtrip(waves))),
         "int16": drift(transcribe(model, int16_roundtrip(waves))),
+        "int12": drift(transcribe(model, int12_roundtrip(waves))),
         "bf16": drift(transcribe(model, waves, dtype=jnp.bfloat16)),
         "int8_dec": drift(transcribe(
             dataclasses.replace(
