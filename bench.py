@@ -382,6 +382,14 @@ def main() -> None:
                         fused_encoder=on_tpu,
                         index_dtype=jnp.bfloat16 if on_tpu
                         else jnp.float32, **common)
+    # fast_lossless = only the levers measured TRANSCRIPT-EXACT on the
+    # self-trained oracle (docs/BENCHMARKS.md drift table): int12 packed
+    # transfer + fused decode/encode kernels, full 30 s context, f32
+    # index — the recommended production configuration
+    lossless = measure_mode("fast_lossless", short_context=False,
+                            int8_kv=False, fused_layer=on_tpu,
+                            transfer_dtype="int12", fused_encoder=on_tpu,
+                            index_dtype=jnp.float32, **common)
 
     baseline = 60.0  # audio-sec/sec/chip target (BASELINE.md)
     throughput = fast["ingest_audio_sec_per_sec"]
@@ -397,6 +405,7 @@ def main() -> None:
             "calibration": cal,
             "parity": parity,
             "fast": fast,
+            "fast_lossless": lossless,
         },
     }))
 

@@ -42,12 +42,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, scale: float):
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
-    p = (p / l).astype(v_ref.dtype)
     o = jax.lax.dot_general(
-        p, v_ref[0],
+        p.astype(v_ref.dtype), v_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # [blk_q, D]
-    o_ref[0] = o.astype(o_ref.dtype)
+    # softmax /l deferred from the [blk_q, T] tile to the [blk_q, D]
+    # output (T/D less divide work; measured 2x on the all-heads block
+    # kernel, tools/profile_encoder_kernel_ab.py)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:

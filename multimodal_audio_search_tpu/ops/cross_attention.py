@@ -91,12 +91,16 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
             logits = jnp.where(valid, logits, -1e30)
             m = jnp.max(logits, axis=0, keepdims=True)
             p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=0, keepdims=True)
+            l = jnp.sum(p, axis=0, keepdims=True)
             of = jax.lax.dot_general(
                 p.astype(k_ref.dtype), v_ref[b],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)            # [H, H*D]
-            o_ref[base + b] = jnp.sum(of * mask_t, axis=0) \
+            # softmax /l deferred from the [T, H] tile to the [H, H*D]
+            # output — the kernel is element-rate bound (docs/
+            # BENCHMARKS.md), so dropping a T-wide VPU pass is a direct
+            # per-step saving; math identical up to f32 rounding
+            o_ref[base + b] = jnp.sum((of / l.T) * mask_t, axis=0) \
                 .astype(o_ref.dtype)                           # diag blocks
 
     subs = BC // kc
@@ -259,7 +263,7 @@ def _kernel_int8(pos_ref, q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
             logits = jnp.where(valid, logits, -1e30)
             m = jnp.max(logits, axis=0, keepdims=True)
             p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=0, keepdims=True)
+            l = jnp.sum(p, axis=0, keepdims=True)
             pw = p * vs_ref[b]                                 # [T, H]
             spw = jnp.maximum(jnp.max(pw, axis=0, keepdims=True),
                               1e-20) / 127.0
@@ -269,9 +273,13 @@ def _kernel_int8(pos_ref, q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
                 pw8, v_ref[b],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)              # [H, H*D]
+            # softmax /l folded into the per-head dequant scale (spw/l):
+            # drops the [T, H] divide pass entirely — the quantization
+            # error pattern is unchanged because pw/spw is scale-
+            # invariant in l
             o_ref[base + b] = jnp.sum(
-                oi.astype(jnp.float32) * spw[0][:, None] * mask_t,
-                axis=0).astype(o_ref.dtype)
+                oi.astype(jnp.float32) * (spw[0] / l[0])[:, None]
+                * mask_t, axis=0).astype(o_ref.dtype)
 
     subs = BC // kc
     sub = pl.program_id(0) % subs

@@ -425,12 +425,15 @@ def _cross_mlp_kernel(x_ref, g2_ref, b2_ref, wcq_ref, bcq_ref,
                 preferred_element_type=jnp.float32) * scale    # [T, H]
             m = jnp.max(logits, axis=0, keepdims=True)
             p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=0, keepdims=True)
+            l = jnp.sum(p, axis=0, keepdims=True)
             of = jax.lax.dot_general(
                 p.astype(x_ref.dtype), v_ref[b],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)            # [H, H*D]
-            outs.append(jnp.sum(of * mask_t, axis=0, keepdims=True))
+            # softmax /l deferred to the [H, H*D] output (see
+            # cross_attention._kernel): one fewer T-wide VPU pass
+            outs.append(jnp.sum((of / l.T) * mask_t, axis=0,
+                                keepdims=True))
         attn = jnp.concatenate(outs, axis=0).astype(x_ref.dtype)
         x = x + jax.lax.dot_general(
             attn, wco_ref[...],

@@ -37,7 +37,8 @@ NEG_INF = -1e30
 
 
 def _attn_o_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
-                   *, t_real: int, scale: float, heads: int):
+                   *, t_real: int, scale: float, heads: int,
+                   defer_div: bool):
     """One query block, every head, + o-proj + residual.
 
     q_ref [1, H, blk_q, D]; k_ref/v_ref [1, H, T_pad, D];
@@ -58,11 +59,27 @@ def _attn_o_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
-        p = (p / l).astype(v_ref.dtype)
-        outs.append(jax.lax.dot_general(
-            p, v_ref[0, h],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))           # [blk_q, D]
+        if defer_div:
+            # softmax /l deferred onto the [blk_q, D] PV output instead
+            # of the [blk_q, T] score tile: T/D = 8-24x less divide work
+            # and one fewer T-wide f32 temp — measured 2.0x kernel
+            # speedup at the 10 s context
+            # (tools/profile_encoder_kernel_ab.py); math identical up to
+            # f32 rounding. Gated to single-query-block grids: at
+            # t_pad > blk_q (30 s parity context) this formulation
+            # crashes the Mosaic compile helper (exit 1, same A/B tool),
+            # so multi-step grids keep the original in-tile divide.
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [blk_q, D]
+            outs.append(pv / l)
+        else:
+            p = (p / l).astype(v_ref.dtype)
+            outs.append(jax.lax.dot_general(
+                p, v_ref[0, h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))       # [blk_q, D]
     attn = jnp.concatenate(outs, axis=-1)                  # [blk_q, H*D]
     y = jax.lax.dot_general(
         attn.astype(wo_ref.dtype), wo_ref[...],
@@ -102,7 +119,8 @@ def fused_attention_o_residual(
         x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
     dt = x.dtype
     kernel = functools.partial(
-        _attn_o_kernel, t_real=t, scale=scale, heads=h)
+        _attn_o_kernel, t_real=t, scale=scale, heads=h,
+        defer_div=(t_pad == blk_q))
     qkv_spec = pl.BlockSpec((1, h, t_pad, d), lambda bi, i: (bi, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
