@@ -46,13 +46,25 @@ def main():
     from multimodal_audio_search_tpu.models.generate import (
         apply_repetition_penalty, ban_repeated_ngrams, generate)
 
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="base")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--fused-layer", action="store_true",
+                    help="enable DecodeConfig.fused_layer (+fused MLP) "
+                         "for every mode, and add the int8_fused mode "
+                         "(the model-size-scaling lever set, "
+                         "docs/BENCHMARKS.md)")
+    args = ap.parse_args()
+
     platform = jax.devices()[0].platform
-    B, STEPS = 64, 64
-    cfg = W.PRESETS["base"]
+    B, STEPS = args.batch, 64
+    cfg = W.PRESETS[args.preset]
     mel_cfg = MelConfig(padded_seconds=10.0)
     t_enc = int(mel_cfg.padded_seconds * 50)   # 500 enc positions
     dtype = jnp.bfloat16
-    print(f"platform={platform} B={B} steps={STEPS} t_enc={t_enc}")
+    print(f"platform={platform} preset={args.preset} B={B} steps={STEPS} "
+          f"t_enc={t_enc} fused_layer={args.fused_layer}")
 
     params = L.cast_floats(W.init_params(jax.random.PRNGKey(0), cfg), dtype)
     rng = np.random.default_rng(0)
@@ -73,9 +85,13 @@ def main():
     plen = prefix.shape[1]
 
     from multimodal_audio_search_tpu.models.generate import _select_cross_kv
-    for mode in ("einsum", "fused", "int8"):
+    modes = ("einsum", "fused", "int8")
+    if args.fused_layer:
+        modes = ("fused", "int8_fused")
+    for mode in modes:
         dec_cfg = DecodeConfig(method="greedy", max_new_tokens=STEPS,
-                               cross_attn=mode)
+                               cross_attn=mode,
+                               fused_layer=args.fused_layer)
 
         def full(params, enc_out, prefix):
             out = generate(params, enc_out, prefix, cfg=cfg, decode=dec_cfg,
