@@ -137,10 +137,23 @@ def init_params(key, cfg: WhisperConfig):
 
 # ------------------------------------------------------------------ encoder
 def _conv1d(p, x: jnp.ndarray, stride: int) -> jnp.ndarray:
-    """x: [B, T, C_in], w: [k, C_in, C_out], SAME-1 padding like HF."""
-    y = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), window_strides=(stride,),
-        padding=((1, 1),), dimension_numbers=("NHC", "HIO", "NHC"),
+    """x: [B, T, C_in], w: [k, C_in, C_out], SAME-1 padding like HF.
+
+    Lowered as shifted-slice patches + ONE MXU matmul instead of
+    lax.conv: XLA's conv lowering at C_in=80 measured MFU 0.027 on the
+    chip (tools/profile_encode.py) while the identical-math
+    [B*T, k*C_in] @ [k*C_in, C_out] dot runs at matmul rate. Tap i of
+    the kernel multiplies input position t*stride - 1 + i (cross-
+    correlation, same as lax.conv/HF torch)."""
+    k, cin, cout = p["w"].shape
+    t_out = (x.shape[1] - 1) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    patches = jnp.concatenate(
+        [xp[:, off: off + stride * (t_out - 1) + 1: stride]
+         for off in range(k)], axis=-1)                # [B, T_out, k*C_in]
+    y = jax.lax.dot_general(
+        patches, p["w"].astype(x.dtype).reshape(k * cin, cout),
+        dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
 

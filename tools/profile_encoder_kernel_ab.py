@@ -48,7 +48,9 @@ def main() -> None:
     def _kernel_v2(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
                    *, t_real, scale, heads, defer_div=True):
         t_pad = k_ref.shape[2]
+        dd = v_ref.shape[3]
         outs = []
+        ls = []
         for h in range(heads):
             q = q_ref[0, h].astype(jnp.float32) * scale
             k = k_ref[0, h]
@@ -62,7 +64,14 @@ def main() -> None:
             m = jnp.max(s, axis=1, keepdims=True)
             p = jnp.exp(s - m)
             l = jnp.sum(p, axis=1, keepdims=True)
-            if defer_div:
+            if defer_div == "post":        # divide after the head concat
+                pv = jax.lax.dot_general(
+                    p.astype(v_ref.dtype), v_ref[0, h],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                outs.append(pv)
+                ls.append(l)
+            elif defer_div:
                 pv = jax.lax.dot_general(
                     p.astype(v_ref.dtype), v_ref[0, h],
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -75,6 +84,11 @@ def main() -> None:
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
         attn = jnp.concatenate(outs, axis=-1)
+        if defer_div == "post":
+            linv = jnp.concatenate(
+                [jnp.broadcast_to(1.0 / l_, (l_.shape[0], dd))
+                 for l_ in ls], axis=-1)
+            attn = attn * linv
         y = jax.lax.dot_general(
             attn.astype(wo_ref.dtype), wo_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -152,7 +166,7 @@ def main() -> None:
     dt = jnp.bfloat16 if on_tpu else jnp.float32
     tf = cal["tflops_bf16"] * 1e12
 
-    for t_ctx, blks in ((500, (512,)), (1500, (128, 256))):
+    for t_ctx, blks in ((500, (512,)), (1500, (128,))):
         qkvx = [jnp.asarray(rng.normal(size=s) * 0.1, dt) for s in
                 [(b, h, t_ctx, d)] * 3 + [(b, t_ctx, hd)]]
         wo = jnp.asarray(rng.normal(size=(hd, hd)) * 0.05, dt)
@@ -163,12 +177,13 @@ def main() -> None:
 
         ref = None
         for blk in blks:
-            for defer in (False, True):
+            for defer in (False, True, "post"):
                 t_padv = eb._round_up(t_ctx, blk)
                 flopsv = 4 * b * h * t_padv * t_padv * d \
                     + 2 * b * t_padv * hd * hd
-                tag = f"{'v2-defer' if defer else 'v1-orig '}" \
-                    f" t={t_ctx} blk={blk}"
+                name = {False: "v1-orig ", True: "v2-defer",
+                        "post": "v3-post "}[defer]
+                tag = f"{name} t={t_ctx} blk={blk}"
                 try:
                     fn = functools.partial(fused_v2, blk_q=blk,
                                            defer_div=defer)
