@@ -72,23 +72,26 @@ def _rtt_floor(reps: int = 10) -> float:
     return float(min(ts))
 
 
-def _stage_time(fn, x, reps: int, rtt: float) -> float:
-    """Per-call device time of ``fn(x)`` via an in-jit fori_loop of
-    ``reps`` dependent calls — the only way to time stages shorter than
-    the tunnel's ±10 ms RTT jitter (docs/BENCHMARKS.md). The input is
-    nudged by the loop carry so XLA cannot hoist the call."""
+def _stage_time(fn, x, reps: int, rtt: float, *extra) -> float:
+    """Per-call device time of ``fn(x, *extra)`` via an in-jit fori_loop
+    of ``reps`` dependent calls — the only way to time stages shorter
+    than the tunnel's ±10 ms RTT jitter (docs/BENCHMARKS.md). The input
+    is nudged by the loop carry so XLA cannot hoist the call. Pass big
+    arrays through ``extra`` rather than closing over them: closed-over
+    arrays bake into the jit as HLO literals, and past ~100-300 MB the
+    remote compile service rejects the request (HTTP 413)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(x):
+    def run(x, *extra):
         def body(i, acc):
-            y = fn(x * (1 + acc * 1e-30).astype(x.dtype))
+            y = fn(x * (1 + acc * 1e-30).astype(x.dtype), *extra)
             return jnp.float32(jax.tree_util.tree_leaves(y)[0]
                                .ravel()[0].astype(jnp.float32)) * 1e-30
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
-    return max(_sync_time(run, x) - rtt, 1e-6) / reps
+    return max(_sync_time(run, x, *extra) - rtt, 1e-6) / reps
 
 
 def calibrate(on_tpu: bool) -> dict:

@@ -54,8 +54,8 @@ def main() -> None:
         .astype(dtype)
     reps = 8 if on_tpu else 1
 
-    def t(name, fn, x, flops=None, note=""):
-        dt_s = _stage_time(fn, x, reps, rtt)
+    def t(name, fn, x, flops=None, note="", extra=()):
+        dt_s = _stage_time(fn, x, reps, rtt, *extra)
         mfu = ""
         if flops:
             mfu = f"  mfu={flops / dt_s / (cal['tflops_bf16'] * 1e12):.3f}"
@@ -102,12 +102,13 @@ def main() -> None:
     q, k, v = (L.split_heads(L.dense(a[kk], h), heads)
                for kk in ("q", "k", "v"))
     attn_flops = 4 * b * heads * tt * tt * (d // heads)
-    t("layer: fused attention", jax.jit(
-        lambda q: fused_encoder_attention(q, k, v)), q, attn_flops)
+    t("layer: fused attention",
+      lambda q, k, v: fused_encoder_attention(q, k, v), q, attn_flops,
+      extra=(k, v))
     attn = fused_encoder_attention(q, k, v)
-    t("layer: merge+o+residual", jax.jit(
-        lambda at: x + L.dense(a["o"], L.merge_heads(at))), attn,
-      2 * b * tt * d * d)
+    t("layer: merge+o+residual",
+      lambda at, x: x + L.dense(a["o"], L.merge_heads(at)), attn,
+      2 * b * tt * d * d, extra=(x,))
     x2 = x + L.dense(a["o"], L.merge_heads(attn))
     mlp_flops = 2 * 2 * b * tt * d * cfg.ffn
 
@@ -124,11 +125,11 @@ def main() -> None:
 
         blkq = 256 if tt <= 1024 else 128
 
-        def attn_o_pl(q):
+        def attn_o_pl(q, k, v, x):
             return fused_attention_o_residual(
                 q, k, v, x, a["o"]["w"], a["o"]["b"], blk_q=blkq)
-        t("layer: attn+o+res (PL)", jax.jit(attn_o_pl), q,
-          attn_flops + 2 * b * tt * d * d)
+        t("layer: attn+o+res (PL)", attn_o_pl, q,
+          attn_flops + 2 * b * tt * d * d, extra=(k, v, x))
 
         t("encode (fused blocks)", jax.jit(
             lambda m: W.encode(params, m, cfg, fused_blocks=True)), mel,
