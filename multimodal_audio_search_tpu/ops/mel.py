@@ -131,14 +131,31 @@ def log_mel_spectrogram(
         # float64 power/mel/log steps; reproduce that rounding for exactness
         spec = spec.astype(jnp.float32).astype(jnp.float64)
     else:
-        # production path: framing + windowing + DFT as one strided conv so
-        # XLA feeds the MXU directly instead of materializing a gather
-        spec = jax.lax.conv_general_dilated(
-            x[:, None, :], filt.T[:, None, :],    # [2F, 1, n_fft]
-            window_strides=(hop,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
+        # production path: hop-sized chunk reshape + shifted-chunk concat
+        # builds the [B, T, n_fft] frame tensor with plain strided views,
+        # then ONE MXU matmul against the window-scaled DFT basis.
+        # (lax.conv at C_in=1 lowers to ~MFU 0.03 on TPU — same disease
+        # as the encoder stem, models/whisper.py::_conv1d; frames t and
+        # t+1 overlap by n_fft-hop samples, so the reshape goes through
+        # hop-sized chunks: frame t = chunks[t : t+c] sliced to n_fft.)
+        bsz = x.shape[0]
+        c = -(-n_fft // hop)                      # chunks per frame
+        n_frames = (x.shape[1] - n_fft) // hop + 1
+        n_chunks = n_frames - 1 + c
+        lp = n_chunks * hop
+        # pad-or-truncate to a whole number of chunks: every kept frame
+        # ends at (t*hop + n_fft) <= n_chunks*hop, so truncation never
+        # drops needed samples and padding only feeds the dropped frame
+        x2 = jnp.pad(x, ((0, 0), (0, lp - x.shape[1]))) \
+            if lp >= x.shape[1] else x[:, :lp]
+        ch = x2.reshape(bsz, n_chunks, hop)
+        frames = jnp.concatenate(
+            [ch[:, i: i + n_frames] for i in range(c)],
+            axis=-1)[..., :n_fft]                 # [B, n_frames, n_fft]
+        spec = jnp.einsum(
+            "btf,fk->bkt", frames, filt,
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=dtype)         # [B, 2F, n_frames+1]
+            preferred_element_type=dtype)         # [B, 2F, n_frames]
         spec = spec[:, :, :-1]                    # HF drops the last frame
     re, im = spec[:, :n_freqs], spec[:, n_freqs:]
     power = re * re + im * im                     # [B, F, T]
