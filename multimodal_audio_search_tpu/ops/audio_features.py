@@ -45,9 +45,9 @@ def audio_feature_vector(
     n_freqs = n_fft // 2 + 1
     x = wave.astype(jnp.float32)
     x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
-    spec = jax.lax.conv_general_dilated(
-        x[:, None, :], filt.T[:, None, :], window_strides=(hop,),
-        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+    from .mel import stft_frames
+    spec = jnp.einsum(
+        "btf,fk->bkt", stft_frames(x, n_fft, hop), filt,
         preferred_element_type=jnp.float32)
     re, im = spec[:, :n_freqs], spec[:, n_freqs:]
     power = re * re + im * im                           # [B, F, T]

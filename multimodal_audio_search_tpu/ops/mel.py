@@ -94,6 +94,28 @@ def _dft_mel_weights(cfg: MelConfig) -> tuple[np.ndarray, np.ndarray]:
     return filt, mel
 
 
+def stft_frames(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """[B, L] (already center-padded) -> [B, n_frames, n_fft] frame
+    tensor built from hop-sized chunk reshapes + shifted-chunk concats
+    (pure strided views, no gather) so a downstream DFT matmul feeds the
+    MXU directly — lax.conv at C_in=1 lowers to ~MFU 0.03 on TPU (same
+    disease as the encoder stem, models/whisper.py::_conv1d)."""
+    bsz = x.shape[0]
+    c = -(-n_fft // hop)                          # chunks per frame
+    n_frames = (x.shape[1] - n_fft) // hop + 1
+    n_chunks = n_frames - 1 + c
+    lp = n_chunks * hop
+    # pad-or-truncate to a whole number of chunks: every kept frame ends
+    # at (t*hop + n_fft) <= n_chunks*hop, so truncation never drops
+    # needed samples and padding only feeds the final (dropped) frame
+    x2 = jnp.pad(x, ((0, 0), (0, lp - x.shape[1]))) \
+        if lp >= x.shape[1] else x[:, :lp]
+    ch = x2.reshape(bsz, n_chunks, hop)
+    return jnp.concatenate(
+        [ch[:, i: i + n_frames] for i in range(c)],
+        axis=-1)[..., :n_fft]                     # [B, n_frames, n_fft]
+
+
 def log_mel_spectrogram(
     wave: jnp.ndarray, cfg: MelConfig = MelConfig(), dtype=jnp.float32
 ) -> jnp.ndarray:
@@ -131,27 +153,10 @@ def log_mel_spectrogram(
         # float64 power/mel/log steps; reproduce that rounding for exactness
         spec = spec.astype(jnp.float32).astype(jnp.float64)
     else:
-        # production path: hop-sized chunk reshape + shifted-chunk concat
-        # builds the [B, T, n_fft] frame tensor with plain strided views,
-        # then ONE MXU matmul against the window-scaled DFT basis.
-        # (lax.conv at C_in=1 lowers to ~MFU 0.03 on TPU — same disease
-        # as the encoder stem, models/whisper.py::_conv1d; frames t and
-        # t+1 overlap by n_fft-hop samples, so the reshape goes through
-        # hop-sized chunks: frame t = chunks[t : t+c] sliced to n_fft.)
-        bsz = x.shape[0]
-        c = -(-n_fft // hop)                      # chunks per frame
-        n_frames = (x.shape[1] - n_fft) // hop + 1
-        n_chunks = n_frames - 1 + c
-        lp = n_chunks * hop
-        # pad-or-truncate to a whole number of chunks: every kept frame
-        # ends at (t*hop + n_fft) <= n_chunks*hop, so truncation never
-        # drops needed samples and padding only feeds the dropped frame
-        x2 = jnp.pad(x, ((0, 0), (0, lp - x.shape[1]))) \
-            if lp >= x.shape[1] else x[:, :lp]
-        ch = x2.reshape(bsz, n_chunks, hop)
-        frames = jnp.concatenate(
-            [ch[:, i: i + n_frames] for i in range(c)],
-            axis=-1)[..., :n_fft]                 # [B, n_frames, n_fft]
+        # production path: framing via stft_frames (strided-view chunk
+        # concat), then ONE MXU matmul against the window-scaled DFT
+        # basis
+        frames = stft_frames(x, n_fft, hop)       # [B, n_frames, n_fft]
         spec = jnp.einsum(
             "btf,fk->bkt", frames, filt,
             precision=jax.lax.Precision.HIGHEST,
