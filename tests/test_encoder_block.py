@@ -28,6 +28,22 @@ def test_attn_o_residual_kernel_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_attn_o_residual_single_step_defer(rng):
+    """blk_q >= T (one grid step per batch row) takes the deferred
+    /l formulation (the 2x path, gated at t_pad == blk_q); must still
+    match the XLA reference exactly at f32."""
+    b, heads, t, d = 2, 4, 40, 16
+    hd = heads * d
+    q, k, v = (jnp.asarray(rng.normal(size=(b, heads, t, d)), jnp.float32)
+               for _ in range(3))
+    x = jnp.asarray(rng.normal(size=(b, t, hd)), jnp.float32)
+    o = L.init_dense(jax.random.PRNGKey(2), hd, hd)
+    out = fused_attention_o_residual(
+        q, k, v, x, o["w"], o["b"], blk_q=48, interpret=True)
+    ref = x + L.dense(o, L.merge_heads(L.attention_scores(q, k, v)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_attn_o_residual_padding_mask(rng):
     """T not a multiple of blk_q: padded keys must not leak into softmax."""
     b, heads, t, d = 1, 2, 21, 8
