@@ -14,7 +14,7 @@ from multimodal_audio_search_tpu.config import (
     DecodeConfig, EngineConfig, ModelSpec, SegmentConfig)
 
 
-def _cfg(dp, mp):
+def _cfg(dp, mp, transfer="int16"):
     return EngineConfig(
         asr_model=ModelSpec(family="whisper", preset="test"),
         caption_model=ModelSpec(family="whisper", preset="test"),
@@ -24,11 +24,13 @@ def _cfg(dp, mp):
         short_context=True,
         asr_decode=DecodeConfig(max_new_tokens=6),
         caption_decode=DecodeConfig(max_new_tokens=6),
+        transfer_dtype=transfer,
         data_parallel=dp, model_parallel=mp)
 
 
-def _engine(dp=1, mp=1):
-    eng = AudioSearchEngine(cfg=_cfg(dp, mp), keep_audio=False, seed=0)
+def _engine(dp=1, mp=1, transfer="int16"):
+    eng = AudioSearchEngine(cfg=_cfg(dp, mp, transfer), keep_audio=False,
+                            seed=0)
     eng.load_all_models()
     return eng
 
@@ -85,6 +87,22 @@ def test_engine_ingest_search_matches_single_device(single, wave, dp, mp):
     # batched queries route through the mesh path too
     outs = eng.search_batch(["music with drums", "someone speaking"])
     assert len(outs) == 2 and all(isinstance(o, tuple) for o in outs)
+
+
+def test_engine_mesh_int12_transfer_matches_single_device(wave):
+    """The packed int12 transfer (uint8 rows of 3*ceil(seg/2) bytes) must
+    shard over the data axis like any other batch layout and decode to
+    the same tokens as single-device int12 ingest."""
+    ref = _engine(1, 1, transfer="int12")
+    ref_segs = ref.ingest_waveform(wave, 16000, "clip")
+    eng = _engine(8, 1, transfer="int12")
+    segs = eng.ingest_waveform(wave, 16000, "clip")
+    assert len(segs) == len(ref_segs) > 0
+    for s, r in zip(segs, ref_segs):
+        assert s["asr_text"] == r["asr_text"]
+        assert s["audio_description"] == r["audio_description"]
+    np.testing.assert_allclose(
+        eng.store.embeddings, ref.store.embeddings, atol=2e-5)
 
 
 def test_sharded_search_payload_matches_fused_topk(rng):

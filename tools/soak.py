@@ -49,9 +49,13 @@ def main() -> None:
     out = {}
 
     def req(method, path, data=None, headers=None):
+        # NO client timeout: the first ingest sits behind minutes of
+        # device compiles, and abandoning the request kills the process
+        # mid-compile — which wedges the axon remote compile service for
+        # ~45 min (.claude/skills/verify/SKILL.md). Patience is cheaper.
         r = urllib.request.Request(base + path, data=data, method=method,
                                    headers=headers or {})
-        with urllib.request.urlopen(r, timeout=1800) as resp:
+        with urllib.request.urlopen(r) as resp:
             return resp.status, resp.read()
 
     wav = make_wav(args.seconds)
