@@ -303,6 +303,9 @@ class AudioSearchEngine:
         "all-mpnet-base-v2": ("mpnet", "base"),
         "clip-ViT-B-32-multilingual-v1": ("minilm", "clip512_text"),
     }
+    # host->device transfer encodings, fastest-exact first
+    # (config.py transfer_dtype; measured drift in docs/BENCHMARKS.md)
+    TRANSFER_CHOICES = ("int16", "int12", "mulaw8", "float32")
 
     def reconfigure(
         self,
@@ -311,6 +314,7 @@ class AudioSearchEngine:
         asr_preset: str | None = None,
         caption_preset: str | None = None,
         embedder: str | None = None,
+        transfer_dtype: str | None = None,
     ) -> dict[str, Any]:
         """Runtime re-configuration: the historical UI's chunk-duration
         slider (streamlit_app_backup.py:875, 5-30 s) and model dropdowns
@@ -346,6 +350,12 @@ class AudioSearchEngine:
             family, preset = self.EMBEDDER_CHOICES[embedder]
             cfg = cfg.replace(text_embedder=dataclasses.replace(
                 cfg.text_embedder, family=family, preset=preset))
+        if transfer_dtype is not None:
+            if transfer_dtype not in self.TRANSFER_CHOICES:
+                raise ValueError(
+                    f"unknown transfer_dtype {transfer_dtype!r}; "
+                    f"options: {list(self.TRANSFER_CHOICES)}")
+            cfg = cfg.replace(transfer_dtype=transfer_dtype)
         self.cfg = cfg
         self._ingest = None
         self._searcher = None
@@ -381,6 +391,8 @@ class AudioSearchEngine:
             "asr_options": sorted(
                 k for k in W.PRESETS if k not in ("test", "large-v3")),
             "embedder_options": sorted(self.EMBEDDER_CHOICES),
+            "transfer_dtype": self.cfg.transfer_dtype,
+            "transfer_options": list(self.TRANSFER_CHOICES),
         }
 
     # --------------------------------------------------------- persistence

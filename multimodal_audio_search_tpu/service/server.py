@@ -104,6 +104,7 @@ missing embeddings renormalize; threshold 0.1; top-10.</small>
 <label>ASR model <select id="asr_sel"></select></label>
 <label>Caption model <select id="cap_sel"></select></label>
 <label>Embedder <select id="emb_sel"></select></label>
+<label>Transfer <select id="tr_sel"></select></label>
 <button onclick="applyConfig()">Apply (resets index)</button>
 <span id="cfg_out"></span></div>
 <h3>Indexed files</h3><div id="sources_out"></div></div>
@@ -297,6 +298,7 @@ async function loadConfig(){
   fill('asr_sel',j.asr_options,j.asr_preset);
   fill('cap_sel',j.asr_options,j.caption_preset);
   fill('emb_sel',j.embedder_options,j.embedder);
+  fill('tr_sel',j.transfer_options,j.transfer_dtype);
  }catch(e){}}
 async function applyConfig(){
  if(!confirm('Applying a new configuration resets the index. Continue?'))
@@ -305,7 +307,8 @@ async function applyConfig(){
  const body={segment_seconds:+document.getElementById('seg_s').value,
   asr_preset:document.getElementById('asr_sel').value,
   caption_preset:document.getElementById('cap_sel').value,
-  embedder:document.getElementById('emb_sel').value};
+  embedder:document.getElementById('emb_sel').value,
+  transfer_dtype:document.getElementById('tr_sel').value};
  const r=await fetch('/api/config',{method:'POST',
   headers:Object.assign({'Content-Type':'application/json'},authHeaders()),
   body:JSON.stringify(body)});
@@ -475,7 +478,8 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                 # rebuilds pipelines and RESETS the index
                 body = json.loads(self._body() or b"{}")
                 allowed = {"segment_seconds", "min_segment_seconds",
-                           "asr_preset", "caption_preset", "embedder"}
+                           "asr_preset", "caption_preset", "embedder",
+                           "transfer_dtype"}
                 bad = set(body) - allowed
                 if bad:
                     self._json({"error": f"unknown config keys {bad}"},

@@ -329,9 +329,20 @@ def test_config_endpoint_knobs(cfg_server, rng, tmp_path):
     n15 = len(ingest()["segments"])         # 1.5 s windows: 1.5/1.5/1.0
     assert n15 == 3
 
+    # transfer-dtype knob: listed, switchable, round-trips in config
+    assert cfg0["transfer_dtype"] == "int16"
+    assert "int12" in cfg0["transfer_options"]
+    req = urllib.request.Request(
+        cfg_server + "/api/config",
+        data=json.dumps({"transfer_dtype": "int12"}).encode(),
+        method="POST", headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert json.loads(r.read())["transfer_dtype"] == "int12"
+    assert len(ingest()["segments"]) == 3   # ingest works on int12
+
     # validation errors surface as 400s
     for bad in ({"segment_seconds": 99}, {"asr_preset": "nope"},
-                {"bogus_key": 1}):
+                {"transfer_dtype": "int9"}, {"bogus_key": 1}):
         req = urllib.request.Request(
             cfg_server + "/api/config", data=json.dumps(bad).encode(),
             method="POST", headers={"Content-Type": "application/json"})
