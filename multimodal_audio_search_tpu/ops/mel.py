@@ -2,9 +2,9 @@
 
 The reference computes this per segment on CPU inside the HF processor
 (audio_search.py:358-362). Here the whole batch is one jitted program shaped
-for the MXU: the STFT is a strided convolution whose filters are the
-window-scaled real-DFT basis (i.e. one [400 x 402] matmul per frame), the mel
-projection is another matmul, and the log/clamp/scale epilogue fuses in.
+for the MXU: framing is a strided-view chunk reshape (stft_frames), the
+windowed real-DFT is ONE [*, 400] x [400, 402] matmul, the mel projection is
+another matmul, and the log/clamp/scale epilogue fuses in.
 
 Numerical contract (parity-tested against transformers'
 WhisperFeatureExtractor):

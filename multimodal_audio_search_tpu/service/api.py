@@ -371,7 +371,8 @@ class AudioSearchEngine:
                            asr=cfg.asr_model.preset,
                            caption=cfg.caption_model.preset,
                            embedder=f"{cfg.text_embedder.family}/"
-                                    f"{cfg.text_embedder.preset}")
+                                    f"{cfg.text_embedder.preset}",
+                           transfer=cfg.transfer_dtype)
         return self.describe_config()
 
     def describe_config(self) -> dict[str, Any]:
