@@ -41,3 +41,21 @@ def test_encoder_flops_scales_linearly_in_batch():
 def test_search_hbm_bytes():
     # [N, 2, D] index in the given itemsize
     assert R.search_hbm_bytes(1000, 384, 4) == 1000 * 2 * 384 * 4
+
+
+def test_stage_time_extra_operands():
+    """bench._stage_time must thread extra arrays as jit operands (the
+    closure-bake alternative hits the compile service's request-body
+    limit at 30 s shapes) and still time a correct program."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import jax.numpy as jnp
+    from bench import _stage_time
+
+    a = jnp.ones((8, 16))
+    w = jnp.full((16, 4), 2.0)
+    s = _stage_time(lambda x, w: x @ w, a, 2, 0.0, w)
+    assert s > 0
+    # and the no-extra form still works
+    s2 = _stage_time(lambda x: x * 3.0, a, 2, 0.0)
+    assert s2 > 0
