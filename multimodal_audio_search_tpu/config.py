@@ -236,6 +236,44 @@ def default_config() -> EngineConfig:
     return EngineConfig()
 
 
+def apply_profile(cfg: EngineConfig, profile: str) -> EngineConfig:
+    """One-knob perf profiles, matching bench.py's measured modes
+    (docs/BENCHMARKS.md):
+
+      * "parity"        — engine defaults, exact reference-parity math
+      * "fast_lossless" — every lever measured TRANSCRIPT-EXACT on the
+                          self-trained oracle: int12 packed transfer +
+                          fused decode/encoder kernels, full 30 s
+                          context, f32 index. Recommended production
+                          mode.
+      * "fast"          — maximum throughput: additionally
+                          short-context encode, mu-law 8-bit transfer,
+                          bf16 index — each with a measured, documented
+                          accuracy cost.
+    """
+    if profile == "parity":
+        return cfg
+    if profile == "fast_lossless":
+        return cfg.replace(
+            transfer_dtype="int12",
+            asr_decode=dataclasses.replace(
+                cfg.asr_decode, fused_layer=True, fused_encoder=True),
+            caption_decode=dataclasses.replace(
+                cfg.caption_decode, fused_layer=True, fused_encoder=True))
+    if profile == "fast":
+        return cfg.replace(
+            transfer_dtype="mulaw8", short_context=True,
+            fusion=dataclasses.replace(cfg.fusion,
+                                       index_dtype="bfloat16"),
+            asr_decode=dataclasses.replace(
+                cfg.asr_decode, fused_layer=True, fused_encoder=True),
+            caption_decode=dataclasses.replace(
+                cfg.caption_decode, fused_layer=True, fused_encoder=True))
+    raise ValueError(
+        f"unknown profile {profile!r}; options: parity, fast_lossless, "
+        f"fast")
+
+
 def config_from_env(base: EngineConfig | None = None) -> EngineConfig:
     """Environment-variable overrides (MAS_*).
 
@@ -243,13 +281,18 @@ def config_from_env(base: EngineConfig | None = None) -> EngineConfig:
     (previous_iterations/DEPLOYMENT.md:61-70). Unset variables keep the
     reference-parity defaults.
 
-      MAS_SAMPLE_RATE, MAS_SEGMENT_SECONDS, MAS_MIN_SEGMENT_SECONDS,
-      MAS_TOP_K, MAS_THRESHOLD, MAS_INGEST_BATCH, MAS_ANALYZER,
-      MAS_ASR_PRESET, MAS_CAPTION_PRESET, MAS_MAX_NEW_TOKENS,
-      MAS_ASR_WEIGHTS, MAS_CAPTION_WEIGHTS, MAS_EMBEDDER_WEIGHTS
+      MAS_PROFILE (parity | fast_lossless | fast — applied first; see
+      apply_profile), MAS_SAMPLE_RATE, MAS_SEGMENT_SECONDS,
+      MAS_MIN_SEGMENT_SECONDS, MAS_TOP_K, MAS_THRESHOLD,
+      MAS_INGEST_BATCH, MAS_ANALYZER, MAS_ASR_PRESET,
+      MAS_CAPTION_PRESET, MAS_MAX_NEW_TOKENS, MAS_ASR_WEIGHTS,
+      MAS_CAPTION_WEIGHTS, MAS_EMBEDDER_WEIGHTS
     """
     import os
     cfg = base or EngineConfig()
+    profile = os.environ.get("MAS_PROFILE")
+    if profile:
+        cfg = apply_profile(cfg, profile)
 
     def env(name, cast, default):
         v = os.environ.get(f"MAS_{name}")

@@ -39,3 +39,33 @@ def test_env_overrides(monkeypatch):
 
 def test_env_noop_without_vars():
     assert config_from_env() == EngineConfig()
+
+
+def test_profiles(monkeypatch):
+    from multimodal_audio_search_tpu.config import apply_profile
+    import pytest
+
+    base = EngineConfig()
+    assert apply_profile(base, "parity") == base
+
+    ll = apply_profile(base, "fast_lossless")
+    assert ll.transfer_dtype == "int12"
+    assert ll.short_context is False            # full 30 s context
+    assert ll.fusion.index_dtype == "float32"   # exact index
+    assert ll.asr_decode.fused_layer is True
+    assert ll.caption_decode.fused_encoder is True
+
+    f = apply_profile(base, "fast")
+    assert f.transfer_dtype == "mulaw8"
+    assert f.short_context is True
+    assert f.fusion.index_dtype == "bfloat16"
+
+    with pytest.raises(ValueError):
+        apply_profile(base, "warp9")
+
+    # MAS_PROFILE applies first; explicit vars still win afterwards
+    monkeypatch.setenv("MAS_PROFILE", "fast_lossless")
+    monkeypatch.setenv("MAS_TRANSFER_DTYPE", "int16")
+    c = config_from_env()
+    assert c.asr_decode.fused_layer is True     # from the profile
+    assert c.transfer_dtype == "int16"          # explicit override wins
