@@ -606,7 +606,11 @@ def serve(
 ) -> ThreadingHTTPServer:
     from ..utils.compile_cache import enable_from_env
     enable_from_env()                   # MAS_COMPILE_CACHE=<dir> opt-in
-    engine = engine or AudioSearchEngine()
+    if engine is None:
+        # same MAS_* env semantics as the CLI entry point, so a bare
+        # `python -m ...service.server` honors DEPLOYMENT.md's knobs
+        from ..config import config_from_env
+        engine = AudioSearchEngine(cfg=config_from_env())
     engine.load_all_models(warmup=warmup)
     root = Path(data_root if data_root is not None
                 else os.environ.get("MAS_DATA_ROOT", os.getcwd()))
