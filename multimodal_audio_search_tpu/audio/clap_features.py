@@ -52,22 +52,8 @@ def _mel_matrix_htk() -> np.ndarray:
     ClapFeatureExtractor's *fusion* paths use (its ``self.mel_filters``
     is built with mel_scale='htk', norm=None; only rand_trunc uses the
     slaney one)."""
-    n_freqs = N_FFT // 2 + 1
-    fft_freqs = np.linspace(0.0, SAMPLE_RATE / 2.0, n_freqs)
-
-    def hz_to_mel(f):
-        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
-
-    def mel_to_hz(m):
-        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
-
-    mel_pts = np.linspace(hz_to_mel(FMIN), hz_to_mel(FMAX), N_MELS + 2)
-    hz_pts = mel_to_hz(mel_pts)
-    fdiff = np.diff(hz_pts)
-    slopes = hz_pts[None, :] - fft_freqs[:, None]
-    down = -slopes[:, :-2] / fdiff[None, :-1]
-    up = slopes[:, 2:] / fdiff[None, 1:]
-    return np.maximum(0.0, np.minimum(down, up))      # [F, n_mels]
+    return mel_filterbank(N_MELS, N_FFT, SAMPLE_RATE, FMIN, FMAX,
+                          mel_scale="htk", norm=None).T
 
 
 def _pad_short(wave: np.ndarray, max_length: int, padding: str) -> np.ndarray:
@@ -205,6 +191,10 @@ def clap_fusion_batch(
     True") — so a single short clip ALWAYS runs the AFF fusion path on
     its 4 repeated mels. The index is drawn with np.random in HF; pass
     ``rng`` or get index 0, deterministic."""
+    if not waves_48k:
+        chunk_frames = max_length // HOP + 1
+        return (np.zeros((0, 4, chunk_frames, N_MELS), np.float32),
+                np.zeros(0, bool))
     feats, longer = zip(*(clap_fusion_features(w, max_length, rng=rng)
                           for w in waves_48k))
     is_longer = np.asarray(longer, bool)

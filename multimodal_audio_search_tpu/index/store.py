@@ -265,9 +265,21 @@ class SegmentStore:
         if meta_path.exists():
             committed = state.get("meta_bytes")
             if committed is not None:
-                if meta_path.stat().st_size != committed:
+                size = meta_path.stat().st_size
+                if size > committed:
+                    # only ever SHRINK: truncate(committed) on a file
+                    # shorter than committed would extend it with NUL
+                    # bytes and corrupt every later json.loads
                     with open(meta_path, "r+b") as f:
                         f.truncate(committed)
+                elif size < committed:
+                    # the manifest rename reached disk but the meta data
+                    # blocks did not (nothing is fsynced): committed rows
+                    # are unrecoverable here — refuse, caller full-saves
+                    raise ValueError(
+                        f"meta.jsonl is {size} bytes < manifest's "
+                        f"committed {committed}; directory lost data — "
+                        "rewrite with save()")
             else:
                 lines = meta_path.read_text().splitlines(keepends=True)
                 if len(lines) != lo:

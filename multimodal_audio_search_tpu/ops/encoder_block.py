@@ -150,12 +150,3 @@ def fused_attention_o_residual(
     )(q.astype(dt), k.astype(dt), v.astype(dt), x,
       wo.astype(dt), bo.reshape(1, hd).astype(dt))
     return out[:, :t, :]
-
-
-def use_fused_blocks(t: int) -> bool:
-    """Auto rule: real TPU, long context (same gate as fused attention)."""
-    try:
-        dev = jax.devices()[0].platform
-    except Exception:  # pragma: no cover
-        return False
-    return dev == "tpu" and t >= 512

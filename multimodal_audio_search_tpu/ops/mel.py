@@ -52,27 +52,45 @@ def _mel_to_hz_slaney(m: np.ndarray) -> np.ndarray:
         m * 200.0 / 3.0)
 
 
+def _hz_to_mel_htk(f: np.ndarray) -> np.ndarray:
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def _mel_to_hz_htk(m: np.ndarray) -> np.ndarray:
+    return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+
 def mel_filterbank(
     n_mels: int = 80, n_fft: int = 400, sample_rate: int = 16_000,
     fmin: float = 0.0, fmax: float | None = None,
+    mel_scale: str = "slaney", norm: str | None = "slaney",
 ) -> np.ndarray:
-    """[n_mels, n_fft//2+1] slaney-normalized triangular filterbank."""
+    """[n_mels, n_fft//2+1] triangular filterbank.
+
+    Defaults match Whisper's (slaney scale, slaney 2/bandwidth norm);
+    ``mel_scale="htk", norm=None`` matches ClapFeatureExtractor's fusion
+    filterbank (one triangle construction serves both)."""
     fmax = fmax if fmax is not None else sample_rate / 2.0
     n_freqs = n_fft // 2 + 1
     fft_freqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
+    to_mel, to_hz = {
+        "slaney": (_hz_to_mel_slaney, _mel_to_hz_slaney),
+        "htk": (_hz_to_mel_htk, _mel_to_hz_htk),
+    }[mel_scale]
     mel_pts = np.linspace(
-        _hz_to_mel_slaney(np.float64(fmin)),
-        _hz_to_mel_slaney(np.float64(fmax)), n_mels + 2)
-    hz_pts = _mel_to_hz_slaney(mel_pts)
+        to_mel(np.float64(fmin)), to_mel(np.float64(fmax)), n_mels + 2)
+    hz_pts = to_hz(mel_pts)
     # triangular filters between consecutive center frequencies
     fdiff = np.diff(hz_pts)
     slopes = hz_pts[None, :] - fft_freqs[:, None]         # [F, n_mels+2]
     down = -slopes[:, :-2] / fdiff[None, :-1]
     up = slopes[:, 2:] / fdiff[None, 1:]
     fb = np.maximum(0.0, np.minimum(down, up)).T          # [n_mels, F]
-    # slaney normalization: 2 / bandwidth
-    enorm = 2.0 / (hz_pts[2:] - hz_pts[:-2])
-    return (fb * enorm[:, None]).astype(np.float64)
+    if norm == "slaney":
+        # slaney normalization: 2 / bandwidth
+        enorm = 2.0 / (hz_pts[2:] - hz_pts[:-2])
+        fb = fb * enorm[:, None]
+    return fb.astype(np.float64)
 
 
 @functools.lru_cache(maxsize=8)

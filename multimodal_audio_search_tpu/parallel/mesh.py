@@ -35,9 +35,21 @@ def make_mesh(
 def mesh_from_config(cfg) -> Mesh | None:
     """Engine knob -> mesh: ``EngineConfig.data_parallel/model_parallel``
     select the production mesh; 1 x 1 returns None (single-device, the
-    reference's execution model, audio_search.py:89)."""
+    reference's execution model, audio_search.py:89).
+
+    ``data_parallel`` must be a power of two: every sharded batch is
+    padded to a power-of-two bucket (pipelines floor ``max(8, dp)`` and
+    double; the index capacity bucket is a power of two >= 1024,
+    index/store.py), so a non-power-of-two dp would pass mesh
+    construction here and then fail deep inside the first sharded
+    device_put / shard_map with an opaque divisibility error."""
     dp = getattr(cfg, "data_parallel", 1) or 1
     mp = getattr(cfg, "model_parallel", 1) or 1
+    if dp & (dp - 1):
+        raise ValueError(
+            f"data_parallel={dp} is not a power of two; sharded batch "
+            "and index buckets are powers of two, so dp must be one of "
+            "1, 2, 4, 8, ...")
     if dp * mp <= 1:
         return None
     return make_mesh(dp * mp, model_parallel=mp)

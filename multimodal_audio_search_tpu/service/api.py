@@ -242,9 +242,18 @@ class AudioSearchEngine:
             allout = compare_all(query, qz, qz, emb[:, ASR],
                                  emb[:, AUDIO], analyzer, k)
             results, _ = self.search(query, k)
+            def snippet(i: int) -> str:
+                m = self.store.meta[int(i)]
+                return str(m.get("asr_text") or
+                           m.get("audio_description") or
+                           f"seg {int(i)}")[:60]
             info = {"strategy": "compare_all", "per_strategy": {
                 s: {"top": [int(i) for i in o["top"]],
                     "scores": [float(o["scores"][i]) for i in o["top"]],
+                    # text snippets ride the response so the UI panel
+                    # doesn't re-download the full /api/segments listing
+                    # per search (tens of MB at 100k rows)
+                    "texts": [snippet(i) for i in o["top"]],
                     "info": o["info"]}
                 for s, o in allout.items()}}
             return results, info
@@ -356,13 +365,22 @@ class AudioSearchEngine:
                     f"unknown transfer_dtype {transfer_dtype!r}; "
                     f"options: {list(self.TRANSFER_CHOICES)}")
             cfg = cfg.replace(transfer_dtype=transfer_dtype)
-        self.cfg = cfg
-        self._ingest = None
+        # Build the new pipelines BEFORE touching engine state: a failed
+        # rebuild (bad weights path, OOM on a big preset) must leave the
+        # engine exactly as it was — committing cfg first would pair the
+        # new embedder with the old, dimension-mismatched index on the
+        # next lazy rebuild.
+        t0 = time.perf_counter()
+        new_ingest = make_default_ingest(
+            cfg, self.stats, seed=self._seed, mesh=self.mesh)
+        self.stats.pipelines["text_embedder"].load_time = \
+            time.perf_counter() - t0
+        # commit point: everything below is in-memory assignment only
+        # embed dim follows the embedder; the index resets with it
+        self.cfg = cfg.replace(embed_dim=new_ingest.embedder.dim)
+        self._ingest = new_ingest
         self._searcher = None
         self._combined_searcher = None
-        self.load_all_models()
-        # embed dim follows the embedder; the index resets with it
-        self.cfg = self.cfg.replace(embed_dim=self.embedder.dim)
         keep_audio = self.store.keep_audio
         self.store = SegmentStore(
             embed_dim=self.cfg.embed_dim, keep_audio=keep_audio)

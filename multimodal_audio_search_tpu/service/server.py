@@ -202,19 +202,16 @@ async function doSearch(){
  else if(w.strategy)whtml=metric('Strategy',w.strategy)+
   (w.selected?metric('Selected',w.selected):'');
  if(w.per_strategy){
-  // Compare-All side-by-side panel (streamlit_app_backup.py:1110-1133)
-  const sj=await (await fetch('/api/segments')).json();
-  const meta=sj.segments||[];
+  // Compare-All side-by-side panel (streamlit_app_backup.py:1110-1133);
+  // snippets ride the search response (texts[]) — no /api/segments fetch
   whtml+='<h3>Strategy comparison</h3><div class=grid>'+
    Object.keys(w.per_strategy).map(s=>{
     const o=w.per_strategy[s];
     return '<div class=card><h4>'+esc(s)+'</h4>'+
      (o.top.length?o.top.slice(0,5).map((ix,r)=>{
-      const m=meta[ix]||{};
       return '<small>#'+(r+1)+' '+
        (o.scores[r]!==undefined?o.scores[r].toFixed(3):'')+'</small> '+
-       esc(String(m.asr_text||m.audio_description||('seg '+ix))
-           .slice(0,60))+'<br>';
+       esc(String((o.texts||[])[r]||('seg '+ix)))+'<br>';
      }).join(''):'<small>no hits</small>')+'</div>';
    }).join('')+'</div>';}
  document.getElementById('weights').innerHTML=whtml;
@@ -477,6 +474,12 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                 # streamlit_app_backup.py:875, clean_audio_search.py:32-47);
                 # rebuilds pipelines and RESETS the index
                 body = json.loads(self._body() or b"{}")
+                if not isinstance(body, dict):
+                    # a bare number/list would TypeError below at set()
+                    # — still a client error, not a 500
+                    self._json({"error": "config body must be a JSON "
+                                         "object"}, 400)
+                    return
                 allowed = {"segment_seconds", "min_segment_seconds",
                            "asr_preset", "caption_preset", "embedder",
                            "transfer_dtype"}

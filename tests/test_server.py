@@ -340,14 +340,16 @@ def test_config_endpoint_knobs(cfg_server, rng, tmp_path):
         assert json.loads(r.read())["transfer_dtype"] == "int12"
     assert len(ingest()["segments"]) == 3   # ingest works on int12
 
-    # validation errors surface as 400s
-    for bad in ({"segment_seconds": 99}, {"asr_preset": "nope"},
-                {"transfer_dtype": "int9"}, {"bogus_key": 1}):
+    # validation errors surface as 400s — including non-object bodies
+    # (a bare number used to TypeError outside the 400 mapping -> 500)
+    for bad in ("{\"segment_seconds\": 99}", "{\"asr_preset\": \"nope\"}",
+                "{\"transfer_dtype\": \"int9\"}", "{\"bogus_key\": 1}",
+                "42", "[1, 2]", "\"text\""):
         req = urllib.request.Request(
-            cfg_server + "/api/config", data=json.dumps(bad).encode(),
+            cfg_server + "/api/config", data=bad.encode(),
             method="POST", headers={"Content-Type": "application/json"})
         try:
             urllib.request.urlopen(req, timeout=60)
             raise AssertionError(f"{bad} should have failed")
         except urllib.error.HTTPError as e:
-            assert e.code == 400
+            assert e.code == 400, (bad, e.code)
