@@ -178,6 +178,9 @@ void mas_quantize_int16(const float* x, int64_t n, float scale,
                         int16_t* out) {
   for (int64_t i = 0; i < n; ++i) {
     float v = x[i] * scale;
+    // NaN passes both clip comparisons; the float->int cast of NaN is
+    // UB in C (the other two kernels already guard it)
+    if (std::isnan(v)) v = 0.0f;
     if (v < -1.0f) v = -1.0f;
     if (v > 1.0f) v = 1.0f;
     out[i] = (int16_t)(int32_t)(v * 32767.0f);

@@ -61,6 +61,11 @@ int64_t mem_seek(void* opaque, int64_t offset, int whence) {
 // Append one decoded AVFrame as interleaved float32.
 bool append_frame(const AVFrame* fr, int channels,
                   std::vector<float>* out) {
+  // A mid-stream channel-layout change (AAC PCE, chained ogg) yields
+  // frames whose channel count differs from the codec context's;
+  // indexing extended_data[] by the context count would then read
+  // null/out-of-bounds plane pointers. Reject the frame instead.
+  if (fr->ch_layout.nb_channels != channels) return false;
   const int n = fr->nb_samples;
   const AVSampleFormat fmt = static_cast<AVSampleFormat>(fr->format);
   const bool planar = av_sample_fmt_is_planar(fmt);

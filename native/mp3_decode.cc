@@ -196,6 +196,11 @@ struct Granule {
   // decoded scalefactors: long [22], short [13][3]
   int scf_l[23] = {0};
   int scf_s[13][3] = {{0}};
+  // LSF intensity channel: per-band "illegal is_pos" marker, (2^slen)-1
+  // of the group each band was read with (13818-3: all-ones means "no
+  // intensity for this band")
+  int ill_l[23] = {0};
+  int ill_s[13][3] = {{0}};
 };
 
 struct SideInfo {
@@ -290,6 +295,11 @@ void read_scalefactors_v1(BitReader* br, const SideInfo& si, int g, int c,
 
 void read_scalefactors_lsf(BitReader* br, const Header& h, int c,
                            Granule* gr, bool intensity_ch) {
+  // LSF has no preflag side-info bit: it is implied by sfc >= 500 below
+  // and must be RESET here — Granule objects persist across frames, so
+  // a latched preflag from an earlier sfc>=500 frame would mis-scale
+  // bands 11-20 of every later frame in this granule/channel slot
+  gr->preflag = false;
   int sfc = gr->scalefac_compress;
   int slen[4] = {0, 0, 0, 0};
   int block = 0;
@@ -339,13 +349,18 @@ void read_scalefactors_lsf(BitReader* br, const Header& h, int c,
   bool in_short = gr->block_type == 2 && !gr->mixed;
   int long_limit = gr->block_type == 2 ? (gr->mixed ? 6 : 0) : 23;
   for (int grp = 0; grp < 4; ++grp) {
+    int ill = (1 << slen[grp]) - 1;     // all-ones = "illegal" is_pos
     for (int i = 0; i < kLsfNsfb[block][bt][grp]; ++i) {
       int v = br->bits(slen[grp]);
       if (!in_short && li < long_limit) {
+        gr->ill_l[li] = ill;
         gr->scf_l[li++] = v;
         if (li >= long_limit && gr->block_type == 2) in_short = true;
       } else {
-        if (sb < 13) gr->scf_s[sb][sw] = v;
+        if (sb < 13) {
+          gr->scf_s[sb][sw] = v;
+          gr->ill_s[sb][sw] = ill;
+        }
         if (++sw == 3) { sw = 0; sb++; }
         in_short = true;
       }
@@ -426,21 +441,28 @@ HuffLut build_lut(const MasHuffEntry* e, int n) {
   return lut;
 }
 
+// All shared decode tables use C++11 magic-static initialization: the
+// threaded HTTP server decodes uploads concurrently and ctypes releases
+// the GIL, so the previous `if (!init)` lazy patterns were data races
+// (torn pointer/vector reads while another thread initialized).
+struct LutCache {
+  HuffLut* cache[32] = {nullptr};
+  LutCache() {
+    for (int t = 0; t < 32; ++t)
+      if (kBooks[t].e && kBooks[t].n)   // owners; sharers have n == 0
+        cache[t] = new HuffLut(build_lut(kBooks[t].e, kBooks[t].n));
+  }
+};
+
 const HuffLut* lut_for(int table) {
-  static HuffLut* cache[32] = {nullptr};
+  static const LutCache lc;             // thread-safe one-time build
   const Book& b = kBooks[table];
   if (!b.e) return nullptr;
   // sharers resolve to the owner's LUT
   int owner = table;
   if (table >= 17 && table <= 23) owner = 16;
   if (table >= 25 && table <= 31) owner = 24;
-  if (!cache[owner])
-    cache[owner] = new HuffLut(build_lut(kBooks[owner].e,
-                                         kBooks[owner].n
-                                             ? kBooks[owner].n
-                                             : kBooks[owner == 16 ? 16 : 24]
-                                                   .n));
-  return cache[owner];
+  return lc.cache[owner];
 }
 
 int64_t decode_huffman(BitReader* br, const Header& h, const Granule& gr,
@@ -561,12 +583,14 @@ int64_t decode_huffman(BitReader* br, const Header& h, const Granule& gr,
 
 // --------------------------------------------------------- requantize
 double pow43(int v) {
-  static std::vector<double> lut;
-  if (lut.empty()) {
-    lut.resize(8500);
-    for (size_t i = 0; i < lut.size(); ++i)
-      lut[i] = std::pow((double)i, 4.0 / 3.0);
-  }
+  // magic static (see LutCache): concurrent decodes must not race the
+  // one-time table build
+  static const std::vector<double> lut = [] {
+    std::vector<double> l(8500);
+    for (size_t i = 0; i < l.size(); ++i)
+      l[i] = std::pow((double)i, 4.0 / 3.0);
+    return l;
+  }();
   int a = v < 0 ? -v : v;
   double m = a < (int)lut.size() ? lut[a] : std::pow((double)a, 4.0 / 3.0);
   return v < 0 ? -m : m;
@@ -623,13 +647,20 @@ void apply_stereo(const Header& h, const Granule& grL, const Granule& grR,
   bool ms = h.mode == 1 && (h.mode_ext & 2);
   bool intensity = h.mode == 1 && (h.mode_ext & 1);
   const double inv_sqrt2 = 0.7071067811865476;
-  // intensity bound: first scalefactor band at/above the right channel's
-  // last nonzero line; bands below it get MS (or plain stereo)
+  bool shortblk = grR.block_type == 2;
+  // Intensity bound (long blocks): the first scalefactor band lying
+  // ENTIRELY in the right channel's zero region — lastR+1 rounded UP to
+  // the next band boundary (a partially-zero band is not intensity-
+  // coded, and MS extends through it; conformance vs libmpg123 caught
+  // the unrounded version when the zero region started mid-band).
+  // Short blocks determine the zero part PER WINDOW instead (below).
   int bound = 576;
-  if (intensity) {
-    bound = lastR + 1;
+  if (intensity && !shortblk) {
+    int z = lastR + 1;
+    for (int b = 0; b < 23; ++b)
+      if (sfb.long_[b] >= z) { bound = sfb.long_[b]; break; }
   }
-  if (ms) {
+  if (ms && !(intensity && shortblk)) {
     int lim = intensity ? bound : 576;
     for (int i = 0; i < lim; ++i) {
       double m = xl[i], s = xr_[i];
@@ -638,10 +669,36 @@ void apply_stereo(const Header& h, const Granule& grL, const Granule& grR,
     }
   }
   if (!intensity) return;
-  // MPEG-1 intensity (conformance-tested with hand-crafted joint-stereo
-  // frames, tests/test_mp3_native.py::test_intensity_stereo_crafted_frames;
-  // lame never emits intensity). is_pos == 7 means "no intensity" for
-  // that band — it falls back to MS when MS is also on.
+  // Intensity stereo (conformance-tested with hand-crafted joint-stereo
+  // frames, tests/test_mp3_native.py — lame never emits intensity).
+  //
+  // MPEG-1 (11172-3): is_pos 0..6 pans via tan(is_pos*pi/12); 7 means
+  // "no intensity" for the band (falls back to MS when MS is also on).
+  // LSF (13818-3): the right channel's scalefactors ARE the positions;
+  // the per-band all-ones value (2^slen - 1, recorded at read time) is
+  // the no-intensity marker, and panning is io^((is_pos+1)/2) on one
+  // side with io = 2^-1/2 or 2^-1/4 by scalefac_compress bit 0.
+  const bool lsf = h.lsf();
+  const double io = (grR.scalefac_compress & 1)
+                        ? 0.7071067811865476      // 2^-1/2
+                        : 0.8408964152537145;     // 2^-1/4
+  auto band_k = [&](int is_pos, int ill, double* kl, double* kr) {
+    if (lsf) {
+      if (is_pos == ill) return false;
+      *kl = 1.0;
+      *kr = 1.0;
+      if (is_pos & 1)
+        *kl = std::pow(io, (is_pos + 1) / 2);
+      else if (is_pos)
+        *kr = std::pow(io, is_pos / 2);
+      return true;
+    }
+    if (is_pos == 7) return false;
+    double ratio = std::tan(is_pos * 3.14159265358979323846 / 12.0);
+    *kl = ratio / (1.0 + ratio);
+    *kr = 1.0 / (1.0 + ratio);
+    return true;
+  };
   auto band_fallback = [&](int lo, int hi) {
     if (!ms) return;
     for (int i = lo; i < hi && i < 576; ++i) {
@@ -650,28 +707,72 @@ void apply_stereo(const Header& h, const Granule& grL, const Granule& grR,
       xr_[i] = (m - s) * inv_sqrt2;
     }
   };
-  bool shortblk = grR.block_type == 2;
   if (shortblk) {
-    // per-window intensity on the window-grouped (pre-reorder) layout
+    // Short blocks: the spec determines the zero part PER WINDOW — for
+    // each window w, bands above the window's last nonzero right-channel
+    // band are intensity; bands at/below it get MS (or plain stereo).
+    // All processing happens on the window-grouped (pre-reorder) layout.
+    // Band 12 has no transmitted scalefactor — it reuses band 11's
+    // is_pos (the spec's trailing-band rule).
     int start_band = grR.mixed ? 3 : 0;
-    for (int b = start_band; b < 12; ++b) {
+    int region0 = grR.mixed ? mixed_split(sfb) : 0;
+    int lastb[3] = {-1, -1, -1};
+    for (int b = start_band; b < 13; ++b) {
       int width = sfb.short_[b + 1] - sfb.short_[b];
-      int region0 = grR.mixed ? mixed_split(sfb) : 0;
-      int short_start =
-          region0 + 3 * (sfb.short_[b] - sfb.short_[start_band]);
-      if (short_start < bound) continue;
-      for (int w = 0; w < 3; ++w) {
-        int is_pos = grR.scf_s[b][w];
-        if (is_pos == 7) {
-          band_fallback(short_start + w * width,
-                        short_start + (w + 1) * width);
+      int base = region0 + 3 * (sfb.short_[b] - sfb.short_[start_band]);
+      for (int w = 0; w < 3; ++w)
+        for (int i = 0; i < width; ++i) {
+          int idx = base + w * width + i;
+          if (idx < 576 && xr_[idx] != 0.0 && b > lastb[w]) lastb[w] = b;
+        }
+    }
+    // mixed-block long region [0, region0): its own single zero part
+    if (grR.mixed) {
+      int lastl = -1;
+      for (int i = 0; i < region0; ++i)
+        if (xr_[i] != 0.0) lastl = i;
+      int lbound = region0;
+      for (int b = 0; b < 23; ++b)
+        if (sfb.long_[b] >= lastl + 1) {
+          lbound = sfb.long_[b] < region0 ? sfb.long_[b] : region0;
+          break;
+        }
+      band_fallback(0, lbound);                   // MS below the bound
+      for (int b = 0; b < 22 && sfb.long_[b] < region0; ++b) {
+        if (sfb.long_[b] < lbound) continue;
+        int sb = b < 21 ? b : 20;
+        double kl, kr;
+        if (!band_k(grR.scf_l[sb], lsf ? grR.ill_l[sb] : 7, &kl, &kr)) {
+          band_fallback(sfb.long_[b], sfb.long_[b + 1]);
           continue;
         }
-        double ratio = std::tan(is_pos * 3.14159265358979323846 / 12.0);
-        double kl = ratio / (1.0 + ratio);
-        double kr = 1.0 / (1.0 + ratio);
+        for (int i = sfb.long_[b];
+             i < sfb.long_[b + 1] && i < region0; ++i) {
+          double v = xl[i];
+          xl[i] = v * kl;
+          xr_[i] = v * kr;
+        }
+      }
+    }
+    for (int b = start_band; b < 13; ++b) {
+      int width = sfb.short_[b + 1] - sfb.short_[b];
+      int base = region0 + 3 * (sfb.short_[b] - sfb.short_[start_band]);
+      int sb = b < 12 ? b : 11;
+      for (int w = 0; w < 3; ++w) {
+        int lo = base + w * width;
+        if (b <= lastb[w]) {                      // window's non-zero part
+          band_fallback(lo, lo + width);
+          continue;
+        }
+        int is_pos = grR.scf_s[sb][w];
+        int ill = lsf ? grR.ill_s[sb][w] : 7;
+        double kl, kr;
+        if (!band_k(is_pos, ill, &kl, &kr)) {
+          band_fallback(lo, lo + width);
+          continue;
+        }
         for (int i = 0; i < width; ++i) {
-          int idx = short_start + w * width + i;
+          int idx = lo + i;
           if (idx >= 576) break;
           double v = xl[idx];
           xl[idx] = v * kl;
@@ -680,16 +781,17 @@ void apply_stereo(const Header& h, const Granule& grL, const Granule& grR,
       }
     }
   } else {
-    for (int b = 0; b < 21; ++b) {
+    // band 21 has no transmitted scalefactor — trailing-band rule
+    for (int b = 0; b < 22; ++b) {
       if (sfb.long_[b] < bound) continue;
-      int is_pos = grR.scf_l[b];
-      if (is_pos == 7) {
+      int sb = b < 21 ? b : 20;
+      int is_pos = grR.scf_l[sb];
+      int ill = lsf ? grR.ill_l[sb] : 7;
+      double kl, kr;
+      if (!band_k(is_pos, ill, &kl, &kr)) {
         band_fallback(sfb.long_[b], sfb.long_[b + 1]);
         continue;
       }
-      double ratio = std::tan(is_pos * 3.14159265358979323846 / 12.0);
-      double kl = ratio / (1.0 + ratio);
-      double kr = 1.0 / (1.0 + ratio);
       for (int i = sfb.long_[b]; i < sfb.long_[b + 1]; ++i) {
         double v = xl[i];
         xl[i] = v * kl;
@@ -722,18 +824,22 @@ void reorder_short(const Granule& gr, const SfbTable& sfb, double* xr) {
 }
 
 // ---------------------------------------------------------- antialias
-void antialias(const Granule& gr, double* xr) {
-  static const double ci[8] = {-0.6, -0.535, -0.33, -0.185,
-                               -0.095, -0.041, -0.0142, -0.0037};
-  static double cs[8], ca[8];
-  static bool init = false;
-  if (!init) {
+struct AaTables {
+  double cs[8], ca[8];
+  AaTables() {
+    const double ci[8] = {-0.6, -0.535, -0.33, -0.185,
+                          -0.095, -0.041, -0.0142, -0.0037};
     for (int i = 0; i < 8; ++i) {
       cs[i] = 1.0 / std::sqrt(1.0 + ci[i] * ci[i]);
       ca[i] = ci[i] * cs[i];
     }
-    init = true;
   }
+};
+
+void antialias(const Granule& gr, double* xr) {
+  static const AaTables t;              // magic static (see LutCache)
+  const double* cs = t.cs;
+  const double* ca = t.ca;
   int sblim = 32;
   if (gr.block_type == 2) sblim = gr.mixed ? 2 : 0;
   for (int sb = 1; sb < sblim; ++sb) {
@@ -752,8 +858,11 @@ struct ImdctTables {
   double win[4][36];
   double cos36[18][36];  // [m][p]
   double cos12[6][12];
+  double wshort[12];
   ImdctTables() {
     const double pi = 3.14159265358979323846;
+    for (int i = 0; i < 12; ++i)
+      wshort[i] = std::sin(pi / 12.0 * (i + 0.5));
     for (int i = 0; i < 36; ++i) {
       win[0][i] = std::sin(pi / 36.0 * (i + 0.5));
       win[1][i] = i < 18 ? std::sin(pi / 36.0 * (i + 0.5))
@@ -783,14 +892,7 @@ const ImdctTables& imdct_tables() {
 void imdct_block(const double* in, int block_type, double* out36) {
   const ImdctTables& T = imdct_tables();
   if (block_type == 2) {
-    const double pi = 3.14159265358979323846;
-    static double wshort[12];
-    static bool wi = false;
-    if (!wi) {
-      for (int i = 0; i < 12; ++i)
-        wshort[i] = std::sin(pi / 12.0 * (i + 0.5));
-      wi = true;
-    }
+    const double* wshort = T.wshort;
     for (int i = 0; i < 36; ++i) out36[i] = 0.0;
     for (int w = 0; w < 3; ++w) {
       double z[12];
@@ -815,16 +917,18 @@ void imdct_block(const double* in, int block_type, double* out36) {
 struct Synth {
   double V[1024];
   Synth() { std::memset(V, 0, sizeof(V)); }
-  void slot(const double* S32, float* pcm32) {
-    static double N[64][32];
-    static bool init = false;
-    if (!init) {
+  struct Matrix {
+    double N[64][32];
+    Matrix() {
       const double pi = 3.14159265358979323846;
       for (int i = 0; i < 64; ++i)
         for (int k = 0; k < 32; ++k)
           N[i][k] = std::cos((16.0 + i) * (2.0 * k + 1.0) * pi / 64.0);
-      init = true;
     }
+  };
+  void slot(const double* S32, float* pcm32) {
+    static const Matrix m;              // magic static (see LutCache)
+    const auto& N = m.N;
     std::memmove(V + 64, V, sizeof(double) * 960);
     for (int i = 0; i < 64; ++i) {
       double acc = 0.0;
@@ -938,19 +1042,11 @@ struct Decoder {
             if (is576[i] != 0.0f) { last_nz[c] = i; break; }
           requantize(h, *gr, *sfb, is576, xr[c]);
         }
-        if (ch == 2 && ok[0] && ok[1] && h.mode == 1 && !h.lsf())
+        if (ch == 2 && ok[0] && ok[1] && h.mode == 1)
+          // one path for MPEG-1 and LSF: MS butterfly below the
+          // intensity bound, version-specific intensity panning above
           apply_stereo(h, si.gr[g][0], si.gr[g][1], *sfb, xr[0], xr[1],
                        last_nz[1]);
-        else if (ch == 2 && ok[0] && ok[1] && h.mode == 1 && h.lsf() &&
-                 (h.mode_ext & 2) && !(h.mode_ext & 1)) {
-          // LSF MS stereo (no intensity): same butterfly
-          const double inv_sqrt2 = 0.7071067811865476;
-          for (int i = 0; i < 576; ++i) {
-            double m = xr[0][i], s = xr[1][i];
-            xr[0][i] = (m + s) * inv_sqrt2;
-            xr[1][i] = (m - s) * inv_sqrt2;
-          }
-        }
         for (int c = 0; c < ch; ++c) {
           reorder_short(si.gr[g][c], *sfb, xr[c]);
           granule_to_pcm(si.gr[g][c], xr[c], &chs[c],
@@ -966,6 +1062,20 @@ struct Decoder {
     return true;
   }
 };
+
+// Xing/Info/VBRI VBR-header frame: encoder metadata stored as a valid
+// (usually silent) frame. mpg123/ffmpeg skip it; decoding it as audio
+// would prepend ~one granule of silence and shift every timestamp.
+bool is_info_frame(const uint8_t* fp, const Header& h, int64_t nbytes) {
+  int side = h.lsf() ? (h.channels() == 1 ? 9 : 17)
+                     : (h.channels() == 1 ? 17 : 32);
+  int64_t off = 4 + (h.crc ? 2 : 0) + side;
+  if (off + 4 <= nbytes && (!std::memcmp(fp + off, "Xing", 4) ||
+                            !std::memcmp(fp + off, "Info", 4)))
+    return true;
+  // VBRI (Fraunhofer) sits at a fixed 32-byte offset past the header
+  return nbytes >= 40 && !std::memcmp(fp + 36, "VBRI", 4);
+}
 
 }  // namespace
 
@@ -992,6 +1102,25 @@ int mas_mp3_decode(const uint8_t* data, int64_t len, float** out,
     }
     if (i + h.frame_bytes > len) break;
     if (!dec.configured) {
+      // False-sync guard: a byte pair inside leading junk can parse as
+      // a valid header; locking the stream format onto it would reject
+      // the whole file at the first REAL frame's "format change". When
+      // another header fits behind this frame, require it to agree on
+      // rate/channels/version before configuring (bitrate/padding may
+      // legitimately vary frame to frame in VBR streams).
+      if (i + h.frame_bytes + 4 <= len) {
+        Header h2;
+        if (!parse_header(data + i + h.frame_bytes, &h2) ||
+            h2.rate != h.rate || h2.channels() != h.channels() ||
+            h2.version != h.version) {
+          i++;
+          continue;
+        }
+      }
+      if (is_info_frame(data + i, h, h.frame_bytes)) {
+        i += h.frame_bytes;   // skip the metadata frame, stay unconfigured
+        continue;
+      }
       dec.h = h;
       dec.channels = h.channels();
       dec.rate = h.rate;

@@ -30,8 +30,11 @@ _lame.lame_encode_flush.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                     ctypes.c_int]
 _lame.lame_close.argtypes = [ctypes.c_void_p]
 
-def encode(pcm, rate, bitrate=128, stereo=None, mode=None, vbr=False):
-    """pcm [n] or [n,2] float32 -> mp3 bytes."""
+def encode(pcm, rate, bitrate=128, stereo=None, mode=None, vbr=False,
+           vbr_tag=False):
+    """pcm [n] or [n,2] float32 -> mp3 bytes. ``vbr_tag=True`` keeps
+    lame's Xing/Info header frame (the default for real-world encodes;
+    decoders must SKIP it, tests/test_mp3_native.py)."""
     pcm = np.asarray(pcm, np.float32)
     ch = 2 if pcm.ndim == 2 else 1
     h = _lame.lame_init()
@@ -43,7 +46,7 @@ def encode(pcm, rate, bitrate=128, stereo=None, mode=None, vbr=False):
         _lame.lame_set_mode(h, mode)  # 0 stereo, 1 js, 3 mono
     _lame.lame_set_quality(h, 2)
     _lame.lame_set_VBR(h, 4 if vbr else 0)
-    _lame.lame_set_bWriteVbrTag(h, 0)
+    _lame.lame_set_bWriteVbrTag(h, 1 if vbr_tag else 0)
     assert _lame.lame_init_params(h) >= 0
     left = np.ascontiguousarray(pcm if ch == 1 else pcm[:, 0])
     right = np.ascontiguousarray(left if ch == 1 else pcm[:, 1])

@@ -285,3 +285,63 @@ def probe_stream_lsf(probes: list[GranuleSpec], rate: int = 22050,
         frames.append(frame_mono_lsf(g, rate, bitrate))
         frames.append(frame_mono_lsf(SILENT, rate, bitrate))
     return b"".join(frames)
+
+
+def frame_stereo_lsf(pair: tuple, rate: int = 22050, bitrate: int = 64,
+                     mode: int = 1, mode_ext: int = 0) -> bytes:
+    """(gr_ch0, gr_ch1) -> one MPEG-2/2.5 joint/plain-stereo frame (LSF:
+    one granule). Exists to craft LSF intensity-stereo conformance
+    vectors — no encoder in the image emits LSF intensity, and the
+    panning law differs from MPEG-1 (13818-3 io^((is_pos+1)/2) vs
+    11172-3 tan(is_pos*pi/12))."""
+    v25 = rate in RATES_V25
+    nbytes = 72 * bitrate * 1000 // rate
+    hdr = BitWriter()
+    hdr.write(0x7FF, 11)
+    hdr.write(0b00 if v25 else 0b10, 2)  # MPEG-2.5 / MPEG-2
+    hdr.write(0b01, 2)                   # Layer III
+    hdr.write(1, 1)                      # no CRC
+    hdr.write(BITRATES_V2L3[bitrate], 4)
+    hdr.write((RATES_V25 if v25 else RATES_V2)[rate], 2)
+    hdr.write(0, 1).write(0, 1)          # padding / private
+    hdr.write(mode, 2)
+    hdr.write(mode_ext, 2)
+    hdr.write(0, 1).write(0, 1).write(0, 2)
+
+    side = BitWriter()
+    side.write(0, 8)                     # main_data_begin
+    side.write(0, 2)                     # private (stereo)
+    for g in pair:
+        p23 = g.part2_3_length if g.part2_3_length is not None \
+            else len(g.data_bits)
+        assert p23 < 4096 and g.big_values < 512
+        side.write(p23, 12)
+        side.write(g.big_values, 9)
+        side.write(g.global_gain, 8)
+        side.write(g.scalefac_compress, 9)
+        if g.window_switching:
+            side.write(1, 1)
+            side.write(g.block_type, 2)
+            side.write(1 if g.mixed_block else 0, 1)
+            for t in g.table_select[:2]:
+                side.write(t, 5)
+            for sg in g.subblock_gain:
+                side.write(sg, 3)
+        else:
+            side.write(0, 1)
+            for t in g.table_select:
+                side.write(t, 5)
+            side.write(g.region0_count, 4)
+            side.write(g.region1_count, 3)
+        side.write(g.scalefac_scale, 1)  # no preflag at LSF
+        side.write(g.count1table_select, 1)
+
+    main = BitWriter()
+    for g in pair:
+        p23 = g.part2_3_length if g.part2_3_length is not None \
+            else len(g.data_bits)
+        main.write_bits(g.data_bits)
+        main.write(0, p23 - len(g.data_bits))
+    body = side.to_bytes() + main.to_bytes()
+    assert len(body) <= nbytes - 4, "main data exceeds frame"
+    return hdr.to_bytes() + body + b"\x00" * (nbytes - 4 - len(body))
