@@ -190,10 +190,17 @@ def encode(
         t = x.shape[1]
         # measured on-chip (B=64, 10 s ctx): one whole-T step per batch
         # (blk_q=512) beats 256 (16.2 vs 17.7 ms encode) — K/V are
-        # fetched once. At the 30 s parity context (t_pad 1536) the
-        # [blk, T] f32 score tile pushes scoped VMEM past the 16 MB
-        # limit at 256 (measured overflow: 220 KB) — block at 128 there.
-        blk_q = 512 if t <= 512 else (256 if t <= 1024 else 128)
+        # fetched once and the /l divide defers to the [blk, D] output.
+        # Longer contexts take the streaming online-softmax formulation
+        # (blk_k chunks): the f32 [blk, T] score tile that overflowed
+        # scoped VMEM at the 30 s context (220 KB past the 16 MB limit
+        # at blk 256, forcing blk 128 + in-tile divide in round 3)
+        # shrinks to [blk, blk_k], so the deferred divide and a 256-row
+        # query block both survive at t_pad 1536.
+        if t <= 512:
+            blk_q, blk_k = 512, None
+        else:
+            blk_q, blk_k = 256, 512
         for blk in params["encoder"]["blocks"]:
             a = blk["self_attn"]
             h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
@@ -201,7 +208,8 @@ def encode(
             k = L.split_heads(L.dense(a["k"], h), cfg.heads)
             v = L.split_heads(L.dense(a["v"], h), cfg.heads)
             x = fused_attention_o_residual(
-                q, k, v, x, a["o"]["w"], a["o"]["b"], blk_q=blk_q)
+                q, k, v, x, a["o"]["w"], a["o"]["b"], blk_q=blk_q,
+                blk_k=blk_k)
             h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
             x = x + L.dense(blk["mlp_out"],
                             L.gelu(L.dense(blk["mlp_in"], h)))

@@ -38,13 +38,66 @@ NEG_INF = -1e30
 
 def _attn_o_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
                    *, t_real: int, scale: float, heads: int,
-                   defer_div: bool):
+                   defer_div: bool, blk_k: int | None = None):
     """One query block, every head, + o-proj + residual.
 
     q_ref [1, H, blk_q, D]; k_ref/v_ref [1, H, T_pad, D];
     x_ref/o_ref [1, blk_q, H*D]; wo_ref [H*D, H*D]; bo_ref [1, H*D].
+
+    ``blk_k`` set (and < T_pad) selects the streaming formulation:
+    online softmax over static K chunks — the f32 score tile shrinks
+    from [blk_q, T_pad] to [blk_q, blk_k] (the tile whose VMEM
+    footprint forced blk_q down to 128 at the 30 s parity context) and
+    the /l divide lands on the [blk_q, D] accumulator (the deferred
+    form that the full-T multi-block grid could not take without
+    crashing the Mosaic compile helper). Fully-padded chunks are
+    skipped at trace time.
     """
     t_pad = k_ref.shape[2]
+    if blk_k is not None and blk_k < t_pad:
+        outs = []
+        for h in range(heads):                  # static unroll
+            q = (q_ref[0, h].astype(jnp.float32) * scale).astype(
+                k_ref.dtype)                               # [blk_q, D]
+            m = l = acc = None
+            for c in range(t_pad // blk_k):     # static unroll
+                c0 = c * blk_k
+                if c0 >= t_real:
+                    break                       # chunk is all padding
+                s = jax.lax.dot_general(
+                    q, k_ref[0, h, c0:c0 + blk_k],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [blk_q, blk_k]
+                if t_real < c0 + blk_k:
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    s = jnp.where(col < t_real - c0, s, NEG_INF)
+                if m is None:
+                    m = jnp.max(s, axis=1, keepdims=True)
+                    p = jnp.exp(s - m)
+                    l = jnp.sum(p, axis=1, keepdims=True)
+                    acc = jax.lax.dot_general(
+                        p.astype(v_ref.dtype), v_ref[0, h, c0:c0 + blk_k],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [blk_q, D]
+                else:
+                    m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+                    p = jnp.exp(s - m_new)
+                    alpha = jnp.exp(m - m_new)
+                    l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+                    acc = acc * alpha + jax.lax.dot_general(
+                        p.astype(v_ref.dtype), v_ref[0, h, c0:c0 + blk_k],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    m = m_new
+            outs.append(acc / l)
+        attn = jnp.concatenate(outs, axis=-1)              # [blk_q, H*D]
+        y = jax.lax.dot_general(
+            attn.astype(wo_ref.dtype), wo_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) \
+            + bo_ref[0].astype(jnp.float32)
+        o_ref[0] = (x_ref[0].astype(jnp.float32) + y).astype(o_ref.dtype)
+        return
     outs = []
     for h in range(heads):                      # static unroll
         q = q_ref[0, h].astype(jnp.float32) * scale        # [blk_q, D]
@@ -94,23 +147,27 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("blk_q", "interpret"))
+    jax.jit, static_argnames=("blk_q", "blk_k", "interpret"))
 def fused_attention_o_residual(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,   # [B, H, T, D]
     x: jnp.ndarray,                                   # [B, T, H*D] residual
     wo: jnp.ndarray, bo: jnp.ndarray,                 # [H*D, H*D], [H*D]
-    blk_q: int = 256, interpret: bool = False,
+    blk_q: int = 256, blk_k: int | None = None, interpret: bool = False,
 ) -> jnp.ndarray:
     """x + (softmax(QK^T/sqrt(D)) V merged over heads) @ Wo + bo.
 
     Non-causal, padding-masked (keys >= T are masked), f32 softmax and
     accumulation. Output is [B, T, H*D] — the next LN consumes it
-    directly, no head merge transpose.
+    directly, no head merge transpose. ``blk_k`` (< T_pad) selects the
+    streaming online-softmax formulation (see _attn_o_kernel).
     """
     b, h, t, d = q.shape
     hd = h * d
     scale = 1.0 / math.sqrt(d)
     t_pad = _round_up(t, blk_q)
+    if blk_k is not None:
+        t_pad = _round_up(t_pad, blk_k)
+        assert t_pad % blk_q == 0, (t_pad, blk_q, blk_k)
     if t_pad != t:
         pad4 = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
         q = jnp.pad(q, pad4)
@@ -120,7 +177,7 @@ def fused_attention_o_residual(
     dt = x.dtype
     kernel = functools.partial(
         _attn_o_kernel, t_real=t, scale=scale, heads=h,
-        defer_div=(t_pad == blk_q))
+        defer_div=(t_pad == blk_q), blk_k=blk_k)
     qkv_spec = pl.BlockSpec((1, h, t_pad, d), lambda bi, i: (bi, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(

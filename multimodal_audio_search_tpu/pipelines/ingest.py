@@ -301,7 +301,12 @@ class DualPipelineIngest:
                 cap_texts = self.caption.transcribe_batch(batch)
             return asr_texts, cap_texts, t1
 
-        records: list[dict[str, Any]] = []
+        # Batches drain + validate first; every surviving text across the
+        # whole waveform then embeds in ONE MiniLM call (roadmap item 22:
+        # a 2-batch file previously paid two half-full embed dispatches;
+        # one consolidated batch fills the MXU bucket and pays the
+        # dispatch/transfer overhead once).
+        batch_texts: list[tuple[int, int, list, list, list, list]] = []
         for lo, hi, t0, a_fut, c_fut in pending:
             n = hi - lo
             try:
@@ -353,24 +358,29 @@ class DualPipelineIngest:
                 self.stats.pipelines["audio_pipeline"].update_batch(
                     t2 - t1, cap_ok.count(True), cap_ok.count(False))
 
-            # one embed batch for every surviving text
-            te = time.perf_counter()
-            to_embed: list[str] = []
-            slots: list[tuple[int, int]] = []  # (segment idx in batch, slot)
+            batch_texts.append((lo, hi, asr_texts, cap_texts, asr_ok, cap_ok))
+
+        # one embed batch for every surviving text in the whole file
+        te = time.perf_counter()
+        to_embed: list[str] = []
+        slots: list[tuple[int, int]] = []  # (waveform segment idx, slot)
+        for lo, hi, asr_texts, cap_texts, asr_ok, cap_ok in batch_texts:
             for i in range(hi - lo):
                 if asr_ok[i]:
-                    slots.append((i, 0))
+                    slots.append((lo + i, 0))
                     to_embed.append(asr_texts[i])
                 if cap_ok[i]:
-                    slots.append((i, 1))
+                    slots.append((lo + i, 1))
                     to_embed.append(cap_texts[i])
-            embs = self.embedder(to_embed) if to_embed else \
-                np.zeros((0, self.embedder.dim), np.float32)
-            emb_map: dict[tuple[int, int], np.ndarray] = {
-                s: embs[j] for j, s in enumerate(slots)}
-            tb = time.perf_counter()
-            tr["embed"] += tb - te
+        embs = self.embedder(to_embed) if to_embed else \
+            np.zeros((0, self.embedder.dim), np.float32)
+        emb_map: dict[tuple[int, int], np.ndarray] = {
+            s: embs[j] for j, s in enumerate(slots)}
+        tb = time.perf_counter()
+        tr["embed"] += tb - te
 
+        records: list[dict[str, Any]] = []
+        for lo, hi, asr_texts, cap_texts, asr_ok, cap_ok in batch_texts:
             for i in range(hi - lo):
                 w = wins[lo + i]
                 a_text = asr_texts[i] if asr_ok[i] else ""
@@ -384,10 +394,10 @@ class DualPipelineIngest:
                     "end_time": w.end_time,
                     "duration": w.duration,
                     "asr_text": a_text,
-                    "asr_embedding": emb_map.get((i, 0)),
+                    "asr_embedding": emb_map.get((lo + i, 0)),
                     "asr_success": asr_ok[i],
                     "audio_description": c_text,
-                    "audio_embedding": emb_map.get((i, 1)),
+                    "audio_embedding": emb_map.get((lo + i, 1)),
                     "audio_success": cap_ok[i],
                     # stored playback audio is the NORMALIZED segment
                     # (audio_search.py:292); the deferred scale lands here
@@ -395,7 +405,7 @@ class DualPipelineIngest:
                     if scale != 1.0 else waves[lo + i],
                     "sample_rate": sr,
                 })
-            tr["build"] += time.perf_counter() - tb
+        tr["build"] += time.perf_counter() - tb
         tr["wall"] = time.perf_counter() - t_wall0
         return records
 

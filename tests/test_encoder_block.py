@@ -59,6 +59,38 @@ def test_attn_o_residual_padding_mask(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_attn_o_residual_streaming_matches_xla(rng):
+    """blk_k < T_pad: online-softmax streaming over K chunks (the 30 s
+    -context formulation) must match the XLA reference, including a
+    partially masked tail chunk."""
+    b, heads, t, d = 2, 4, 40, 16
+    hd = heads * d
+    q, k, v = (jnp.asarray(rng.normal(size=(b, heads, t, d)), jnp.float32)
+               for _ in range(3))
+    x = jnp.asarray(rng.normal(size=(b, t, hd)), jnp.float32)
+    o = L.init_dense(jax.random.PRNGKey(3), hd, hd)
+    out = fused_attention_o_residual(
+        q, k, v, x, o["w"], o["b"], blk_q=16, blk_k=16, interpret=True)
+    ref = x + L.dense(o, L.merge_heads(L.attention_scores(q, k, v)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_attn_o_residual_streaming_skips_padded_chunk(rng):
+    """A chunk made entirely of padding (T=18, blk_q=16 -> T_pad=32,
+    blk_k=8: chunk [24,32) is all pad) is skipped at trace time and must
+    not perturb the softmax."""
+    b, heads, t, d = 1, 2, 18, 8
+    hd = heads * d
+    q, k, v = (jnp.asarray(rng.normal(size=(b, heads, t, d)), jnp.float32)
+               for _ in range(3))
+    x = jnp.asarray(rng.normal(size=(b, t, hd)), jnp.float32)
+    o = L.init_dense(jax.random.PRNGKey(4), hd, hd)
+    out = fused_attention_o_residual(
+        q, k, v, x, o["w"], o["b"], blk_q=16, blk_k=8, interpret=True)
+    ref = x + L.dense(o, L.merge_heads(L.attention_scores(q, k, v)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_encode_fused_blocks_matches_plain(rng, monkeypatch):
     """Full encode with fused_blocks=True == plain encode (f32, CPU via
     the interpret-mode kernel)."""

@@ -100,6 +100,46 @@ def test_ingest_waveform_and_search_consistency(engine, rng):
     assert [x["segment_id"] for x in r1] == [x["segment_id"] for x in r2]
 
 
+def test_single_embed_dispatch_per_waveform(engine, rng, monkeypatch):
+    """All surviving texts across every ingest batch embed in ONE MiniLM
+    call (roadmap item 22): a multi-batch file must not pay one
+    half-empty embed dispatch per batch."""
+    ing = engine.ingest_pipeline
+    # force every decoded text through validation so the embed path is
+    # guaranteed to run (random-init decodes rarely pass the validators)
+    import multimodal_audio_search_tpu.pipelines.ingest as ingest_mod
+    monkeypatch.setattr(ingest_mod, "validate_asr_text", lambda t, c: True)
+    monkeypatch.setattr(
+        ingest_mod, "validate_audio_description", lambda t, c: True)
+
+    class CountingEmbedder:
+        def __init__(self, inner):
+            self.inner = inner
+            self.calls = 0
+
+        @property
+        def dim(self):
+            return self.inner.dim
+
+        def __call__(self, texts):
+            self.calls += 1
+            return self.inner(texts)
+
+    proxy = CountingEmbedder(ing.embedder)
+    ing.embedder = proxy
+    try:
+        sr = 16000
+        # 45 s -> 4 windows -> 2 batches at ingest_batch=4... use 65 s for 6
+        wave = (rng.normal(size=sr * 65) * 0.3).astype(np.float32)
+        segs = ing.process_waveform(wave, sr, "multi-batch")
+    finally:
+        ing.embedder = proxy.inner
+    n_batches = -(-6 // engine.cfg.ingest_batch)
+    assert n_batches >= 2  # the fixture's ingest_batch=4 must split 6 windows
+    assert proxy.calls == 1  # forced validators -> texts always embed
+    assert len(segs) > 0
+
+
 def test_empty_and_too_short_audio(engine):
     segs = engine.ingest_waveform(np.zeros(16000, np.float32), 16000, "tiny")
     assert segs == []  # 1 s < min 3 s -> no windows
