@@ -89,11 +89,20 @@ def make_dcn_mesh(
         raise ValueError(
             f"dcn({dcn}) x data({ici_data}) x model({model_parallel}) "
             f"!= {n} devices")
-    if jax.process_count() > 1 and devices is None:
+    n_slices = len({getattr(d, "slice_index", 0) for d in devs})
+    if jax.process_count() > 1 and devices is None and n_slices == dcn:
         from jax.experimental import mesh_utils
         grid = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(1, ici_data, model_parallel),
             dcn_mesh_shape=(dcn, 1, 1))
+    elif jax.process_count() > 1 and devices is None:
+        # multi-process without distinct slice indices (multi-process CPU,
+        # single-slice multi-host): create_hybrid_device_mesh groups by
+        # slice_index and rejects this layout (found by
+        # tools/multiprocess_dcn_check.py) — group the outer axis by
+        # process instead, so "dcn" still crosses process boundaries
+        order = sorted(devs, key=lambda d: (d.process_index, d.id))
+        grid = np.asarray(order[:n]).reshape(dcn, ici_data, model_parallel)
     else:
         grid = np.asarray(devs[:n]).reshape(dcn, ici_data, model_parallel)
     return Mesh(grid, ("dcn", "data", "model"))
