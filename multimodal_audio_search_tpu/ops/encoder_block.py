@@ -38,7 +38,8 @@ NEG_INF = -1e30
 
 def _attn_o_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
                    *, t_real: int, scale: float, heads: int,
-                   defer_div: bool, blk_k: int | None = None):
+                   defer_div: bool, blk_k: int | None = None,
+                   use_exp2: bool = False):
     """One query block, every head, + o-proj + residual.
 
     q_ref [1, H, blk_q, D]; k_ref/v_ref [1, H, T_pad, D];
@@ -54,6 +55,10 @@ def _attn_o_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
     skipped at trace time.
     """
     t_pad = k_ref.shape[2]
+    # use_exp2: log2(e) is folded into ``scale`` by the wrapper, so the
+    # softmax exponential is a bare exp2 — one fewer VPU multiply pass
+    # over every score tile; softmax output is identical to f32 rounding
+    _exp = jnp.exp2 if use_exp2 else jnp.exp
     if blk_k is not None and blk_k < t_pad:
         outs = []
         for h in range(heads):                  # static unroll
@@ -73,7 +78,7 @@ def _attn_o_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
                     s = jnp.where(col < t_real - c0, s, NEG_INF)
                 if m is None:
                     m = jnp.max(s, axis=1, keepdims=True)
-                    p = jnp.exp(s - m)
+                    p = _exp(s - m)
                     l = jnp.sum(p, axis=1, keepdims=True)
                     acc = jax.lax.dot_general(
                         p.astype(v_ref.dtype), v_ref[0, h, c0:c0 + blk_k],
@@ -81,8 +86,8 @@ def _attn_o_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
                         preferred_element_type=jnp.float32)  # [blk_q, D]
                 else:
                     m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-                    p = jnp.exp(s - m_new)
-                    alpha = jnp.exp(m - m_new)
+                    p = _exp(s - m_new)
+                    alpha = _exp(m - m_new)
                     l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
                     acc = acc * alpha + jax.lax.dot_general(
                         p.astype(v_ref.dtype), v_ref[0, h, c0:c0 + blk_k],
@@ -110,7 +115,7 @@ def _attn_o_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < t_real, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = _exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         if defer_div:
             # softmax /l deferred onto the [blk_q, D] PV output instead
@@ -147,12 +152,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("blk_q", "blk_k", "interpret"))
+    jax.jit, static_argnames=("blk_q", "blk_k", "use_exp2", "interpret"))
 def fused_attention_o_residual(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,   # [B, H, T, D]
     x: jnp.ndarray,                                   # [B, T, H*D] residual
     wo: jnp.ndarray, bo: jnp.ndarray,                 # [H*D, H*D], [H*D]
-    blk_q: int = 256, blk_k: int | None = None, interpret: bool = False,
+    blk_q: int = 256, blk_k: int | None = None, use_exp2: bool = False,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """x + (softmax(QK^T/sqrt(D)) V merged over heads) @ Wo + bo.
 
@@ -175,9 +181,13 @@ def fused_attention_o_residual(
         v = jnp.pad(v, pad4)
         x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
     dt = x.dtype
+    if use_exp2:
+        # exp(x) == exp2(x * log2 e): fold the change of base into the
+        # q scale so every in-kernel exponential is a bare exp2
+        scale *= math.log2(math.e)
     kernel = functools.partial(
         _attn_o_kernel, t_real=t, scale=scale, heads=h,
-        defer_div=(t_pad == blk_q), blk_k=blk_k)
+        defer_div=(t_pad == blk_q), blk_k=blk_k, use_exp2=use_exp2)
     qkv_spec = pl.BlockSpec((1, h, t_pad, d), lambda bi, i: (bi, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(

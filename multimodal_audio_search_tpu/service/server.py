@@ -4,6 +4,11 @@ The reference's only boundary is a Streamlit app (audio_search.py:702-1027).
 This provides a real service boundary over AudioSearchEngine:
 
     POST /api/ingest   (body: audio bytes, ?name=)   -> segment summaries
+    POST /api/ingest?async=1                          -> 202 {"job": id}
+         (a single background worker drains jobs in order — ingest no
+          longer occupies an HTTP thread or stalls the client; the
+          Streamlit reference blocks its whole UI during processing)
+    GET  /api/jobs | /api/jobs/{id}                   -> async job status
     POST /api/stream/open?name=&rate=16000            -> {"session": id}
     POST /api/stream/{id}/chunk (body: int16 PCM)     -> committed segments
     POST /api/stream/{id}/close                       -> tail segments
@@ -42,7 +47,9 @@ import gc
 import io
 import json
 import os
+import queue
 import threading
+import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -330,7 +337,11 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
     data_root: Path = None            # save/load confinement
     api_token: str | None = None      # gates state-changing endpoints
     streams: dict = None              # id -> StreamingIngest (live ingest)
+    jobs: dict = None                 # id -> async ingest job record
+    jobs_lock: threading.Lock = None
+    jobs_q: "queue.Queue" = None      # drained by one worker thread
     max_upload_bytes: int = 1 << 30   # reject larger bodies (memory guard)
+    max_jobs: int = 200               # finished-job history bound
 
     def _body(self) -> bytes:
         n = int(self.headers.get("Content-Length", "0"))
@@ -431,6 +442,21 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
             elif url.path == "/api/config":
                 with self.lock:
                     self._json(self.engine.describe_config())
+            elif url.path == "/api/jobs":
+                with self.jobs_lock:
+                    jobs = [{k: v for k, v in j.items()
+                             if k != "segments"}
+                            for j in self.jobs.values()]
+                self._json({"jobs": jobs})
+            elif url.path.startswith("/api/jobs/"):
+                jid = url.path.rsplit("/", 1)[1]
+                with self.jobs_lock:
+                    job = self.jobs.get(jid)
+                    job = dict(job) if job is not None else None
+                if job is None:
+                    self._json({"error": "unknown job"}, 404)
+                    return
+                self._json(job)
             elif url.path == "/api/segments":
                 with self.lock:
                     total = len(self.engine.store)
@@ -501,6 +527,22 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
             if url.path == "/api/ingest":
                 data = self._body()
                 name = qs.get("name", ["upload"])[0]
+                if qs.get("async", ["0"])[0].lower() in ("1", "true",
+                                                         "yes"):
+                    import uuid
+                    jid = uuid.uuid4().hex[:12]
+                    job = {"id": jid, "name": name, "state": "queued",
+                           "submitted": time.time(), "bytes": len(data)}
+                    with self.jobs_lock:
+                        done = [k for k, j in self.jobs.items()
+                                if j["state"] in ("done", "failed")]
+                        for k in done[: max(0, len(self.jobs) + 1
+                                            - self.max_jobs)]:
+                            del self.jobs[k]
+                        self.jobs[jid] = job
+                    self.jobs_q.put((jid, data, name))
+                    self._json({"job": jid, "state": "queued"}, 202)
+                    return
                 with self.lock:
                     segs = self.engine.ingest(data, name)
                 self._json({"segments": _slim(segs),
@@ -598,6 +640,35 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
             self._json({"error": str(e)}, 500)
 
 
+def _ingest_worker(handler_cls) -> None:
+    """Single background worker: drains async ingest jobs in submission
+    order under the same single-writer lock as the synchronous path, so
+    async mode changes WHO waits (a poller instead of a blocked HTTP
+    client), never the store's consistency model."""
+    while True:
+        item = handler_cls.jobs_q.get()
+        if item is None:        # shutdown sentinel (tests)
+            return
+        jid, data, name = item
+        with handler_cls.jobs_lock:
+            job = handler_cls.jobs.get(jid)
+            if job is None:     # pruned before it ran — drop
+                continue
+            job["state"] = "running"
+            job["started"] = time.time()
+        try:
+            with handler_cls.lock:
+                segs = handler_cls.engine.ingest(data, name)
+            out = {"state": "done", "segments": _slim(segs),
+                   "n_segments": len(segs),
+                   "total": len(handler_cls.engine.store)}
+        except Exception as e:  # noqa: BLE001 — job boundary
+            out = {"state": "failed", "error": str(e)}
+        with handler_cls.jobs_lock:
+            job.update(out)
+            job["finished"] = time.time()
+
+
 def serve(
     engine: AudioSearchEngine | None = None,
     host: str = "127.0.0.1",
@@ -622,7 +693,11 @@ def serve(
     handler = type("Handler", (AudioSearchHandler,),
                    {"engine": engine, "lock": threading.Lock(),
                     "data_root": root, "api_token": token,
-                    "streams": {}})
+                    "streams": {}, "jobs": {},
+                    "jobs_lock": threading.Lock(),
+                    "jobs_q": queue.Queue()})
+    threading.Thread(target=_ingest_worker, args=(handler,),
+                     daemon=True, name="ingest-worker").start()
     srv = ThreadingHTTPServer((host, port), handler)
     if block:
         print(f"serving on http://{host}:{port} (data root: {root})")

@@ -91,6 +91,25 @@ def test_attn_o_residual_streaming_skips_padded_chunk(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_attn_o_residual_exp2_matches(rng):
+    """use_exp2 folds log2(e) into the score scale (bare exp2 on the
+    VPU); softmax output must be identical to float tolerance in both
+    the single-block deferred and streaming formulations."""
+    b, heads, t, d = 1, 2, 40, 16
+    hd = heads * d
+    q, k, v = (jnp.asarray(rng.normal(size=(b, heads, t, d)), jnp.float32)
+               for _ in range(3))
+    x = jnp.asarray(rng.normal(size=(b, t, hd)), jnp.float32)
+    o = L.init_dense(jax.random.PRNGKey(5), hd, hd)
+    ref = x + L.dense(o, L.merge_heads(L.attention_scores(q, k, v)))
+    for kw in ({"blk_q": 48}, {"blk_q": 16, "blk_k": 16}):
+        out = fused_attention_o_residual(
+            q, k, v, x, o["w"], o["b"], use_exp2=True, interpret=True,
+            **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+
 def test_encode_fused_blocks_matches_plain(rng, monkeypatch):
     """Full encode with fused_blocks=True == plain encode (f32, CPU via
     the interpret-mode kernel)."""

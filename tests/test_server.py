@@ -258,6 +258,60 @@ def test_search_strategies_over_http(server, rng, tmp_path):
     assert 'id="strategy"' in html and "compare_all" in html
 
 
+def test_async_ingest_jobs(server, rng, tmp_path):
+    """POST /api/ingest?async=1 -> 202 + job id; one background worker
+    drains jobs in order; /api/jobs/{id} reaches 'done' with the same
+    payload shape as the synchronous path, and a malformed upload lands
+    'failed' (not a dead worker)."""
+    import time as _time
+    server, _ = server
+    wave = (rng.normal(size=16000 * 6) * 0.3).astype(np.float32)
+    p = tmp_path / "a.wav"
+    write_wav(str(p), wave, 16000)
+
+    req = urllib.request.Request(
+        server + "/api/ingest?name=a.wav&async=1", data=p.read_bytes(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 202
+        job = json.loads(r.read())
+    assert job["state"] == "queued" and job["job"]
+
+    req = urllib.request.Request(
+        server + "/api/ingest?name=bad.bin&async=1", data=b"\0" * 64,
+        method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        bad = json.loads(r.read())
+
+    def wait(jid, until, timeout=300):
+        t0 = _time.time()
+        while _time.time() - t0 < timeout:
+            st, out = _get(server + "/api/jobs/" + jid)
+            assert st == 200
+            if out["state"] in until:
+                return out
+            _time.sleep(0.2)
+        raise AssertionError(f"job {jid} never reached {until}: {out}")
+
+    done = wait(job["job"], ("done", "failed"))
+    assert done["state"] == "done", done
+    assert done["n_segments"] == len(done["segments"])
+    assert done["total"] >= done["n_segments"]
+    assert done["finished"] >= done["started"] >= done["submitted"]
+    failed = wait(bad["job"], ("done", "failed"))
+    assert failed["state"] == "failed" and failed["error"]
+
+    st, listing = _get(server + "/api/jobs")
+    ids = {j["id"] for j in listing["jobs"]}
+    assert {job["job"], bad["job"]} <= ids
+    for j in listing["jobs"]:
+        assert "segments" not in j  # listing stays slim
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(server + "/api/jobs/nope", timeout=30)
+    assert e.value.code == 404
+
+
 def test_batched_query_with_strategy_rejected(server):
     server, _ = server
     with pytest.raises(urllib.error.HTTPError) as e:
