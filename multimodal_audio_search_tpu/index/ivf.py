@@ -1,0 +1,240 @@
+"""IVF (inverted-file) approximate fused search — beyond-reference scale.
+
+The reference scores every segment per query (a Python loop over sklearn
+cosines, audio_search.py:639-682); this package's exact path does the same
+O(N) work as one fused XLA program (index/fusion.py) and meets the <50 ms
+target at 1M rows. IVF makes query compute sublinear for the 10M+ regime
+while keeping the FUSION MATH EXACT on every candidate it scores:
+
+  build:  spherical k-means over all successful (row, slot) embeddings
+          (matmul assignment + segment-sum update, device-side, chunked),
+          then a static-shaped bucket layout: ``members[C, cap]`` row ids
+          padded with -1, plus a ``spill`` tail of overflow rows that is
+          scanned on EVERY query — so cluster imbalance degrades speed,
+          never correctness.
+  query:  q @ centroids -> top-n_probe clusters -> gather their member
+          rows (+ spill) -> exact fused scoring of the candidate subset
+          (same availability-renorm / >threshold math as index/fusion.py)
+          -> row-dedup (a row reachable via both slots must not appear
+          twice) -> top-k, returning the same result dict shape as
+          fused_topk_impl so FusionSearcher._rows consumes it directly.
+
+TPU-first shapes: everything after build is static — [n_probe, cap]
+gathers, one [Nc, 2, D] einsum, a fixed-length sort for dedup — so the
+query is ONE jitted program per (k, n_probe) like the exact path. The
+index arrays (emb/success) are CALL OPERANDS, shared with the exact
+path's cached capacity-padded device view (index/store.py:152) — IVF
+adds centroids+buckets to HBM, never a second copy of the index.
+
+With n_probe == n_clusters the candidate set is every row with at least
+one successful slot, and results equal the exact fused_topk (rows with
+no successful slot are invalid under the reference's weight-renorm rule,
+audio_search.py:656-664, so excluding them from buckets loses nothing);
+tests assert this equivalence, spill behavior included.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fusion import NEG_INF, normalize
+
+
+def _chunked_argmax_sim(x: np.ndarray, cent: jnp.ndarray,
+                        chunk: int = 16384) -> np.ndarray:
+    """argmax_c <x_i, cent_c> for every row, chunked so the [chunk, C]
+    similarity tile stays small at any N."""
+    fn = jax.jit(lambda a, c: jnp.argmax(
+        a @ c.T, axis=1).astype(jnp.int32))
+    out = np.empty(len(x), np.int32)
+    for lo in range(0, len(x), chunk):
+        hi = min(lo + chunk, len(x))
+        a = x[lo:hi]
+        if hi - lo < chunk:  # pad to the compiled shape
+            a = np.pad(a, ((0, chunk - (hi - lo)), (0, 0)))
+        out[lo:hi] = np.asarray(fn(jnp.asarray(a), cent))[: hi - lo]
+    return out
+
+
+def spherical_kmeans(
+    x: np.ndarray,              # [M, D] unit-norm training vectors
+    n_clusters: int,
+    iters: int = 10,
+    seed: int = 0,
+    sample: int = 32768,
+) -> jnp.ndarray:
+    """Cosine k-means: centroids re-normalized each step. Trains on a
+    deterministic subsample (standard IVF practice — centroid quality
+    saturates long before full-data assignment cost pays off)."""
+    rng = np.random.default_rng(seed)
+    m = len(x)
+    if m > sample:
+        x_train = x[rng.choice(m, size=sample, replace=False)]
+    else:
+        x_train = x
+    n_clusters = min(n_clusters, max(len(x_train), 1))
+    if len(x_train) == 0:
+        return jnp.zeros((1, x.shape[1] if x.ndim == 2 else 1),
+                         jnp.float32)
+    cent = jnp.asarray(
+        x_train[rng.choice(len(x_train), size=n_clusters, replace=False)])
+
+    xd = jnp.asarray(x_train)
+
+    @jax.jit
+    def step(cent):
+        assign = jnp.argmax(xd @ cent.T, axis=1)            # [M']
+        sums = jax.ops.segment_sum(xd, assign, n_clusters)  # [C, D]
+        counts = jax.ops.segment_sum(
+            jnp.ones((len(xd), 1), jnp.float32), assign, n_clusters)
+        # empty clusters keep their previous centroid
+        return jnp.where(counts > 0, normalize(sums), cent)
+
+    for _ in range(iters):
+        cent = step(cent)
+    return cent
+
+
+@functools.partial(jax.jit, static_argnames=("n_probe", "k", "threshold"))
+def _ivf_query(query_emb, w_asr, w_audio, centroids, members, spill,
+               emb, success, *, n_probe: int, k: int, threshold: float):
+    q = query_emb.astype(jnp.float32)
+    cs = centroids @ q                               # [C]
+    _, probe = jax.lax.top_k(cs, n_probe)            # [P]
+    cand = members[probe].reshape(-1)                # [P*cap]
+    if spill.shape[0]:
+        cand = jnp.concatenate([cand, spill])
+    valid_cand = cand >= 0
+    cand = jnp.where(valid_cand, cand, 0)
+    # exact fusion math on the candidate subset (index/fusion.py;
+    # decision parity with audio_search.py:654-672 preserved per row)
+    sims = jnp.einsum(
+        "npd,d->np", emb[cand].astype(jnp.float32), q,
+        preferred_element_type=jnp.float32)          # [Nc, 2]
+    w = jnp.stack([w_asr, w_audio]).astype(jnp.float32)
+    eff = w[None, :] * success[cand].astype(jnp.float32)
+    total = jnp.sum(eff, axis=-1)
+    eff = eff / jnp.maximum(total, 1e-30)[:, None]
+    score = jnp.sum(eff * sims, axis=-1)
+    ok = (jnp.any(sims > 0.0, axis=-1) & (total > 0.0)
+          & (score > threshold) & valid_cand)
+    score = jnp.where(ok, score, NEG_INF)
+    # row dedup: sort by (row asc, score desc); the best occurrence of
+    # each row survives, later duplicates mask to NEG_INF. Ties then
+    # resolve to the lowest row id, matching lax.top_k over the dense
+    # score vector in the exact path.
+    order = jnp.lexsort((-score, cand))
+    rows_s = cand[order]
+    score_s = score[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), rows_s[1:] != rows_s[:-1]])
+    score_s = jnp.where(first, score_s, NEG_INF)
+    kk = min(k, score_s.shape[0])
+    top_s, top_i = jax.lax.top_k(score_s, kk)
+    hit = top_s > NEG_INF / 2
+    idx = jnp.where(hit, rows_s[top_i], 0)
+    # per-hit diagnostics, same shape as fused_topk_impl's result dict
+    # (the reference surfaces sims + effective weights per result,
+    # audio_search.py:673-682)
+    sims_k = jnp.einsum(
+        "kpd,d->kp", emb[idx].astype(jnp.float32), q,
+        preferred_element_type=jnp.float32)
+    eff_k = w[None, :] * success[idx].astype(jnp.float32)
+    eff_k = eff_k / jnp.maximum(
+        jnp.sum(eff_k, axis=-1, keepdims=True), 1e-30)
+    return {
+        "indices": jnp.where(hit, idx, -1),
+        "scores": top_s,
+        "valid": hit,
+        "sims": sims_k,
+        "effective_weights": eff_k,
+        "num_valid": jnp.sum(ok.astype(jnp.int32)),
+    }
+
+
+@dataclasses.dataclass
+class IVFIndex:
+    """Built IVF layout (centroids + buckets only — the index arrays
+    stay wherever the exact path keeps them and are passed per call)."""
+    centroids: jnp.ndarray       # [C, D]
+    members: jnp.ndarray         # [C, cap] int32 row ids, -1 padded
+    spill: jnp.ndarray           # [S] int32 row ids (always scanned)
+    n_rows: int
+
+    @property
+    def n_clusters(self) -> int:
+        return int(self.centroids.shape[0])
+
+    def search_fn(self, k: int = 10, n_probe: int = 8,
+                  threshold: float = 0.1):
+        """run(query_emb, w_asr, w_audio, emb, success) -> result dict
+        (fused_topk_impl shape; misses carry index -1 / score NEG_INF).
+        ``emb``/``success`` may be capacity-padded (index/store.py) —
+        member ids never point past n_rows."""
+        n_probe_ = min(n_probe, int(self.members.shape[0]))
+
+        def run(query_emb, w_asr, w_audio, emb, success):
+            return _ivf_query(
+                query_emb, w_asr, w_audio, self.centroids, self.members,
+                self.spill, emb, success,
+                n_probe=n_probe_, k=k, threshold=threshold)
+
+        return run
+
+
+def build_ivf(
+    emb,                         # [N, 2, D] unit-norm (np or jnp)
+    success,                     # [N, 2] bool
+    n_clusters: int | None = None,
+    cap_factor: float = 4.0,
+    iters: int = 10,
+    seed: int = 0,
+    centroids: jnp.ndarray | None = None,
+) -> IVFIndex:
+    """Cluster every successful (row, slot) vector; rows whose bucket
+    overflows ``cap_factor`` x the mean occupancy land in the spill tail
+    (scanned every query). A row assigned to the same cluster via both
+    slots is inserted once. Pass ``centroids`` to skip k-means and only
+    re-assign/re-pack (incremental rebuild after index growth)."""
+    emb_np = np.asarray(emb, np.float32)
+    suc_np = np.asarray(success, bool)
+    n = len(emb_np)
+    flat = emb_np.reshape(-1, emb_np.shape[-1])      # [(N*2), D]
+    rows = np.repeat(np.arange(n, dtype=np.int32), 2)
+    ok = suc_np.reshape(-1) & (np.linalg.norm(flat, axis=1) > 0)
+    x = flat[ok]
+    rows_ok = rows[ok]
+    if centroids is None:
+        if n_clusters is None:
+            n_clusters = max(1, int(np.sqrt(max(len(x), 1))))
+        cent = spherical_kmeans(x, n_clusters, iters=iters, seed=seed)
+    else:
+        cent = centroids
+    n_clusters = int(cent.shape[0])
+    assign = _chunked_argmax_sim(x, cent) if len(x) else \
+        np.zeros(0, np.int32)
+
+    cap = max(1, int(np.ceil(cap_factor * max(len(x), 1) / n_clusters)))
+    members = np.full((n_clusters, cap), -1, np.int32)
+    fill = np.zeros(n_clusters, np.int32)
+    spill: list[int] = []
+    seen: set[tuple[int, int]] = set()
+    for r, c in zip(rows_ok.tolist(), assign.tolist()):
+        if (r, c) in seen:       # both slots -> same cluster: insert once
+            continue
+        seen.add((r, c))
+        if fill[c] < cap:
+            members[c, fill[c]] = r
+            fill[c] += 1
+        else:
+            spill.append(r)
+    return IVFIndex(
+        centroids=cent,
+        members=jnp.asarray(members),
+        spill=jnp.asarray(np.asarray(sorted(set(spill)), np.int32)),
+        n_rows=n,
+    )

@@ -43,6 +43,54 @@ class FusionSearcher:
         self.mesh = mesh
         self._sharded_cache: dict[tuple, Any] = {}
         self._combined = self._build_combined(embed_fn)
+        self._ivf_cfg: tuple | None = None
+        self._ivf = None
+
+    # ------------------------------------------------------------ IVF (ANN)
+    def enable_ivf(self, n_probe: int = 8, n_clusters: int | None = None,
+                   rebuild_growth: float = 0.2) -> None:
+        """Opt-in sublinear search for very large indexes (index/ivf.py).
+
+        The fusion math on every scored candidate stays exact; only the
+        candidate set narrows (n_probe of ~sqrt(2N) clusters + the spill
+        tail). The layout rebuilds lazily whenever the store's row count
+        changes — reusing centroids (assignment + repack only) while the
+        change is within ``rebuild_growth`` of the built size, full
+        k-means beyond that. Mutually exclusive with a mesh (the sharded
+        path is already sublinear per chip); default exact search is
+        untouched unless this is called."""
+        if self.mesh is not None:
+            raise ValueError("IVF and mesh-sharded search are exclusive")
+        self._ivf_cfg = (n_probe, n_clusters, rebuild_growth)
+        self._ivf = None
+
+    def disable_ivf(self) -> None:
+        self._ivf_cfg = None
+        self._ivf = None
+
+    def _ivf_out(self, query: str, wa, k: int):
+        from .ivf import build_ivf
+        n_probe, n_clusters, growth = self._ivf_cfg
+        n = len(self.store)
+        if self._ivf is None or self._ivf.n_rows != n:
+            cent = None
+            if self._ivf is not None and \
+                    abs(n - self._ivf.n_rows) <= growth * self._ivf.n_rows:
+                cent = self._ivf.centroids
+            h_emb, h_suc = self.store.host_index()
+            self._ivf = build_ivf(h_emb, h_suc, n_clusters=n_clusters,
+                                  centroids=cent)
+        q = np.asarray(self.embed_fn([query]), np.float32)[0]
+        nq = float(np.linalg.norm(q))
+        if nq > 0:
+            q = q / nq
+        emb, ok = self.store.device_index(
+            getattr(self.cfg, "index_dtype", "float32"))
+        run = self._ivf.search_fn(
+            k=min(k, n), n_probe=n_probe,
+            threshold=self.cfg.relevance_threshold)
+        return run(jnp.asarray(q), jnp.float32(wa.asr_weight),
+                   jnp.float32(wa.audio_weight), emb, ok)
 
     def _sharded_topk(self, k: int):
         """Cached jitted sharded search program for (k, threshold)."""
@@ -195,6 +243,20 @@ class FusionSearcher:
         k = k or self.cfg.top_k
         t0 = time.perf_counter()
         wa = self.analyzer(query)
+        if self._ivf_cfg is not None:
+            out = {kk: np.asarray(v)
+                   for kk, v in self._ivf_out(query, wa, k).items()}
+            return self._rows(out, wa), {
+                "asr_weight": wa.asr_weight,
+                "audio_weight": wa.audio_weight,
+                "analysis": wa.analysis, "query": query,
+                "ann": {"mode": "ivf",
+                        "n_clusters": self._ivf.n_clusters,
+                        "n_probe": min(self._ivf_cfg[0],
+                                       self._ivf.n_clusters),
+                        "spill": int(self._ivf.spill.shape[0])},
+                "latency_s": time.perf_counter() - t0,
+            }
         emb, ok = self.store.device_index(
             getattr(self.cfg, "index_dtype", "float32"), self.mesh)
         if self._combined is not None:

@@ -149,6 +149,13 @@ class SegmentStore:
         return self._audio[i] if self.keep_audio and i < len(self._audio) \
             else None
 
+    def host_index(self) -> tuple[np.ndarray, np.ndarray]:
+        """(emb[n,2,D], success[n,2]) host views trimmed to the live rows
+        (no capacity padding) — read-only build input for ANN layouts
+        (index/ivf.py); the device path stays device_index()."""
+        n = len(self.meta)
+        return self._emb[:n], self._success[:n]
+
     def device_index(self, dtype="float32", mesh=None) -> tuple[Any, Any]:
         """(emb[cap,2,D], success[cap,2]) on the default device — or, with
         ``mesh``, sharded on the N axis over its 'data' axis (the capacity

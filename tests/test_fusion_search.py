@@ -61,6 +61,43 @@ def test_fused_topk_matches_reference_loop(rng, w_asr):
             e["effective_asr_weight"], abs=1e-6)
 
 
+def test_searcher_ivf_full_probe_matches_exact(rng):
+    """enable_ivf with n_probe >= n_clusters must reproduce the exact
+    searcher's rows (reference_fusion_oracle transitively), and the
+    layout must rebuild itself when the store grows."""
+    segs = make_segments(rng, n=120)
+    store = SegmentStore(embed_dim=384, keep_audio=False)
+    store.extend(segs)
+    q = rng.normal(size=384).astype(np.float32)
+    q /= np.linalg.norm(q)
+    embed = lambda texts: np.tile(q, (len(texts), 1))  # noqa: E731
+    exact = FusionSearcher(store, embed_fn=embed)
+    ivf = FusionSearcher(store, embed_fn=embed)
+    ivf.enable_ivf(n_probe=1_000_000)  # clamped to n_clusters
+    e_rows, _ = exact("some query")
+    a_rows, info = ivf("some query")
+    assert info["ann"]["mode"] == "ivf"
+    assert [r["index"] for r in a_rows] == [r["index"] for r in e_rows]
+    for g, e in zip(a_rows, e_rows):
+        assert g["fusion_score"] == pytest.approx(e["fusion_score"],
+                                                  abs=1e-5)
+        assert g["asr_similarity"] == pytest.approx(e["asr_similarity"],
+                                                    abs=1e-5)
+
+    built = ivf._ivf
+    store.extend(make_segments(rng, n=20))
+    e_rows, _ = exact("grown")
+    a_rows, info2 = ivf("grown")
+    assert ivf._ivf is not built and ivf._ivf.n_rows == 140
+    assert [r["index"] for r in a_rows] == [r["index"] for r in e_rows]
+
+    ivf.disable_ivf()
+    d_rows, info3 = ivf("back to exact")
+    assert "ann" not in info3
+    assert [r["index"] for r in d_rows] == \
+        [r["index"] for r in exact("back to exact")[0]]
+
+
 def test_threshold_and_validity(rng):
     # scores at/below 0.1 must be excluded; negative-sim rows excluded
     store = SegmentStore(embed_dim=8, keep_audio=False)
