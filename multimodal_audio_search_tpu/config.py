@@ -146,6 +146,12 @@ class FusionConfig:
     # "bfloat16" (halves per-query HBM traffic; close-rank ties may
     # flip — quantify with tools/compare_modes.py)
     index_dtype: str = "float32"
+    # approximate search: "none" (default; exact O(N) scan) or "ivf"
+    # (index/ivf.py — sublinear candidate generation with exact fused
+    # rescoring; for 10M+ indexes). ann_nprobe clusters are probed per
+    # query out of ~sqrt(2N).
+    ann: str = "none"
+    ann_nprobe: int = 8
 
 
 @dataclass(frozen=True)
@@ -286,7 +292,8 @@ def config_from_env(base: EngineConfig | None = None) -> EngineConfig:
       MAS_MIN_SEGMENT_SECONDS, MAS_TOP_K, MAS_THRESHOLD,
       MAS_INGEST_BATCH, MAS_ANALYZER, MAS_ASR_PRESET,
       MAS_CAPTION_PRESET, MAS_MAX_NEW_TOKENS, MAS_ASR_WEIGHTS,
-      MAS_CAPTION_WEIGHTS, MAS_EMBEDDER_WEIGHTS
+      MAS_CAPTION_WEIGHTS, MAS_EMBEDDER_WEIGHTS, MAS_INDEX_DTYPE,
+      MAS_ANN (none | ivf), MAS_ANN_NPROBE
     """
     import os
     cfg = base or EngineConfig()
@@ -311,6 +318,8 @@ def config_from_env(base: EngineConfig | None = None) -> EngineConfig:
         cfg.fusion,
         top_k=env("TOP_K", int, cfg.fusion.top_k),
         index_dtype=env("INDEX_DTYPE", str, cfg.fusion.index_dtype),
+        ann=env("ANN", str, cfg.fusion.ann),
+        ann_nprobe=env("ANN_NPROBE", int, cfg.fusion.ann_nprobe),
         relevance_threshold=env("THRESHOLD", float,
                                 cfg.fusion.relevance_threshold))
     max_new = env("MAX_NEW_TOKENS", int, None)

@@ -201,6 +201,12 @@ class AudioSearchEngine:
             self._searcher = FusionSearcher(
                 self.store, self.embedder, analyzer, self.cfg.fusion,
                 mesh=self.mesh)
+            # FusionConfig.ann="ivf" (MAS_ANN=ivf) opts the production
+            # searcher into sublinear candidate generation (index/ivf.py)
+            if getattr(self.cfg.fusion, "ann", "none") == "ivf" \
+                    and self.mesh is None:
+                self._searcher.enable_ivf(
+                    n_probe=self.cfg.fusion.ann_nprobe)
         return self._searcher
 
     def search(

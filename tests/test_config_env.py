@@ -23,7 +23,10 @@ def test_env_overrides(monkeypatch):
     monkeypatch.setenv("MAS_INGEST_BATCH", "64")
     monkeypatch.setenv("MAS_ASR_PRESET", "small")
     monkeypatch.setenv("MAS_MAX_NEW_TOKENS", "96")
+    monkeypatch.setenv("MAS_ANN", "ivf")
+    monkeypatch.setenv("MAS_ANN_NPROBE", "16")
     c = config_from_env()
+    assert c.fusion.ann == "ivf" and c.fusion.ann_nprobe == 16
     assert c.segment.segment_seconds == 5.0
     assert c.fusion.top_k == 25
     assert c.fusion.relevance_threshold == 0.05

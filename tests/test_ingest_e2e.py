@@ -140,6 +140,27 @@ def test_single_embed_dispatch_per_waveform(engine, rng, monkeypatch):
     assert len(segs) > 0
 
 
+def test_engine_ann_knob_matches_exact(engine):
+    """FusionConfig.ann='ivf' (MAS_ANN=ivf) routes engine.search through
+    the IVF searcher; with a full probe it must equal the exact path."""
+    import dataclasses
+    if len(engine.store) == 0:
+        engine.ingest_waveform(
+            np.tile(np.sin(np.linspace(0, 900, 16000 * 4,
+                                       dtype=np.float32)), 2), 16000, "ann")
+    exact, _ = engine.search("music with drums")
+    old_cfg, old_searcher = engine.cfg, engine._searcher
+    try:
+        engine.cfg = engine.cfg.replace(fusion=dataclasses.replace(
+            engine.cfg.fusion, ann="ivf", ann_nprobe=1_000_000))
+        engine._searcher = None
+        approx, info = engine.search("music with drums")
+        assert info.get("ann", {}).get("mode") == "ivf"
+        assert [r["index"] for r in approx] == [r["index"] for r in exact]
+    finally:
+        engine.cfg, engine._searcher = old_cfg, old_searcher
+
+
 def test_empty_and_too_short_audio(engine):
     segs = engine.ingest_waveform(np.zeros(16000, np.float32), 16000, "tiny")
     assert segs == []  # 1 s < min 3 s -> no windows
