@@ -347,6 +347,70 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
     }
 
 
+def measure_ivf(n_index: int, n_queries: int, cal: dict) -> dict:
+    """IVF (index/ivf.py) vs exact scan on a realistic TOPICAL index
+    (text embeddings cluster by subject; uniform random vectors are the
+    no-structure worst case for any ANN and say nothing about the
+    production regime). Reports build time, p50s, and top-10 overlap at
+    n_probe=8. Guarded — a failure must never sink the headline bench."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_audio_search_tpu.index.fusion import fused_topk
+    from multimodal_audio_search_tpu.index.ivf import build_ivf
+    try:
+        rng = np.random.default_rng(7)
+        d = 384
+        topics = max(64, n_index // 2000)
+        cent = rng.normal(size=(topics, d)).astype(np.float32)
+        cent /= np.linalg.norm(cent, axis=-1, keepdims=True)
+        t_row = rng.integers(0, topics, size=n_index)
+        emb = (cent[t_row][:, None, :] + (0.35 / np.sqrt(d)) * rng.normal(
+            size=(n_index, 2, d))).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+        ok = rng.random((n_index, 2)) > 0.2
+        emb[~ok] = 0.0
+        qv = (cent[rng.integers(0, topics, size=n_queries)]
+              + (0.5 / np.sqrt(d)) * rng.normal(
+                  size=(n_queries, d))).astype(np.float32)
+        qv /= np.linalg.norm(qv, axis=-1, keepdims=True)
+        emb_d = jax.device_put(jnp.asarray(emb))
+        ok_d = jax.device_put(ok)
+        wa, wb = jnp.float32(0.6), jnp.float32(0.4)
+
+        t0 = time.perf_counter()
+        ivf = build_ivf(emb, ok)
+        build_s = time.perf_counter() - t0
+        run = ivf.search_fn(k=10, n_probe=8)
+        lat_e, lat_a, overlaps = [], [], []
+        for i in range(n_queries):
+            q_d = jnp.asarray(qv[i])
+            t0 = time.perf_counter()
+            out_e = fused_topk(q_d, emb_d, ok_d, wa, wb, k=10)
+            se = np.asarray(out_e["scores"])
+            lat_e.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            out_a = run(q_d, wa, wb, emb_d, ok_d)
+            sa = np.asarray(out_a["scores"])
+            lat_a.append(time.perf_counter() - t0)
+            ee = set(np.asarray(out_e["indices"])[se > -1e29].tolist())
+            aa = set(np.asarray(out_a["indices"])[sa > -1e29].tolist())
+            overlaps.append(len(aa & ee) / max(len(ee), 1))
+        rtt = cal["rtt_ms"]
+        p50e = float(np.percentile(lat_e[1:] or lat_e, 50) * 1e3)
+        p50a = float(np.percentile(lat_a[1:] or lat_a, 50) * 1e3)
+        return {
+            "n": n_index, "n_clusters": ivf.n_clusters,
+            "spill": int(ivf.spill.shape[0]),
+            "build_s": round(build_s, 1),
+            "exact_p50_ms_ex_rtt": round(max(p50e - rtt, 0.0), 2),
+            "ivf_p50_ms_ex_rtt": round(max(p50a - rtt, 0.0), 2),
+            "overlap10_vs_exact": round(float(np.mean(overlaps)), 3),
+            "n_probe": 8,
+        }
+    except Exception as e:  # noqa: BLE001
+        return {"error": str(e)[:200]}
+
+
 def main() -> None:
     # opt-in persistent compilation cache (MAS_COMPILE_CACHE=<dir>);
     # default off so the driver's recorded run keeps stock behavior
@@ -394,6 +458,8 @@ def main() -> None:
                             transfer_dtype="int12", fused_encoder=on_tpu,
                             index_dtype=jnp.float32, **common)
 
+    ivf = measure_ivf(n_index, n_queries, cal)
+
     baseline = 60.0  # audio-sec/sec/chip target (BASELINE.md)
     throughput = fast["ingest_audio_sec_per_sec"]
     print(json.dumps({
@@ -409,6 +475,7 @@ def main() -> None:
             "parity": parity,
             "fast": fast,
             "fast_lossless": lossless,
+            "ivf": ivf,
         },
     }))
 

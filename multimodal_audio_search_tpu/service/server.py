@@ -114,6 +114,7 @@ missing embeddings renormalize; threshold 0.1; top-10.</small>
 <label>Transfer <select id="tr_sel"></select></label>
 <button onclick="applyConfig()">Apply (resets index)</button>
 <span id="cfg_out"></span></div>
+<h3>Ingest jobs</h3><div id="jobs_out"></div>
 <h3>Indexed files</h3><div id="sources_out"></div></div>
 <div id="search" class="tab">
 <h2>Weighted fusion search</h2>
@@ -151,11 +152,23 @@ function show(id){document.querySelectorAll('.tab').forEach(
 async function ingest(){
  const f=document.getElementById('file').files[0];
  if(!f)return alert('pick an audio file');
- const r=await fetch('/api/ingest?name='+encodeURIComponent(f.name),
+ const out=document.getElementById('ingest_out');
+ out.innerHTML='<p>⏳ uploading…</p>';
+ // async job + polling: processing a long file no longer holds the
+ // HTTP request open (the Streamlit reference blocks its whole UI)
+ const r=await fetch('/api/ingest?async=1&name='+
+  encodeURIComponent(f.name),
   {method:'POST',headers:authHeaders(),body:await f.arrayBuffer()});
- const j=await r.json();
- if(j.error){document.getElementById('ingest_out').innerHTML=
-  '<p>❌ '+esc(j.error)+'</p>';return;}
+ const j0=await r.json();
+ if(j0.error){out.innerHTML='<p>❌ '+esc(j0.error)+'</p>';return;}
+ let j;
+ for(;;){
+  j=await (await fetch('/api/jobs/'+encodeURIComponent(j0.job))).json();
+  if(j.state==='done'||j.state==='failed')break;
+  out.innerHTML='<p>⏳ '+esc(j.state)+'…</p>';
+  await new Promise(res=>setTimeout(res,700));}
+ loadJobs();
+ if(j.state==='failed'){out.innerHTML='<p>❌ '+esc(j.error)+'</p>';return;}
  const n=j.segments.length;
  const aok=j.segments.filter(s=>s.asr_success).length;
  const cok=j.segments.filter(s=>s.audio_success).length;
@@ -170,6 +183,14 @@ async function ingest(){
    esc(s.asr_text||'∅')+' — Caption: '+esc(s.audio_description||'∅')+
    '</div>').join('');
  loadSources();pollStats();}
+async function loadJobs(){
+ const j=await (await fetch('/api/jobs')).json();
+ const jobs=(j.jobs||[]).slice(-8).reverse();
+ document.getElementById('jobs_out').innerHTML=jobs.length?
+  jobs.map(x=>'<div class=hit>'+esc(x.state)+' — '+esc(x.name)+
+   (x.state==='done'?' ('+esc(x.n_segments)+' segment(s))':'')+
+   (x.state==='failed'?' — '+esc(x.error):'')+'</div>').join(''):
+  '<p>No jobs yet.</p>';}
 async function loadSources(){
  const j=await (await fetch('/api/segments')).json();
  const by={};
