@@ -157,9 +157,14 @@ def calibrate(on_tpu: bool) -> dict:
     t0 = time.perf_counter()
     _ = np.asarray(jax.device_put(xfer)[:1])
     xfer_mbps = xfer.nbytes / 1e6 / (time.perf_counter() - t0)
-    return {"rtt_ms": round(rtt * 1e3, 1), "tflops_bf16": round(tflops, 1),
-            "hbm_gbps": round(gbps, 1),
-            "tunnel_mbps": round(xfer_mbps, 1)}
+    # floors: on a saturated CPU host the min-of-reps timing can land at
+    # or below the measured RTT, making t <= 0 and the "peak" 0/negative
+    # — which then zero-divides every roofline fraction downstream. Real
+    # chips calibrate orders of magnitude above these floors.
+    return {"rtt_ms": round(rtt * 1e3, 1),
+            "tflops_bf16": max(round(tflops, 1), 0.1),
+            "hbm_gbps": max(round(gbps, 1), 0.1),
+            "tunnel_mbps": max(round(xfer_mbps, 1), 0.1)}
 
 
 def measure_mode(name: str, *, on_tpu: bool, short_context: bool,

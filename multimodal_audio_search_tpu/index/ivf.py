@@ -186,6 +186,143 @@ class IVFIndex:
         return run
 
 
+@dataclasses.dataclass
+class ShardedIVF:
+    """Per-shard IVF layouts stacked on a leading device axis, ready to
+    shard with P("data"): centroids [dp, C, D], members [dp, C, cap],
+    spill [dp, S] (-1 padded). Local member ids are shard-local; the
+    query globalizes with axis_index, exactly like
+    parallel/sharding.py::sharded_fused_search_impl."""
+    centroids: jnp.ndarray
+    members: jnp.ndarray
+    spill: jnp.ndarray
+    n_rows: int                   # global rows covered (incl. padding)
+    shard_rows: int               # rows per shard
+
+    @property
+    def n_clusters(self) -> int:
+        return int(self.centroids.shape[1])
+
+
+def build_ivf_sharded(
+    emb,                          # [N, 2, D] (N divisible by n_shards)
+    success,                      # [N, 2]
+    n_shards: int,
+    n_clusters: int | None = None,
+    cap_factor: float = 4.0,
+    iters: int = 10,
+    seed: int = 0,
+) -> ShardedIVF:
+    """Build one IVF layout per contiguous row shard (matching the
+    store's P('data') axis-0 sharding) and stack them to uniform shapes
+    (zero-padded centroids rank lowest in the probe; -1 member/spill
+    padding is masked in the query)."""
+    emb_np = np.asarray(emb, np.float32)
+    suc_np = np.asarray(success, bool)
+    n = len(emb_np)
+    if n % n_shards:
+        raise ValueError(f"{n} rows do not divide into {n_shards} shards")
+    blk = n // n_shards
+    parts = [build_ivf(emb_np[s * blk:(s + 1) * blk],
+                       suc_np[s * blk:(s + 1) * blk],
+                       n_clusters=n_clusters, cap_factor=cap_factor,
+                       iters=iters, seed=seed + s)
+             for s in range(n_shards)]
+    c_max = max(p.n_clusters for p in parts)
+    cap_max = max(int(p.members.shape[1]) for p in parts)
+    s_max = max(int(p.spill.shape[0]) for p in parts)
+    cents = np.zeros((n_shards, c_max, emb_np.shape[-1]), np.float32)
+    membs = np.full((n_shards, c_max, cap_max), -1, np.int32)
+    spills = np.full((n_shards, max(s_max, 1)), -1, np.int32)
+    for s, p in enumerate(parts):
+        cents[s, : p.n_clusters] = np.asarray(p.centroids)
+        membs[s, : p.n_clusters, : p.members.shape[1]] = \
+            np.asarray(p.members)
+        spills[s, : p.spill.shape[0]] = np.asarray(p.spill)
+    return ShardedIVF(
+        centroids=jnp.asarray(cents), members=jnp.asarray(membs),
+        spill=jnp.asarray(spills), n_rows=n, shard_rows=blk)
+
+
+def sharded_ivf_search_impl(mesh, layout: ShardedIVF, k: int = 10,
+                            n_probe: int = 8, threshold: float = 0.1):
+    """shard_map'd IVF search over ``mesh``'s 'data' axis (trace-time
+    body; jit the result). fn(query, emb, success, w_asr, w_audio) with
+    emb/success sharded P('data') on axis 0 returns the
+    fused_topk_impl-shaped dict with GLOBAL indices. Each shard probes
+    its own buckets and only k candidates (+payloads) cross ICI."""
+    from jax.sharding import PartitionSpec as P
+
+    n_probe_ = min(n_probe, layout.n_clusters)
+
+    def local_search(query, cent, members, spill, emb, success,
+                     w_asr, w_audio):
+        # per shard: cent [1, C, D], members [1, C, cap], spill [1, S],
+        # emb [blk, 2, D]
+        q = query.astype(jnp.float32)
+        cs = cent[0] @ q
+        _, probe = jax.lax.top_k(cs, n_probe_)
+        cand = members[0][probe].reshape(-1)
+        cand = jnp.concatenate([cand, spill[0]])
+        valid_cand = cand >= 0
+        cand = jnp.where(valid_cand, cand, 0)
+        sims = jnp.einsum(
+            "npd,d->np", emb[cand].astype(jnp.float32), q,
+            preferred_element_type=jnp.float32)
+        w = jnp.stack([w_asr, w_audio]).astype(jnp.float32)
+        eff = w[None, :] * success[cand].astype(jnp.float32)
+        total = jnp.sum(eff, axis=-1)
+        eff = eff / jnp.maximum(total, 1e-30)[:, None]
+        score = jnp.sum(eff * sims, axis=-1)
+        ok = (jnp.any(sims > 0.0, axis=-1) & (total > 0.0)
+              & (score > threshold) & valid_cand)
+        score = jnp.where(ok, score, NEG_INF)
+        order = jnp.lexsort((-score, cand))
+        rows_s = cand[order]
+        score_s = jnp.where(
+            jnp.concatenate([jnp.ones((1,), bool),
+                             rows_s[1:] != rows_s[:-1]]),
+            score[order], NEG_INF)
+        kk = min(k, score_s.shape[0])
+        top_s, top_i = jax.lax.top_k(score_s, kk)
+        hit = top_s > NEG_INF / 2
+        li = jnp.where(hit, rows_s[top_i], 0)
+        sims_k = jnp.einsum(
+            "kpd,d->kp", emb[li].astype(jnp.float32), q,
+            preferred_element_type=jnp.float32)
+        succ_k = success[li].astype(jnp.float32)
+        shard = jax.lax.axis_index("data")
+        gi = jnp.where(hit, li + shard * emb.shape[0], -1)
+        # k candidates per shard cross ICI
+        all_s = jax.lax.all_gather(top_s, "data", tiled=True)
+        all_i = jax.lax.all_gather(gi, "data", tiled=True)
+        all_sims = jax.lax.all_gather(sims_k, "data", tiled=True)
+        all_succ = jax.lax.all_gather(succ_k, "data", tiled=True)
+        all_hit = jax.lax.all_gather(hit, "data", tiled=True)
+        s, order2 = jax.lax.top_k(all_s, kk)
+        eff2 = w[None, :] * all_succ[order2]
+        eff2 = eff2 / jnp.maximum(
+            jnp.sum(eff2, axis=-1, keepdims=True), 1e-30)
+        return {
+            "indices": jnp.take(all_i, order2),
+            "scores": s,
+            "valid": all_hit[order2],
+            "sims": all_sims[order2],
+            "effective_weights": eff2,
+            "num_valid": jax.lax.psum(
+                jnp.sum(ok.astype(jnp.int32)), "data"),
+        }
+
+    return jax.shard_map(
+        local_search, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P("data"),
+                  P(), P()),
+        out_specs={"indices": P(), "scores": P(), "valid": P(),
+                   "sims": P(), "effective_weights": P(),
+                   "num_valid": P()},
+        check_vma=False)
+
+
 def build_ivf(
     emb,                         # [N, 2, D] unit-norm (np or jnp)
     success,                     # [N, 2] bool

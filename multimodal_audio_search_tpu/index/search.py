@@ -56,11 +56,10 @@ class FusionSearcher:
         tail). The layout rebuilds lazily whenever the store's row count
         changes — reusing centroids (assignment + repack only) while the
         change is within ``rebuild_growth`` of the built size, full
-        k-means beyond that. Mutually exclusive with a mesh (the sharded
-        path is already sublinear per chip); default exact search is
-        untouched unless this is called."""
-        if self.mesh is not None:
-            raise ValueError("IVF and mesh-sharded search are exclusive")
+        k-means beyond that. With a mesh, each 'data' shard builds its
+        own buckets and probes locally; only k candidates per shard
+        cross ICI (index/ivf.py::sharded_ivf_search_impl). Default exact
+        search is untouched unless this is called."""
         self._ivf_cfg = (n_probe, n_clusters, rebuild_growth)
         self._ivf = None
 
@@ -69,9 +68,45 @@ class FusionSearcher:
         self._ivf = None
 
     def _ivf_out(self, query: str, wa, k: int):
-        from .ivf import build_ivf
+        from .ivf import build_ivf, build_ivf_sharded
         n_probe, n_clusters, growth = self._ivf_cfg
         n = len(self.store)
+        q = np.asarray(self.embed_fn([query]), np.float32)[0]
+        nq = float(np.linalg.norm(q))
+        if nq > 0:
+            q = q / nq
+        if self.mesh is not None:
+            # per-shard buckets over the capacity-padded, P('data')-
+            # sharded index (padding rows have success=False and never
+            # enter buckets); rebuild tracks live rows + capacity
+            emb, ok = self.store.device_index(
+                getattr(self.cfg, "index_dtype", "float32"), self.mesh)
+            dp = self.mesh.shape["data"]
+            key = (n, emb.shape[0])
+            if self._ivf is None or getattr(self, "_ivf_key", None) != key:
+                h_emb, h_suc = self.store.host_index(padded=True)
+                self._ivf = build_ivf_sharded(
+                    h_emb, h_suc, dp, n_clusters=n_clusters)
+                self._ivf_key = key
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                import jax
+                s = NamedSharding(self.mesh, P("data"))
+                self._ivf_dev = tuple(
+                    jax.device_put(a, s) for a in
+                    (self._ivf.centroids, self._ivf.members,
+                     self._ivf.spill))
+                self._ivf_run = {}
+            rk = (min(k, n), n_probe)
+            if rk not in self._ivf_run:
+                import jax
+                from .ivf import sharded_ivf_search_impl
+                self._ivf_run[rk] = jax.jit(sharded_ivf_search_impl(
+                    self.mesh, self._ivf, k=rk[0], n_probe=n_probe,
+                    threshold=self.cfg.relevance_threshold))
+            cent_d, memb_d, spill_d = self._ivf_dev
+            return self._ivf_run[rk](
+                jnp.asarray(q), cent_d, memb_d, spill_d, emb, ok,
+                jnp.float32(wa.asr_weight), jnp.float32(wa.audio_weight))
         if self._ivf is None or self._ivf.n_rows != n:
             cent = None
             if self._ivf is not None and \
@@ -80,10 +115,6 @@ class FusionSearcher:
             h_emb, h_suc = self.store.host_index()
             self._ivf = build_ivf(h_emb, h_suc, n_clusters=n_clusters,
                                   centroids=cent)
-        q = np.asarray(self.embed_fn([query]), np.float32)[0]
-        nq = float(np.linalg.norm(q))
-        if nq > 0:
-            q = q / nq
         emb, ok = self.store.device_index(
             getattr(self.cfg, "index_dtype", "float32"))
         run = self._ivf.search_fn(
@@ -254,7 +285,9 @@ class FusionSearcher:
                         "n_clusters": self._ivf.n_clusters,
                         "n_probe": min(self._ivf_cfg[0],
                                        self._ivf.n_clusters),
-                        "spill": int(self._ivf.spill.shape[0])},
+                        "sharded": self.mesh is not None,
+                        "spill": int(np.count_nonzero(
+                            np.asarray(self._ivf.spill) >= 0))},
                 "latency_s": time.perf_counter() - t0,
             }
         emb, ok = self.store.device_index(

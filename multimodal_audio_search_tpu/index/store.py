@@ -149,10 +149,15 @@ class SegmentStore:
         return self._audio[i] if self.keep_audio and i < len(self._audio) \
             else None
 
-    def host_index(self) -> tuple[np.ndarray, np.ndarray]:
-        """(emb[n,2,D], success[n,2]) host views trimmed to the live rows
-        (no capacity padding) — read-only build input for ANN layouts
-        (index/ivf.py); the device path stays device_index()."""
+    def host_index(self, padded: bool = False) \
+            -> tuple[np.ndarray, np.ndarray]:
+        """(emb, success) host views — read-only build input for ANN
+        layouts (index/ivf.py); the device path stays device_index().
+        ``padded=True`` returns the full capacity bucket (padding rows
+        have success=False), row-aligned with device_index()'s sharded
+        view so shard-local ids line up."""
+        if padded:
+            return self._emb, self._success
         n = len(self.meta)
         return self._emb[:n], self._success[:n]
 

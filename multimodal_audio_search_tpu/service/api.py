@@ -202,9 +202,9 @@ class AudioSearchEngine:
                 self.store, self.embedder, analyzer, self.cfg.fusion,
                 mesh=self.mesh)
             # FusionConfig.ann="ivf" (MAS_ANN=ivf) opts the production
-            # searcher into sublinear candidate generation (index/ivf.py)
-            if getattr(self.cfg.fusion, "ann", "none") == "ivf" \
-                    and self.mesh is None:
+            # searcher into sublinear candidate generation (index/ivf.py;
+            # with a mesh, per-shard buckets + ICI candidate merge)
+            if getattr(self.cfg.fusion, "ann", "none") == "ivf":
                 self._searcher.enable_ivf(
                     n_probe=self.cfg.fusion.ann_nprobe)
         return self._searcher

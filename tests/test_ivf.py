@@ -143,6 +143,70 @@ def test_more_clusters_than_points(rng):
     np.testing.assert_array_equal(i, ei)
 
 
+def test_sharded_ivf_full_probe_equals_exact(rng):
+    """Per-shard buckets + ICI candidate merge over an 8-device mesh:
+    with a full probe the merged result equals the exact single-device
+    fused_topk over the whole index (global indices included)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from multimodal_audio_search_tpu.index.ivf import (
+        build_ivf_sharded, sharded_ivf_search_impl)
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    n, d = 256, 16
+    emb, success = _mk_index(rng, n, d)
+    layout = build_ivf_sharded(emb, success, 4, n_clusters=6)
+    s_data = NamedSharding(mesh, P("data"))
+    emb_d = jax.device_put(jnp.asarray(emb), s_data)
+    suc_d = jax.device_put(jnp.asarray(success), s_data)
+    cent_d = jax.device_put(layout.centroids, s_data)
+    memb_d = jax.device_put(layout.members, s_data)
+    spill_d = jax.device_put(layout.spill, s_data)
+    fn = jax.jit(sharded_ivf_search_impl(
+        mesh, layout, k=10, n_probe=layout.n_clusters))
+    for _ in range(2):
+        q = _unit(rng, d)
+        out = fn(jnp.asarray(q), cent_d, memb_d, spill_d, emb_d, suc_d,
+                 jnp.float32(0.6), jnp.float32(0.4))
+        s = np.asarray(out["scores"])
+        i = np.asarray(out["indices"])
+        keep = np.asarray(out["valid"])
+        es, ei = _exact(emb, success, q)
+        np.testing.assert_array_equal(i[keep], ei)
+        np.testing.assert_allclose(s[keep], es, rtol=1e-5, atol=1e-6)
+
+
+def test_searcher_mesh_ivf_matches_exact(rng):
+    """FusionSearcher.enable_ivf over a mesh: full-probe results equal
+    the exact mesh-sharded searcher end-to-end (store-capacity padding
+    included)."""
+    import jax
+    from jax.sharding import Mesh
+    from multimodal_audio_search_tpu.index.search import FusionSearcher
+    from multimodal_audio_search_tpu.index.store import SegmentStore
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    store = SegmentStore(embed_dim=32, keep_audio=False)
+    emb, success = _mk_index(rng, 90, 32)
+    for r in range(90):
+        store.add({"segment_id": f"s{r}"},
+                  emb[r, 0] if success[r, 0] else None,
+                  emb[r, 1] if success[r, 1] else None)
+    q = _unit(rng, 32)
+    embf = lambda texts: np.tile(q, (len(texts), 1))  # noqa: E731
+    exact = FusionSearcher(store, embed_fn=embf, mesh=mesh)
+    approx = FusionSearcher(store, embed_fn=embf, mesh=mesh)
+    approx.enable_ivf(n_probe=1_000_000)
+    e_rows, _ = exact("query")
+    a_rows, info = approx("query")
+    assert info["ann"]["sharded"] is True
+    assert [r["index"] for r in a_rows] == [r["index"] for r in e_rows]
+    for g, e in zip(a_rows, e_rows):
+        assert abs(g["fusion_score"] - e["fusion_score"]) < 1e-5
+
+
 def test_incremental_rebuild_reuses_centroids(rng):
     """After growth, build_ivf(centroids=...) re-assigns without k-means;
     full-probe equality holds on the grown index."""
