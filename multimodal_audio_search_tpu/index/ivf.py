@@ -152,7 +152,9 @@ def _ivf_query(query_emb, w_asr, w_audio, centroids, members, spill,
         "valid": hit,
         "sims": sims_k,
         "effective_weights": eff_k,
-        "num_valid": jnp.sum(ok.astype(jnp.int32)),
+        # counted AFTER dedup: a row reachable via two probed buckets
+        # (or bucket + spill) passes ``ok`` once per occurrence
+        "num_valid": jnp.sum((score_s > NEG_INF / 2).astype(jnp.int32)),
     }
 
 
@@ -309,8 +311,10 @@ def sharded_ivf_search_impl(mesh, layout: ShardedIVF, k: int = 10,
             "valid": all_hit[order2],
             "sims": all_sims[order2],
             "effective_weights": eff2,
+            # per-row (deduped), then summed across shards
             "num_valid": jax.lax.psum(
-                jnp.sum(ok.astype(jnp.int32)), "data"),
+                jnp.sum((score_s > NEG_INF / 2).astype(jnp.int32)),
+                "data"),
         }
 
     return jax.shard_map(
@@ -357,21 +361,30 @@ def build_ivf(
 
     cap = max(1, int(np.ceil(cap_factor * max(len(x), 1) / n_clusters)))
     members = np.full((n_clusters, cap), -1, np.int32)
-    fill = np.zeros(n_clusters, np.int32)
-    spill: list[int] = []
-    seen: set[tuple[int, int]] = set()
-    for r, c in zip(rows_ok.tolist(), assign.tolist()):
-        if (r, c) in seen:       # both slots -> same cluster: insert once
-            continue
-        seen.add((r, c))
-        if fill[c] < cap:
-            members[c, fill[c]] = r
-            fill[c] += 1
-        else:
-            spill.append(r)
+    # vectorized packing (a per-(row,slot) Python loop ran for minutes at
+    # the 10M target scale and executed inside the first query after any
+    # store growth): dedup (row, cluster) pairs, group by cluster with a
+    # stable sort (rows ascending within each cluster), fill each bucket
+    # to cap, spill the rest
+    if len(rows_ok):
+        pair = rows_ok.astype(np.int64) * n_clusters \
+            + assign.astype(np.int64)
+        pair = np.unique(pair)   # both slots -> same cluster: insert once
+        r = (pair // n_clusters).astype(np.int32)
+        c = (pair % n_clusters).astype(np.int32)
+        order = np.argsort(c, kind="stable")
+        r_s, c_s = r[order], c[order]
+        counts = np.bincount(c_s, minlength=n_clusters)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(len(c_s)) - starts[c_s]
+        in_cap = pos < cap
+        members[c_s[in_cap], pos[in_cap]] = r_s[in_cap]
+        spill_rows = np.unique(r_s[~in_cap]).astype(np.int32)
+    else:
+        spill_rows = np.zeros(0, np.int32)
     return IVFIndex(
         centroids=cent,
         members=jnp.asarray(members),
-        spill=jnp.asarray(np.asarray(sorted(set(spill)), np.int32)),
+        spill=jnp.asarray(spill_rows),
         n_rows=n,
     )

@@ -82,7 +82,10 @@ class FusionSearcher:
             emb, ok = self.store.device_index(
                 getattr(self.cfg, "index_dtype", "float32"), self.mesh)
             dp = self.mesh.shape["data"]
-            key = (n, emb.shape[0])
+            # keyed on the store's mutation counter, NOT len(): a
+            # delete+ingest of equal size compacts/shifts row ids
+            # without changing the count (review round-3b finding)
+            key = (getattr(self.store, "version", n), emb.shape[0])
             if self._ivf is None or getattr(self, "_ivf_key", None) != key:
                 h_emb, h_suc = self.store.host_index(padded=True)
                 self._ivf = build_ivf_sharded(
@@ -107,7 +110,8 @@ class FusionSearcher:
             return self._ivf_run[rk](
                 jnp.asarray(q), cent_d, memb_d, spill_d, emb, ok,
                 jnp.float32(wa.asr_weight), jnp.float32(wa.audio_weight))
-        if self._ivf is None or self._ivf.n_rows != n:
+        ver = getattr(self.store, "version", n)
+        if self._ivf is None or getattr(self, "_ivf_key", None) != ver:
             cent = None
             if self._ivf is not None and \
                     abs(n - self._ivf.n_rows) <= growth * self._ivf.n_rows:
@@ -115,6 +119,7 @@ class FusionSearcher:
             h_emb, h_suc = self.store.host_index()
             self._ivf = build_ivf(h_emb, h_suc, n_clusters=n_clusters,
                                   centroids=cent)
+            self._ivf_key = ver
         emb, ok = self.store.device_index(
             getattr(self.cfg, "index_dtype", "float32"))
         run = self._ivf.search_fn(
@@ -198,6 +203,12 @@ class FusionSearcher:
         if len(self.store) == 0 or not queries:
             return [([], {}) for _ in queries]
         k = k or self.cfg.top_k
+        if self._ivf_cfg is not None:
+            # IVF candidate generation is per-query (centroid probe picks
+            # different buckets per query); run the sublinear program per
+            # query rather than silently falling back to the exact O(N)
+            # scan the operator opted out of
+            return [self(q, k) for q in queries]
         if self.mesh is not None:
             # sharded index: one mesh-wide dispatch per query (a vmap over
             # the shard_map'd per-shard top-k is not batchable; the index

@@ -42,6 +42,10 @@ class SegmentStore:
         self._success = np.zeros((self._cap, 2), bool)
         self._audio: list[np.ndarray | None] = []
         self._device_view: tuple[int, Any, Any] | None = None  # (cap, emb, ok)
+        # monotonic mutation counter: ANN layouts (index/ivf.py) key
+        # their rebuild on this, not on len() — a delete+ingest of
+        # equal size shifts row ids without changing the count
+        self.version = 0
         # bumped on every compaction; save_incremental records it in the
         # manifest so a deleted-then-regrown store can't silently append
         # to a stale on-disk prefix
@@ -78,6 +82,7 @@ class SegmentStore:
                 None if audio_data is None
                 else np.asarray(audio_data, np.float32))
         self._device_view = None
+        self.version += 1
         return i
 
     def extend(self, records: Sequence[dict[str, Any]]) -> list[int]:
@@ -119,6 +124,7 @@ class SegmentStore:
             self._audio = [self._audio[i] for i in keep
                            if i < len(self._audio)]
         self._device_view = None
+        self.version += 1
         self._compactions += 1
         return removed
 
@@ -135,6 +141,7 @@ class SegmentStore:
         ok[: self._cap] = self._success
         self._emb, self._success, self._cap = emb, ok, new_cap
         self._device_view = None
+        self.version += 1
 
     # ---------------------------------------------------------------- views
     @property

@@ -164,11 +164,11 @@ async function ingest(){
  let j;
  for(;;){
   j=await (await fetch('/api/jobs/'+encodeURIComponent(j0.job))).json();
-  if(j.state==='done'||j.state==='failed')break;
+  if(j.state==='done'||j.state==='failed'||j.error)break;
   out.innerHTML='<p>⏳ '+esc(j.state)+'…</p>';
   await new Promise(res=>setTimeout(res,700));}
  loadJobs();
- if(j.state==='failed'){out.innerHTML='<p>❌ '+esc(j.error)+'</p>';return;}
+ if(j.state!=='done'){out.innerHTML='<p>❌ '+esc(j.error)+'</p>';return;}
  const n=j.segments.length;
  const aok=j.segments.filter(s=>s.asr_success).length;
  const cok=j.segments.filter(s=>s.audio_success).length;
@@ -341,7 +341,8 @@ async function applyConfig(){
  document.getElementById('cfg_out').textContent=
   j.error?('❌ '+j.error):'✓ applied (models rebuilt, index reset)';
  loadConfig();loadSources();pollStats();}
-pollStats();loadSources();loadConfig();setInterval(pollStats,5000);
+pollStats();loadSources();loadJobs();loadConfig();
+setInterval(pollStats,5000);
 </script></body></html>"""
 
 
@@ -363,6 +364,12 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
     jobs_q: "queue.Queue" = None      # drained by one worker thread
     max_upload_bytes: int = 1 << 30   # reject larger bodies (memory guard)
     max_jobs: int = 200               # finished-job history bound
+    # backpressure for the async queue: the synchronous path implicitly
+    # bounds in-flight bytes by open HTTP connections; the 202 path must
+    # bound them explicitly or a looping client OOMs the server
+    max_queued_jobs: int = 32
+    max_queued_bytes: int = 1 << 30
+    jobs_queued_bytes: dict = None    # {"v": int}, guarded by jobs_lock
 
     def _body(self) -> bytes:
         n = int(self.headers.get("Content-Length", "0"))
@@ -555,6 +562,15 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                     job = {"id": jid, "name": name, "state": "queued",
                            "submitted": time.time(), "bytes": len(data)}
                     with self.jobs_lock:
+                        queued = sum(1 for j in self.jobs.values()
+                                     if j["state"] == "queued")
+                        if queued >= self.max_queued_jobs or \
+                                self.jobs_queued_bytes["v"] + len(data) \
+                                > self.max_queued_bytes:
+                            self._json({"error": "ingest queue full — "
+                                        "retry later"}, 429)
+                            return
+                        self.jobs_queued_bytes["v"] += len(data)
                         done = [k for k, j in self.jobs.items()
                                 if j["state"] in ("done", "failed")]
                         for k in done[: max(0, len(self.jobs) + 1
@@ -672,6 +688,7 @@ def _ingest_worker(handler_cls) -> None:
             return
         jid, data, name = item
         with handler_cls.jobs_lock:
+            handler_cls.jobs_queued_bytes["v"] -= len(data)
             job = handler_cls.jobs.get(jid)
             if job is None:     # pruned before it ran — drop
                 continue
@@ -716,7 +733,8 @@ def serve(
                     "data_root": root, "api_token": token,
                     "streams": {}, "jobs": {},
                     "jobs_lock": threading.Lock(),
-                    "jobs_q": queue.Queue()})
+                    "jobs_q": queue.Queue(),
+                    "jobs_queued_bytes": {"v": 0}})
     threading.Thread(target=_ingest_worker, args=(handler,),
                      daemon=True, name="ingest-worker").start()
     srv = ThreadingHTTPServer((host, port), handler)

@@ -98,6 +98,30 @@ def test_searcher_ivf_full_probe_matches_exact(rng):
         [r["index"] for r in exact("back to exact")[0]]
 
 
+def test_searcher_ivf_rebuilds_after_same_count_mutation(rng):
+    """delete + ingest of equal size shifts row ids WITHOUT changing
+    len(store); the IVF layout must still rebuild (keyed on the store's
+    mutation counter) or buckets point at pre-compaction rows."""
+    segs = make_segments(rng, n=80)
+    for s in segs[:20]:
+        s["source"] = "doomed"
+    store = SegmentStore(embed_dim=384, keep_audio=False)
+    store.extend(segs)
+    q = rng.normal(size=384).astype(np.float32)
+    q /= np.linalg.norm(q)
+    embed = lambda texts: np.tile(q, (len(texts), 1))  # noqa: E731
+    exact = FusionSearcher(store, embed_fn=embed)
+    ivf = FusionSearcher(store, embed_fn=embed)
+    ivf.enable_ivf(n_probe=1_000_000)
+    ivf("warm build")
+    store.delete_source("doomed")           # compaction shifts ids
+    store.extend(make_segments(rng, n=20))  # back to the same count
+    assert len(store) == 80
+    e_rows, _ = exact("after churn")
+    a_rows, _ = ivf("after churn")
+    assert [r["index"] for r in a_rows] == [r["index"] for r in e_rows]
+
+
 def test_threshold_and_validity(rng):
     # scores at/below 0.1 must be excluded; negative-sim rows excluded
     store = SegmentStore(embed_dim=8, keep_audio=False)

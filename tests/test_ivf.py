@@ -111,10 +111,17 @@ def test_row_reachable_via_both_slots_appears_once(rng):
     success[1:, 0] = True
     ivf = build_ivf(emb, success, n_clusters=6, seed=4)
     q = ((a + b) / np.linalg.norm(a + b)).astype(np.float32)
-    s, i, _ = _ivf(ivf, emb, success, q, w=(0.5, 0.5), k=40)
+    s, i, out = _ivf(ivf, emb, success, q, w=(0.5, 0.5), k=40)
     assert np.count_nonzero(i == 0) == 1
     es, ei = _exact(emb, success, q, w=(0.5, 0.5), k=40)
     np.testing.assert_array_equal(i, ei)
+    # num_valid counts deduped ROWS, matching the exact path even when
+    # a row is reachable through two probed buckets
+    from multimodal_audio_search_tpu.index.fusion import fused_topk
+    oe = fused_topk(jnp.asarray(q), jnp.asarray(emb),
+                    jnp.asarray(success), jnp.float32(0.5),
+                    jnp.float32(0.5), k=40)
+    assert int(out["num_valid"]) == int(np.asarray(oe["num_valid"]))
 
 
 def test_capacity_padded_index_operands(rng):

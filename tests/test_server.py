@@ -312,6 +312,35 @@ def test_async_ingest_jobs(server, rng, tmp_path):
     assert e.value.code == 404
 
 
+def test_async_queue_backpressure(server, rng, tmp_path):
+    """The 202 path must bound queued payload memory: with the queue gate
+    closed (max_queued_jobs=0) an async upload gets 429, the synchronous
+    path still works."""
+    import urllib.request as ur
+    server, _ = server
+    wave = (rng.normal(size=16000 * 4) * 0.3).astype(np.float32)
+    p = tmp_path / "bp.wav"
+    write_wav(str(p), wave, 16000)
+    import multimodal_audio_search_tpu.service.server as srv_mod
+    # the module-level fixture's handler class: find it through gc-free
+    # route — the server fixture stores the URL only, so gate via the
+    # class attribute on the base handler (dynamic subclass inherits it)
+    old = srv_mod.AudioSearchHandler.max_queued_jobs
+    srv_mod.AudioSearchHandler.max_queued_jobs = 0
+    try:
+        req = ur.Request(server + "/api/ingest?name=bp.wav&async=1",
+                         data=p.read_bytes(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            ur.urlopen(req, timeout=60)
+        assert e.value.code == 429
+        req = ur.Request(server + "/api/ingest?name=bp.wav",
+                         data=p.read_bytes(), method="POST")
+        with ur.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+    finally:
+        srv_mod.AudioSearchHandler.max_queued_jobs = old
+
+
 def test_batched_query_with_strategy_rejected(server):
     server, _ = server
     with pytest.raises(urllib.error.HTTPError) as e:
