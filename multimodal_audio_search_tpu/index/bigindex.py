@@ -104,6 +104,13 @@ class HostIndex:
         self.meta = [json.loads(line)
                      for line in (p / "meta.jsonl").read_text().splitlines()]
         self.chunk = chunk
+        self.path = p
+        self._ivf = None                # (centroids, members, spill)
+        ivf_p = p / "ivf.npz"
+        if ivf_p.exists():
+            z = np.load(ivf_p)
+            if int(z["n"]) == self.n:   # stale layouts are ignored
+                self._ivf = (z["centroids"], z["members"], z["spill"])
 
         @functools.partial(jax.jit, static_argnames=("k", "threshold"))
         def _chunk_topk(q, emb, success, scale, w_a, w_b, k, threshold):
@@ -117,6 +124,102 @@ class HostIndex:
 
     def __len__(self) -> int:
         return self.n
+
+    # ------------------------------------------------------------ IVF (ANN)
+    def _rows_f32(self, idx: np.ndarray) -> np.ndarray:
+        """Dequantized [len(idx), 2, D] f32 rows (host)."""
+        x = np.asarray(self.emb[idx], np.float32) \
+            if self.dtype != "int8" else \
+            self.emb[idx].astype(np.float32) * self.scale[idx][..., None]
+        return x
+
+    def build_ivf(self, n_clusters: int | None = None,
+                  cap_factor: float = 4.0, iters: int = 10, seed: int = 0,
+                  save: bool = True, sample: int = 16384) -> None:
+        """One streaming pass over the memmap: train spherical k-means on
+        a row subsample, assign every successful (row, slot) vector, pack
+        buckets (index/ivf.py::pack_buckets). Persisted as ivf.npz next
+        to the memmaps (save=True) and auto-loaded by __init__, so the
+        build cost is paid once per index, not per process."""
+        from .ivf import _chunked_argmax_sim, pack_buckets, spherical_kmeans
+        rng = np.random.default_rng(seed)
+        take = min(self.n, max(sample // 2, 1))
+        t_rows = np.sort(rng.choice(self.n, size=take, replace=False))
+        xs = self._rows_f32(t_rows).reshape(-1, self.dim)
+        oks = np.asarray(self.success[t_rows]).reshape(-1) \
+            & (np.linalg.norm(xs, axis=1) > 0)
+        if n_clusters is None:
+            n_clusters = max(1, int(np.sqrt(2 * self.n)))
+        cent = spherical_kmeans(xs[oks], n_clusters, iters=iters,
+                                seed=seed)
+        n_clusters = int(cent.shape[0])
+        rows_all, assign_all, n_vec = [], [], 0
+        for lo in range(0, self.n, self.chunk):
+            hi = min(lo + self.chunk, self.n)
+            x = self._rows_f32(np.arange(lo, hi)).reshape(-1, self.dim)
+            ok = np.asarray(self.success[lo:hi]).reshape(-1) \
+                & (np.linalg.norm(x, axis=1) > 0)
+            rows = np.repeat(np.arange(lo, hi, dtype=np.int32), 2)[ok]
+            if len(rows):
+                rows_all.append(rows)
+                assign_all.append(_chunked_argmax_sim(x[ok], cent))
+                n_vec += len(rows)
+        rows_ok = np.concatenate(rows_all) if rows_all else \
+            np.zeros(0, np.int32)
+        assign = np.concatenate(assign_all) if assign_all else \
+            np.zeros(0, np.int32)
+        members, spill = pack_buckets(rows_ok, assign, n_clusters, n_vec,
+                                      cap_factor)
+        self._ivf = (np.asarray(cent, np.float32), members, spill)
+        if save:
+            np.savez(self.path / "ivf.npz", n=self.n,
+                     centroids=self._ivf[0], members=members, spill=spill)
+
+    def search_ivf(self, query_emb, asr_weight, audio_weight, k: int = 10,
+                   n_probe: int = 8, threshold: float = 0.1):
+        """Sublinear beyond-HBM search: centroid probe on host, gather
+        ONLY candidate rows from the memmap, ship them in the storage
+        dtype, score+top-k with the same device program as the streamed
+        path. Host->device traffic per query drops from the whole index
+        to ~n_probe/C of it — the difference between 30 GB and tens of
+        MB at 10M rows on a transfer-bound host. Full probe == search()."""
+        if self._ivf is None:
+            self.build_ivf()
+        cent, members, spill = self._ivf
+        q = np.asarray(query_emb, np.float32)
+        cs = cent @ q
+        n_probe = min(n_probe, len(cs))
+        probe = np.argpartition(-cs, n_probe - 1)[:n_probe]
+        cand = members[probe].reshape(-1)
+        cand = cand[cand >= 0]
+        if spill.size:
+            cand = np.concatenate([cand, spill])
+        cand = np.unique(cand)          # host dedup: rows scored once
+        if cand.size == 0:
+            return (np.zeros(0, np.float32), np.zeros(0, np.int64))
+        # pad to a power-of-two bucket so the jitted program compiles
+        # once per bucket; padding rows have success=False
+        b = 1024
+        while b < cand.size:
+            b *= 2
+        emb_c = np.zeros((b, 2, self.dim), self.emb.dtype)
+        ok_c = np.zeros((b, 2), np.bool_)
+        emb_c[: cand.size] = self.emb[cand]
+        ok_c[: cand.size] = self.success[cand]
+        sc_d = None
+        if self.scale is not None:
+            sc_c = np.zeros((b, 2), np.float32)
+            sc_c[: cand.size] = self.scale[cand]
+            sc_d = jnp.asarray(sc_c)
+        s, li = self._chunk_topk(
+            jnp.asarray(np.asarray(query_emb, np.float32)),
+            jnp.asarray(emb_c), jnp.asarray(ok_c), sc_d,
+            jnp.float32(asr_weight), jnp.float32(audio_weight),
+            k=min(k, int(cand.size)), threshold=threshold)
+        s = np.asarray(s)
+        gi = np.where(np.asarray(li) < cand.size,
+                      cand[np.minimum(np.asarray(li), cand.size - 1)], -1)
+        return s, gi
 
     def search(self, query_emb, asr_weight, audio_weight, k: int = 10,
                threshold: float = 0.1):

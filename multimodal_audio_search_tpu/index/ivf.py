@@ -359,32 +359,39 @@ def build_ivf(
     assign = _chunked_argmax_sim(x, cent) if len(x) else \
         np.zeros(0, np.int32)
 
-    cap = max(1, int(np.ceil(cap_factor * max(len(x), 1) / n_clusters)))
-    members = np.full((n_clusters, cap), -1, np.int32)
-    # vectorized packing (a per-(row,slot) Python loop ran for minutes at
-    # the 10M target scale and executed inside the first query after any
-    # store growth): dedup (row, cluster) pairs, group by cluster with a
-    # stable sort (rows ascending within each cluster), fill each bucket
-    # to cap, spill the rest
-    if len(rows_ok):
-        pair = rows_ok.astype(np.int64) * n_clusters \
-            + assign.astype(np.int64)
-        pair = np.unique(pair)   # both slots -> same cluster: insert once
-        r = (pair // n_clusters).astype(np.int32)
-        c = (pair % n_clusters).astype(np.int32)
-        order = np.argsort(c, kind="stable")
-        r_s, c_s = r[order], c[order]
-        counts = np.bincount(c_s, minlength=n_clusters)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pos = np.arange(len(c_s)) - starts[c_s]
-        in_cap = pos < cap
-        members[c_s[in_cap], pos[in_cap]] = r_s[in_cap]
-        spill_rows = np.unique(r_s[~in_cap]).astype(np.int32)
-    else:
-        spill_rows = np.zeros(0, np.int32)
+    members, spill_rows = pack_buckets(
+        rows_ok, assign, n_clusters, len(x), cap_factor)
     return IVFIndex(
         centroids=cent,
         members=jnp.asarray(members),
         spill=jnp.asarray(spill_rows),
         n_rows=n,
     )
+
+
+def pack_buckets(rows_ok: np.ndarray, assign: np.ndarray,
+                 n_clusters: int, n_vectors: int,
+                 cap_factor: float = 4.0) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized bucket packing (a per-(row,slot) Python loop ran for
+    minutes at the 10M target scale and executed inside the first query
+    after any store growth): dedup (row, cluster) pairs, group by
+    cluster with a stable sort (rows ascending within each cluster),
+    fill each bucket to cap, spill the rest. Returns
+    (members[C, cap] int32 -1-padded, spill[S] int32 sorted-unique)."""
+    cap = max(1, int(np.ceil(cap_factor * max(n_vectors, 1) / n_clusters)))
+    members = np.full((n_clusters, cap), -1, np.int32)
+    if not len(rows_ok):
+        return members, np.zeros(0, np.int32)
+    pair = rows_ok.astype(np.int64) * n_clusters + assign.astype(np.int64)
+    pair = np.unique(pair)       # both slots -> same cluster: insert once
+    r = (pair // n_clusters).astype(np.int32)
+    c = (pair % n_clusters).astype(np.int32)
+    order = np.argsort(c, kind="stable")
+    r_s, c_s = r[order], c[order]
+    counts = np.bincount(c_s, minlength=n_clusters)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(c_s)) - starts[c_s]
+    in_cap = pos < cap
+    members[c_s[in_cap], pos[in_cap]] = r_s[in_cap]
+    return members, np.unique(r_s[~in_cap]).astype(np.int32)

@@ -52,6 +52,39 @@ def test_host_index_matches_in_memory(rng, tmp_path, dtype):
     assert recs[0]["fusion_score"] == pytest.approx(float(s[0]))
 
 
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_host_ivf_full_probe_matches_streamed(rng, tmp_path, dtype):
+    """search_ivf with a full probe must equal the chunk-streamed
+    search() on the same memmaps (candidate set == every row with a
+    successful slot; identical device scoring program)."""
+    store, emb = make_store(rng, n=400)
+    build_host_index(store, tmp_path / "bivf", dtype=dtype)
+    idx = HostIndex(tmp_path / "bivf", chunk=128)
+    idx.build_ivf(n_clusters=12, seed=1)
+    q = emb[37, 0]
+    se, ie = idx.search(q, 0.6, 0.4, k=10)
+    sa, ia = idx.search_ivf(q, 0.6, 0.4, k=10, n_probe=12)
+    keep = se > -1e29
+    np.testing.assert_array_equal(ia[keep], ie[keep])
+    np.testing.assert_allclose(sa[keep], se[keep], rtol=1e-5, atol=1e-6)
+
+
+def test_host_ivf_persists_and_reloads(rng, tmp_path):
+    """build_ivf(save=True) writes ivf.npz; a fresh HostIndex auto-loads
+    it and serves identical results without rebuilding."""
+    store, emb = make_store(rng, n=300)
+    build_host_index(store, tmp_path / "bivf2", dtype="float32")
+    idx = HostIndex(tmp_path / "bivf2")
+    idx.build_ivf(n_clusters=10, seed=2)
+    q = emb[11, 1]
+    s1, i1 = idx.search_ivf(q, 0.5, 0.5, k=10, n_probe=10)
+    idx2 = HostIndex(tmp_path / "bivf2")
+    assert idx2._ivf is not None      # loaded from ivf.npz, no rebuild
+    s2, i2 = idx2.search_ivf(q, 0.5, 0.5, k=10, n_probe=10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
 def test_host_index_threshold_and_meta(rng, tmp_path):
     store, emb = make_store(rng, n=64)
     idx = build_host_index(store, tmp_path / "big2", dtype="float32")
