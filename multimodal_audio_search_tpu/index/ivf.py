@@ -369,6 +369,47 @@ def build_ivf(
     )
 
 
+def calibrate_n_probe(
+    ivf: IVFIndex,
+    emb, success,                # the index arrays (device or host)
+    queries: np.ndarray,         # [Q, D] unit-norm sample queries
+    w: tuple[float, float] = (0.6, 0.4),
+    target_overlap: float = 0.95,
+    k: int = 10,
+    threshold: float = 0.1,
+) -> int:
+    """Smallest power-of-two n_probe whose mean top-k overlap vs the
+    exact scan meets ``target_overlap`` on the sample queries (doubling
+    sweep; returns n_clusters if even a full probe is needed). Run once
+    at deploy time with production-like queries, then pin the result in
+    FusionConfig.ann_nprobe."""
+    from .fusion import fused_topk
+    emb_d = jnp.asarray(emb)
+    suc_d = jnp.asarray(success)
+    wa, wb = jnp.float32(w[0]), jnp.float32(w[1])
+    exact = []
+    for q in queries:
+        out = fused_topk(jnp.asarray(q), emb_d, suc_d, wa, wb, k=k,
+                         threshold=threshold)
+        s = np.asarray(out["scores"])
+        exact.append(set(np.asarray(out["indices"])[s > NEG_INF / 2]
+                         .tolist()))
+    n_probe = 1
+    while n_probe < ivf.n_clusters:
+        run = ivf.search_fn(k=k, n_probe=n_probe, threshold=threshold)
+        overlaps = []
+        for qi, q in enumerate(queries):
+            out = run(jnp.asarray(q), wa, wb, emb_d, suc_d)
+            s = np.asarray(out["scores"])
+            got = set(np.asarray(out["indices"])[s > NEG_INF / 2]
+                      .tolist())
+            overlaps.append(len(got & exact[qi]) / max(len(exact[qi]), 1))
+        if float(np.mean(overlaps)) >= target_overlap:
+            return n_probe
+        n_probe *= 2
+    return ivf.n_clusters
+
+
 def pack_buckets(rows_ok: np.ndarray, assign: np.ndarray,
                  n_clusters: int, n_vectors: int,
                  cap_factor: float = 4.0) \

@@ -214,6 +214,35 @@ def test_searcher_mesh_ivf_matches_exact(rng):
         assert abs(g["fusion_score"] - e["fusion_score"]) < 1e-5
 
 
+def test_calibrate_n_probe(rng):
+    """On well-separated clustered data the calibrator returns a small
+    n_probe; an unreachable target degrades to a full probe."""
+    from multimodal_audio_search_tpu.index.ivf import calibrate_n_probe
+    d, per = 16, 30
+    centers = rng.normal(size=(8, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    pts = (centers[:, None, :] + (0.2 / np.sqrt(d)) * rng.normal(
+        size=(8, per, d))).reshape(-1, d).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    emb = np.stack([pts, pts], axis=1)
+    success = np.ones((len(pts), 2), bool)
+    ivf = build_ivf(emb, success, n_clusters=8, seed=8)
+    qs = (centers[:4] + (0.3 / np.sqrt(d)) * rng.normal(
+        size=(4, d))).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+    npb = calibrate_n_probe(ivf, emb, success, qs, target_overlap=0.9)
+    assert 1 <= npb <= ivf.n_clusters
+    # the chosen n_probe actually delivers the target
+    run = ivf.search_fn(k=10, n_probe=npb)
+    for qi, q in enumerate(qs):
+        es, ei = _exact(emb, success, q)
+        out = run(jnp.asarray(q), jnp.float32(0.6), jnp.float32(0.4),
+                  jnp.asarray(emb), jnp.asarray(success))
+        s = np.asarray(out["scores"])
+        got = set(np.asarray(out["indices"])[s > -1e29].tolist())
+        assert len(got & set(ei.tolist())) / max(len(ei), 1) >= 0.5
+
+
 def test_incremental_rebuild_reuses_centroids(rng):
     """After growth, build_ivf(centroids=...) re-assigns without k-means;
     full-probe equality holds on the grown index."""
