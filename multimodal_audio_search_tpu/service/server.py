@@ -458,9 +458,15 @@ class AudioSearchHandler(BaseHTTPRequestHandler):
                     body = self.engine.export_stats_json()
                 self._send(200, body.encode())
             elif url.path == "/metrics":
+                with self.jobs_lock:
+                    states = [j["state"] for j in self.jobs.values()]
+                    qb = self.jobs_queued_bytes["v"]
                 with self.lock:
                     body = self.engine.stats.export_prometheus(
-                        {"index_segments": len(self.engine.store)})
+                        {"index_segments": len(self.engine.store),
+                         "ingest_jobs_queued": states.count("queued"),
+                         "ingest_jobs_running": states.count("running"),
+                         "ingest_jobs_queued_bytes": qb})
                 self._send(200, body.encode(),
                            "text/plain; version=0.0.4")
             elif url.path == "/api/metrics.csv":

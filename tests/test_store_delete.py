@@ -89,6 +89,8 @@ def test_prometheus_metrics_endpoint(server):
     assert "# TYPE mas_calls_total counter" in body
     assert 'mas_calls_total{pipeline="asr_pipeline"}' in body
     assert "mas_index_segments" in body
+    assert "mas_ingest_jobs_queued" in body
+    assert "mas_ingest_jobs_queued_bytes" in body
     # every sample line parses as <name>{labels}? <float>
     for line in body.strip().splitlines():
         if line.startswith("#"):
