@@ -161,3 +161,75 @@ def hierarchical_sharded_topk(
         out_specs=(P(), P()),
         check_vma=False)
     return jax.jit(fn)
+
+
+def hierarchical_sharded_ivf(
+    mesh: Mesh,
+    layout,                       # index.ivf.ShardedIVF over dcn*data shards
+    k: int = 10,
+    n_probe: int = 8,
+    threshold: float = 0.1,
+):
+    """IVF candidate generation under the hybrid mesh: each of the
+    dcn*data shards probes its OWN buckets and rescores exactly
+    (index/ivf.py math), then candidates merge in the same two stages as
+    hierarchical_sharded_topk — k per device over 'data' (ICI), k
+    finalists per slice over 'dcn'. fn(query, cent, members, spill, emb,
+    success, w_asr, w_audio) -> (scores[k], global_indices[k]); all
+    index-shaped args sharded P(("dcn","data")) on axis 0 (shard order
+    == build_ivf_sharded block order)."""
+    n_probe_ = min(n_probe, layout.n_clusters)
+
+    def local_search(query, cent, members, spill, emb, success,
+                     w_asr, w_audio):
+        q = query.astype(jnp.float32)
+        cs = cent[0] @ q
+        _, probe = jax.lax.top_k(cs, n_probe_)
+        cand = members[0][probe].reshape(-1)
+        cand = jnp.concatenate([cand, spill[0]])
+        valid_cand = cand >= 0
+        cand = jnp.where(valid_cand, cand, 0)
+        sims = jnp.einsum(
+            "npd,d->np", emb[cand].astype(jnp.float32), q,
+            preferred_element_type=jnp.float32)
+        w = jnp.stack([w_asr, w_audio]).astype(jnp.float32)
+        eff = w[None, :] * success[cand].astype(jnp.float32)
+        total = jnp.sum(eff, axis=-1)
+        eff = eff / jnp.maximum(total, 1e-30)[:, None]
+        score = jnp.sum(eff * sims, axis=-1)
+        ok = (jnp.any(sims > 0.0, axis=-1) & (total > 0.0)
+              & (score > threshold) & valid_cand)
+        score = jnp.where(ok, score, -1e30)
+        order = jnp.lexsort((-score, cand))
+        rows_s = cand[order]
+        score_s = jnp.where(
+            jnp.concatenate([jnp.ones((1,), bool),
+                             rows_s[1:] != rows_s[:-1]]),
+            score[order], -1e30)
+        kk = min(k, score_s.shape[0])
+        top_s, top_i = jax.lax.top_k(score_s, kk)
+        li = jnp.where(top_s > -5e29, rows_s[top_i], 0)
+        d_idx = jax.lax.axis_index("data")
+        c_idx = jax.lax.axis_index("dcn")
+        data_ax = jax.lax.axis_size("data")
+        shard = c_idx * data_ax + d_idx
+        gi = jnp.where(top_s > -5e29, li + shard * emb.shape[0], -1)
+        # stage 1: merge within the ICI slice
+        s1 = jax.lax.all_gather(top_s, "data", tiled=True)
+        i1 = jax.lax.all_gather(gi, "data", tiled=True)
+        s1, o1 = jax.lax.top_k(s1, kk)
+        i1 = jnp.take(i1, o1)
+        # stage 2: k finalists per slice cross DCN
+        s2 = jax.lax.all_gather(s1, "dcn", tiled=True)
+        i2 = jax.lax.all_gather(i1, "dcn", tiled=True)
+        s, o2 = jax.lax.top_k(s2, kk)
+        return s, jnp.take(i2, o2)
+
+    fn = jax.shard_map(
+        local_search, mesh=mesh,
+        in_specs=(P(), P(("dcn", "data")), P(("dcn", "data")),
+                  P(("dcn", "data")), P(("dcn", "data")),
+                  P(("dcn", "data")), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(fn)

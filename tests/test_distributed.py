@@ -59,6 +59,44 @@ def test_hierarchical_search_matches_flat(rng, dcn, mp):
 
 
 @needs_8
+def test_hierarchical_ivf_matches_flat(rng):
+    """IVF under the hybrid (dcn, data, model) mesh: per-shard buckets,
+    two-stage candidate merge; full probe == the flat exact fused_topk
+    (scores, global indices)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax
+    from multimodal_audio_search_tpu.index.ivf import build_ivf_sharded
+    from multimodal_audio_search_tpu.parallel.distributed import (
+        hierarchical_sharded_ivf)
+
+    mesh = make_dcn_mesh(dcn=2, model_parallel=2)   # (2, 2, 2)
+    n_shards = mesh.shape["dcn"] * mesh.shape["data"]
+    n, d, k = 16 * 8, 32, 10
+    emb = rng.normal(size=(n, 2, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    ok = rng.random((n, 2)) > 0.3
+    emb[~ok] = 0.0
+    q = emb[37, 1]
+    ref = fused_topk(jnp.asarray(q), jnp.asarray(emb), jnp.asarray(ok),
+                     jnp.float32(0.7), jnp.float32(0.3), k=k)
+    layout = build_ivf_sharded(emb, ok, n_shards, n_clusters=4)
+    sh = NamedSharding(mesh, P(("dcn", "data")))
+    args = [jax.device_put(a, sh) for a in
+            (layout.centroids, layout.members, layout.spill,
+             jnp.asarray(emb), jnp.asarray(ok))]
+    search = hierarchical_sharded_ivf(mesh, layout, k=k,
+                                      n_probe=layout.n_clusters)
+    s, i = search(jnp.asarray(q), *args,
+                  jnp.float32(0.7), jnp.float32(0.3))
+    rs = np.asarray(ref["scores"])
+    keep = rs > -1e29
+    np.testing.assert_array_equal(np.asarray(i)[keep],
+                                  np.asarray(ref["indices"])[keep])
+    np.testing.assert_allclose(np.asarray(s)[keep], rs[keep],
+                               rtol=1e-5, atol=1e-6)
+
+
+@needs_8
 def test_train_step_over_dcn_mesh(rng):
     from multimodal_audio_search_tpu.models import whisper as W
     from multimodal_audio_search_tpu.parallel.mesh import shard_params
