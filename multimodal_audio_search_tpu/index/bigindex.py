@@ -79,8 +79,11 @@ def build_host_index(store, path, dtype: str = "float32",
             f.write(json.dumps({k: v for k, v in m.items()
                                 if k not in ("audio_data",)},
                                default=float) + "\n")
+    import uuid
+    (p / "ivf.npz").unlink(missing_ok=True)   # layout of any prior build
     with open(p / "index.json", "w") as f:
-        json.dump({"n": n, "dim": d, "dtype": dtype}, f)
+        json.dump({"n": n, "dim": d, "dtype": dtype,
+                   "build_id": uuid.uuid4().hex}, f)
     return HostIndex(p)
 
 
@@ -104,12 +107,20 @@ class HostIndex:
         self.meta = [json.loads(line)
                      for line in (p / "meta.jsonl").read_text().splitlines()]
         self.chunk = chunk
+        self.max_candidate_bytes = 512 * 1024 * 1024
         self.path = p
+        self.build_id = spec.get("build_id", "")
         self._ivf = None                # (centroids, members, spill)
         ivf_p = p / "ivf.npz"
         if ivf_p.exists():
             z = np.load(ivf_p)
-            if int(z["n"]) == self.n:   # stale layouts are ignored
+            # stale layouts are ignored: the build_id ties the layout to
+            # ONE build_host_index run (a same-size rebuild at the same
+            # path would otherwise reuse buckets built for other data —
+            # the same bug class SegmentStore.version fixes in-memory);
+            # build_host_index also unlinks ivf.npz.
+            bid = str(z["build_id"]) if "build_id" in z.files else ""
+            if int(z["n"]) == self.n and bid == self.build_id:
                 self._ivf = (z["centroids"], z["members"], z["spill"])
 
         @functools.partial(jax.jit, static_argnames=("k", "threshold"))
@@ -173,6 +184,7 @@ class HostIndex:
         self._ivf = (np.asarray(cent, np.float32), members, spill)
         if save:
             np.savez(self.path / "ivf.npz", n=self.n,
+                     build_id=self.build_id,
                      centroids=self._ivf[0], members=members, spill=spill)
 
     def search_ivf(self, query_emb, asr_weight, audio_weight, k: int = 10,
@@ -197,6 +209,16 @@ class HostIndex:
         cand = np.unique(cand)          # host dedup: rows scored once
         if cand.size == 0:
             return (np.zeros(0, np.float32), np.zeros(0, np.int64))
+        # a near-full probe would materialize ~the whole index in host
+        # RAM as one padded buffer, defeating the memmap design — past
+        # the budget, the chunk-streamed exact path is both cheaper and
+        # identical in results (superset candidate set)
+        cand_bytes = 2 * cand.size * (2 * self.dim * self.emb.itemsize
+                                      + (8 if self.scale is not None
+                                         else 0))
+        if cand_bytes > self.max_candidate_bytes:
+            return self.search(query_emb, asr_weight, audio_weight, k=k,
+                               threshold=threshold)
         # pad to a power-of-two bucket so the jitted program compiles
         # once per bucket; padding rows have success=False
         b = 1024

@@ -99,11 +99,26 @@ def spherical_kmeans(
     return cent
 
 
-@functools.partial(jax.jit, static_argnames=("n_probe", "k", "threshold"))
-def _ivf_query(query_emb, w_asr, w_audio, centroids, members, spill,
-               emb, success, *, n_probe: int, k: int, threshold: float):
-    q = query_emb.astype(jnp.float32)
-    cs = centroids @ q                               # [C]
+def local_candidate_scores(q, centroids, members, spill, emb, success,
+                           w_asr, w_audio, *, n_probe: int,
+                           threshold: float):
+    """Shared probe -> gather -> exact-fused-score -> dedup body (used
+    by the single-device, mesh-sharded, and hierarchical DCN queries —
+    one place to fix the scoring/dedup logic).
+
+    Inputs are UNBATCHED per shard: centroids [C, D], members [C, cap]
+    (-1 padded), spill [S] (may be -1 padded), emb [N_local, 2, D],
+    success [N_local, 2]. Returns (score_s, rows_s): candidate scores
+    sorted by (row asc, score desc) with duplicates and invalid rows at
+    NEG_INF — callers top_k and globalize."""
+    cs = centroids.astype(jnp.float32) @ q
+    # clusters with no members (zero-centroid padding from uneven
+    # sharded stacking, or genuinely empty clusters) must rank BELOW
+    # every real cluster — a zero centroid's cs=0 would otherwise beat
+    # real centroids with negative query similarity and waste probes
+    live = jnp.any(members >= 0, axis=-1)            # [C]
+    cs = jnp.where(live, cs, NEG_INF)
+    n_probe = min(n_probe, int(centroids.shape[0]))
     _, probe = jax.lax.top_k(cs, n_probe)            # [P]
     cand = members[probe].reshape(-1)                # [P*cap]
     if spill.shape[0]:
@@ -132,7 +147,17 @@ def _ivf_query(query_emb, w_asr, w_audio, centroids, members, spill,
     score_s = score[order]
     first = jnp.concatenate(
         [jnp.ones((1,), bool), rows_s[1:] != rows_s[:-1]])
-    score_s = jnp.where(first, score_s, NEG_INF)
+    return jnp.where(first, score_s, NEG_INF), rows_s
+
+
+@functools.partial(jax.jit, static_argnames=("n_probe", "k", "threshold"))
+def _ivf_query(query_emb, w_asr, w_audio, centroids, members, spill,
+               emb, success, *, n_probe: int, k: int, threshold: float):
+    q = query_emb.astype(jnp.float32)
+    score_s, rows_s = local_candidate_scores(
+        q, centroids, members, spill, emb, success, w_asr, w_audio,
+        n_probe=n_probe, threshold=threshold)
+    w = jnp.stack([w_asr, w_audio]).astype(jnp.float32)
     kk = min(k, score_s.shape[0])
     top_s, top_i = jax.lax.top_k(score_s, kk)
     hit = top_s > NEG_INF / 2
@@ -214,21 +239,28 @@ def build_ivf_sharded(
     cap_factor: float = 4.0,
     iters: int = 10,
     seed: int = 0,
+    centroids: jnp.ndarray | None = None,   # [n_shards, C, D] to reuse
 ) -> ShardedIVF:
     """Build one IVF layout per contiguous row shard (matching the
     store's P('data') axis-0 sharding) and stack them to uniform shapes
-    (zero-padded centroids rank lowest in the probe; -1 member/spill
-    padding is masked in the query)."""
+    (padding centroids have no members, so the query's live-cluster mask
+    ranks them below every real cluster; -1 member/spill padding is
+    masked too). Pass ``centroids`` (a previous layout's stack) to skip
+    per-shard k-means and only re-assign/re-pack."""
     emb_np = np.asarray(emb, np.float32)
     suc_np = np.asarray(success, bool)
     n = len(emb_np)
     if n % n_shards:
         raise ValueError(f"{n} rows do not divide into {n_shards} shards")
+    if centroids is not None and centroids.shape[0] != n_shards:
+        centroids = None        # shard count changed: full rebuild
     blk = n // n_shards
     parts = [build_ivf(emb_np[s * blk:(s + 1) * blk],
                        suc_np[s * blk:(s + 1) * blk],
                        n_clusters=n_clusters, cap_factor=cap_factor,
-                       iters=iters, seed=seed + s)
+                       iters=iters, seed=seed + s,
+                       centroids=None if centroids is None
+                       else jnp.asarray(np.asarray(centroids)[s]))
              for s in range(n_shards)]
     c_max = max(p.n_clusters for p in parts)
     cap_max = max(int(p.members.shape[1]) for p in parts)
@@ -260,31 +292,12 @@ def sharded_ivf_search_impl(mesh, layout: ShardedIVF, k: int = 10,
     def local_search(query, cent, members, spill, emb, success,
                      w_asr, w_audio):
         # per shard: cent [1, C, D], members [1, C, cap], spill [1, S],
-        # emb [blk, 2, D]
+        # emb [blk, 2, D] — local body shared with every IVF query path
         q = query.astype(jnp.float32)
-        cs = cent[0] @ q
-        _, probe = jax.lax.top_k(cs, n_probe_)
-        cand = members[0][probe].reshape(-1)
-        cand = jnp.concatenate([cand, spill[0]])
-        valid_cand = cand >= 0
-        cand = jnp.where(valid_cand, cand, 0)
-        sims = jnp.einsum(
-            "npd,d->np", emb[cand].astype(jnp.float32), q,
-            preferred_element_type=jnp.float32)
+        score_s, rows_s = local_candidate_scores(
+            q, cent[0], members[0], spill[0], emb, success,
+            w_asr, w_audio, n_probe=n_probe_, threshold=threshold)
         w = jnp.stack([w_asr, w_audio]).astype(jnp.float32)
-        eff = w[None, :] * success[cand].astype(jnp.float32)
-        total = jnp.sum(eff, axis=-1)
-        eff = eff / jnp.maximum(total, 1e-30)[:, None]
-        score = jnp.sum(eff * sims, axis=-1)
-        ok = (jnp.any(sims > 0.0, axis=-1) & (total > 0.0)
-              & (score > threshold) & valid_cand)
-        score = jnp.where(ok, score, NEG_INF)
-        order = jnp.lexsort((-score, cand))
-        rows_s = cand[order]
-        score_s = jnp.where(
-            jnp.concatenate([jnp.ones((1,), bool),
-                             rows_s[1:] != rows_s[:-1]]),
-            score[order], NEG_INF)
         kk = min(k, score_s.shape[0])
         top_s, top_i = jax.lax.top_k(score_s, kk)
         hit = top_s > NEG_INF / 2

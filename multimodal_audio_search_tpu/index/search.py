@@ -87,10 +87,19 @@ class FusionSearcher:
             # without changing the count (review round-3b finding)
             key = (getattr(self.store, "version", n), emb.shape[0])
             if self._ivf is None or getattr(self, "_ivf_key", None) != key:
+                cent = None
+                if self._ivf is not None and abs(
+                        n - getattr(self, "_ivf_rows", n)) \
+                        <= growth * max(getattr(self, "_ivf_rows", 1), 1):
+                    cent = self._ivf.centroids   # re-assign/repack only
                 h_emb, h_suc = self.store.host_index(padded=True)
                 self._ivf = build_ivf_sharded(
-                    h_emb, h_suc, dp, n_clusters=n_clusters)
+                    h_emb, h_suc, dp, n_clusters=n_clusters,
+                    centroids=cent)
                 self._ivf_key = key
+                self._ivf_rows = n
+                self._ivf_spill = int(np.count_nonzero(
+                    np.asarray(self._ivf.spill) >= 0))
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 import jax
                 s = NamedSharding(self.mesh, P("data"))
@@ -120,6 +129,7 @@ class FusionSearcher:
             self._ivf = build_ivf(h_emb, h_suc, n_clusters=n_clusters,
                                   centroids=cent)
             self._ivf_key = ver
+            self._ivf_spill = int(self._ivf.spill.shape[0])
         emb, ok = self.store.device_index(
             getattr(self.cfg, "index_dtype", "float32"))
         run = self._ivf.search_fn(
@@ -297,8 +307,10 @@ class FusionSearcher:
                         "n_probe": min(self._ivf_cfg[0],
                                        self._ivf.n_clusters),
                         "sharded": self.mesh is not None,
-                        "spill": int(np.count_nonzero(
-                            np.asarray(self._ivf.spill) >= 0))},
+                        # cached at build time: counting the device
+                        # array here would add a ~30 ms tunnel readback
+                        # to every query
+                        "spill": getattr(self, "_ivf_spill", 0)},
                 "latency_s": time.perf_counter() - t0,
             }
         emb, ok = self.store.device_index(

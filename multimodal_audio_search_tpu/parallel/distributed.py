@@ -182,38 +182,21 @@ def hierarchical_sharded_ivf(
 
     def local_search(query, cent, members, spill, emb, success,
                      w_asr, w_audio):
+        # local body shared with every IVF query path (index/ivf.py)
+        from ..index.ivf import NEG_INF, local_candidate_scores
         q = query.astype(jnp.float32)
-        cs = cent[0] @ q
-        _, probe = jax.lax.top_k(cs, n_probe_)
-        cand = members[0][probe].reshape(-1)
-        cand = jnp.concatenate([cand, spill[0]])
-        valid_cand = cand >= 0
-        cand = jnp.where(valid_cand, cand, 0)
-        sims = jnp.einsum(
-            "npd,d->np", emb[cand].astype(jnp.float32), q,
-            preferred_element_type=jnp.float32)
-        w = jnp.stack([w_asr, w_audio]).astype(jnp.float32)
-        eff = w[None, :] * success[cand].astype(jnp.float32)
-        total = jnp.sum(eff, axis=-1)
-        eff = eff / jnp.maximum(total, 1e-30)[:, None]
-        score = jnp.sum(eff * sims, axis=-1)
-        ok = (jnp.any(sims > 0.0, axis=-1) & (total > 0.0)
-              & (score > threshold) & valid_cand)
-        score = jnp.where(ok, score, -1e30)
-        order = jnp.lexsort((-score, cand))
-        rows_s = cand[order]
-        score_s = jnp.where(
-            jnp.concatenate([jnp.ones((1,), bool),
-                             rows_s[1:] != rows_s[:-1]]),
-            score[order], -1e30)
+        score_s, rows_s = local_candidate_scores(
+            q, cent[0], members[0], spill[0], emb, success,
+            w_asr, w_audio, n_probe=n_probe_, threshold=threshold)
         kk = min(k, score_s.shape[0])
         top_s, top_i = jax.lax.top_k(score_s, kk)
-        li = jnp.where(top_s > -5e29, rows_s[top_i], 0)
+        hit = top_s > NEG_INF / 2
+        li = jnp.where(hit, rows_s[top_i], 0)
         d_idx = jax.lax.axis_index("data")
         c_idx = jax.lax.axis_index("dcn")
         data_ax = jax.lax.axis_size("data")
         shard = c_idx * data_ax + d_idx
-        gi = jnp.where(top_s > -5e29, li + shard * emb.shape[0], -1)
+        gi = jnp.where(hit, li + shard * emb.shape[0], -1)
         # stage 1: merge within the ICI slice
         s1 = jax.lax.all_gather(top_s, "data", tiled=True)
         i1 = jax.lax.all_gather(gi, "data", tiled=True)

@@ -85,6 +85,42 @@ def test_host_ivf_persists_and_reloads(rng, tmp_path):
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
 
 
+def test_host_ivf_stale_layout_ignored_after_rebuild(rng, tmp_path):
+    """Rebuilding the host index at the same path with DIFFERENT data of
+    the same size must not reuse the previous build's ivf.npz (build_id
+    token + unlink)."""
+    store_a, _ = make_store(rng, n=200)
+    build_host_index(store_a, tmp_path / "b", dtype="float32")
+    idx = HostIndex(tmp_path / "b")
+    idx.build_ivf(n_clusters=8, seed=3)
+    assert (tmp_path / "b" / "ivf.npz").exists()
+    store_b, emb_b = make_store(rng, n=200)   # same size, new vectors
+    build_host_index(store_b, tmp_path / "b", dtype="float32")
+    idx2 = HostIndex(tmp_path / "b")
+    assert idx2._ivf is None                  # stale layout rejected
+    idx2.build_ivf(n_clusters=8, seed=4)
+    q = emb_b[5, 0]
+    se, ie = idx2.search(q, 0.6, 0.4, k=10)
+    sa, ia = idx2.search_ivf(q, 0.6, 0.4, k=10, n_probe=8)
+    keep = se > -1e29
+    np.testing.assert_array_equal(ia[keep], ie[keep])
+
+
+def test_host_ivf_large_probe_falls_back_to_stream(rng, tmp_path):
+    """Candidate sets past the RAM budget route through the chunked
+    exact search (identical results, no monolithic padded buffer)."""
+    store, emb = make_store(rng, n=300)
+    build_host_index(store, tmp_path / "bfb", dtype="float32")
+    idx = HostIndex(tmp_path / "bfb", chunk=128)
+    idx.build_ivf(n_clusters=10, seed=5)
+    idx.max_candidate_bytes = 1          # force the fallback
+    q = emb[9, 0]
+    se, ie = idx.search(q, 0.6, 0.4, k=10)
+    sa, ia = idx.search_ivf(q, 0.6, 0.4, k=10, n_probe=10)
+    np.testing.assert_array_equal(ia, ie)
+    np.testing.assert_allclose(sa, se, rtol=1e-6)
+
+
 def test_host_index_threshold_and_meta(rng, tmp_path):
     store, emb = make_store(rng, n=64)
     idx = build_host_index(store, tmp_path / "big2", dtype="float32")

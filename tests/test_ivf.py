@@ -6,6 +6,7 @@ with n_probe == n_clusters the result equals the exact fused_topk —
 approximation only ever narrows the candidate set.
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from multimodal_audio_search_tpu.index.fusion import fused_topk
@@ -212,6 +213,33 @@ def test_searcher_mesh_ivf_matches_exact(rng):
     assert [r["index"] for r in a_rows] == [r["index"] for r in e_rows]
     for g, e in zip(a_rows, e_rows):
         assert abs(g["fusion_score"] - e["fusion_score"]) < 1e-5
+
+
+def test_empty_clusters_rank_below_negative_sims(rng):
+    """A memberless cluster (zero-centroid padding or genuinely empty)
+    must never win a probe slot over a real cluster with NEGATIVE query
+    similarity — the live-cluster mask sends it to NEG_INF."""
+    import jax.numpy as jnp2
+    from multimodal_audio_search_tpu.index.ivf import (
+        local_candidate_scores)
+    d = 8
+    v = np.zeros(d, np.float32)
+    v[0] = 1.0
+    q = jnp2.asarray(-v)                       # sim(real centroid) = -1
+    centroids = jnp2.asarray(np.stack([v, np.zeros(d, np.float32)]))
+    members = jnp2.asarray(np.array([[0, -1], [-1, -1]], np.int32))
+    spill = jnp2.asarray(np.zeros(0, np.int32))
+    emb = np.zeros((1, 2, d), np.float32)
+    emb[0, 0] = -v                             # sim(q, row 0 slot 0) = 1
+    success = np.array([[True, False]])
+    score_s, rows_s = local_candidate_scores(
+        q, centroids, members, spill, jnp2.asarray(emb),
+        jnp2.asarray(success), jnp2.float32(1.0), jnp2.float32(0.0),
+        n_probe=1, threshold=0.1)
+    # with the mask, probe 1 picks the REAL cluster despite cs=-1 < 0,
+    # and row 0 scores 1.0; without it the empty cluster (cs=0) wins
+    # and nothing is found
+    assert float(np.max(np.asarray(score_s))) == pytest.approx(1.0)
 
 
 def test_calibrate_n_probe(rng):
