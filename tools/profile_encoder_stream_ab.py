@@ -53,34 +53,36 @@ def main() -> None:
     bo = jnp.asarray(rng.normal(size=hd) * 0.01, dt)
     reps = 8 if on_tpu else 1
 
-    def stage_time(blk_q, blk_k):
+    def stage_time(blk_q, blk_k, use_exp2=False):
         # arrays as jit operands (closure bake -> HTTP 413 at t=1500)
         @jax.jit
         def run(q, k, v, x, wo, bo):
             def body(i, acc):
                 y = fused_attention_o_residual(
                     q, k, v, (x * (1 + acc * 1e-30)).astype(x.dtype),
-                    wo, bo, blk_q=blk_q, blk_k=blk_k)
+                    wo, bo, blk_q=blk_q, blk_k=blk_k, use_exp2=use_exp2)
                 return jnp.float32(
                     y.ravel()[0].astype(jnp.float32)) * 1e-30
             return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
         return max(_sync_time(run, *qkvx, wo, bo) - rtt, 1e-6) / reps
 
-    # (blk_q, blk_k): None = full-T in-tile divide (round-3 production)
-    cases = [(128, None), (256, 512), (512, 512), (256, 256), (512, 768),
-             (128, 512)]
+    # (blk_q, blk_k, exp2): blk_k None = full-T in-tile divide (round-3
+    # production formulation)
+    cases = [(128, None, False), (256, 512, False), (512, 512, False),
+             (256, 256, False), (512, 768, False), (128, 512, False),
+             (256, 512, True), (512, 512, True)]
     ref = None
-    for blk_q, blk_k in cases:
-        tag = f"t={t_ctx} blk_q={blk_q} blk_k={blk_k}"
+    for blk_q, blk_k, x2 in cases:
+        tag = f"t={t_ctx} blk_q={blk_q} blk_k={blk_k} exp2={x2}"
         try:
             t_pad = _round_up(t_ctx, blk_q)
             if blk_k:
                 t_pad = _round_up(t_pad, blk_k)
             flops = 4 * b * h * t_pad * t_pad * d + 2 * b * t_pad * hd * hd
-            sv = stage_time(blk_q, blk_k)
+            sv = stage_time(blk_q, blk_k, x2)
             got = fused_attention_o_residual(
-                *qkvx, wo, bo, blk_q=blk_q, blk_k=blk_k)
+                *qkvx, wo, bo, blk_q=blk_q, blk_k=blk_k, use_exp2=x2)
             if ref is None:
                 ref = got
             err = float(jnp.max(jnp.abs(
