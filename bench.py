@@ -440,33 +440,45 @@ def main() -> None:
     common = dict(on_tpu=on_tpu, audio_seconds=audio_seconds, batch=batch,
                   max_new=max_new, n_index=n_index, n_queries=n_queries,
                   asr_preset=asr_preset, cap_preset=cap_preset, cal=cal)
-    # parity mode = engine defaults (exact reference-parity search results)
-    parity = measure_mode("parity", short_context=False, int8_kv=False,
-                          fused_layer=False, index_dtype=jnp.float32,
-                          **common)
+
+    def guarded(name, **kw):
+        # one mode's failure (e.g. a fresh Mosaic compile rejecting a
+        # kernel variant) must degrade THAT mode, never the whole bench
+        # line the driver records
+        try:
+            return measure_mode(name, **kw)
+        except Exception as e:  # noqa: BLE001
+            return {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # fast mode = every opt-in perf lever (cross_attn="auto" resolves to
-    # the fused kernel on TPU at this context length)
-    # mulaw8 halves host->device bytes (ingest is transfer-bound through
-    # the tunnel); token agreement with float32 transfer is tested
-    # (tests/test_transfer_dtype.py) and the mode is opt-in like the rest
-    fast = measure_mode("fast", short_context=True, int8_kv=False,
-                        fused_layer=on_tpu, transfer_dtype="mulaw8",
-                        fused_encoder=on_tpu,
-                        index_dtype=jnp.bfloat16 if on_tpu
-                        else jnp.float32, **common)
+    # the fused kernel on TPU at this context length); mulaw8 halves
+    # host->device bytes (ingest is transfer-bound through the tunnel).
+    # Measured FIRST so the headline number exists even if a later
+    # mode's fresh compile fails.
+    fast = guarded("fast", short_context=True, int8_kv=False,
+                   fused_layer=on_tpu, transfer_dtype="mulaw8",
+                   fused_encoder=on_tpu,
+                   index_dtype=jnp.bfloat16 if on_tpu
+                   else jnp.float32, **common)
+    # parity mode = engine defaults (exact reference-parity search results)
+    parity = guarded("parity", short_context=False, int8_kv=False,
+                     fused_layer=False, index_dtype=jnp.float32,
+                     **common)
     # fast_lossless = only the levers measured TRANSCRIPT-EXACT on the
     # self-trained oracle (docs/BENCHMARKS.md drift table): int12 packed
     # transfer + fused decode/encode kernels, full 30 s context, f32
     # index — the recommended production configuration
-    lossless = measure_mode("fast_lossless", short_context=False,
-                            int8_kv=False, fused_layer=on_tpu,
-                            transfer_dtype="int12", fused_encoder=on_tpu,
-                            index_dtype=jnp.float32, **common)
+    lossless = guarded("fast_lossless", short_context=False,
+                       int8_kv=False, fused_layer=on_tpu,
+                       transfer_dtype="int12", fused_encoder=on_tpu,
+                       index_dtype=jnp.float32, **common)
 
     ivf = measure_ivf(n_index, n_queries, cal)
 
     baseline = 60.0  # audio-sec/sec/chip target (BASELINE.md)
-    throughput = fast["ingest_audio_sec_per_sec"]
+    throughput = next(
+        (m["ingest_audio_sec_per_sec"] for m in (fast, lossless, parity)
+         if "ingest_audio_sec_per_sec" in m), 0.0)
     print(json.dumps({
         "metric": "ingest_audio_seconds_per_sec_per_chip",
         "value": throughput,
