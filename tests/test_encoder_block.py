@@ -110,6 +110,54 @@ def test_attn_o_residual_exp2_matches(rng):
                                    atol=1e-5)
 
 
+def test_attn_o_residual_bf16_streaming_close(rng):
+    """Production dtype sanity: the streaming path at bf16 stays within
+    bf16 rounding of the f32 XLA reference."""
+    b, heads, t, d = 1, 2, 40, 16
+    hd = heads * d
+    q, k, v = (jnp.asarray(rng.normal(size=(b, heads, t, d)), jnp.float32)
+               for _ in range(3))
+    x = jnp.asarray(rng.normal(size=(b, t, hd)), jnp.float32)
+    o = L.init_dense(jax.random.PRNGKey(6), hd, hd)
+    ref = x + L.dense(o, L.merge_heads(L.attention_scores(q, k, v)))
+    out = fused_attention_o_residual(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
+        o["w"].astype(jnp.bfloat16), o["b"].astype(jnp.bfloat16),
+        blk_q=16, blk_k=16, interpret=True)
+    err = np.max(np.abs(np.asarray(out, np.float32) - np.asarray(ref)))
+    assert err < 0.15, err  # bf16 rounding through 3 matmuls
+
+
+def test_encode_long_context_streaming_wiring(rng, monkeypatch):
+    """W.encode at t > 512 routes through the streaming (blk_k) kernel
+    configuration; full encode must match the plain path (interpret
+    mode on CPU)."""
+    import multimodal_audio_search_tpu.ops.encoder_block as eb_mod
+
+    orig = eb_mod.fused_attention_o_residual
+    seen = {}
+
+    def spy(*a, **kw):
+        seen.update({k: v for k, v in kw.items()
+                     if k in ("blk_q", "blk_k")})
+        return orig(*a, **{**kw, "interpret": True})
+
+    monkeypatch.setattr(eb_mod, "fused_attention_o_residual", spy)
+    cfg = W.WhisperConfig(
+        vocab_size=64, d_model=32, enc_layers=1, dec_layers=1, heads=2,
+        ffn=64, enc_positions=600, dec_positions=8,
+        bos_token_id=60, eos_token_id=61, pad_token_id=61)
+    params = W.init_params(jax.random.PRNGKey(1), cfg)
+    mel = jnp.asarray(rng.normal(size=(1, cfg.n_mels, 1200)) * 0.5,
+                      jnp.float32)
+    ref = W.encode(params, mel, cfg, fused_attention=False)
+    out = W.encode(params, mel, cfg, fused_blocks=True)
+    assert seen == {"blk_q": 256, "blk_k": 512}, seen
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+
 def test_encode_fused_blocks_matches_plain(rng, monkeypatch):
     """Full encode with fused_blocks=True == plain encode (f32, CPU via
     the interpret-mode kernel)."""
