@@ -67,14 +67,20 @@ class FusionSearcher:
         self._ivf_cfg = None
         self._ivf = None
 
-    def _ivf_out(self, query: str, wa, k: int):
+    def prewarm(self) -> None:
+        """Build/refresh the IVF layout for the store's CURRENT contents
+        (no-op without enable_ivf or on an up-to-date layout). Called
+        after ingest (service/api.py) so the k-means/packing cost lands
+        on the write path, not on the first query after growth."""
+        if self._ivf_cfg is not None and len(self.store) > 0:
+            self._ensure_ivf_layout()
+
+    def _ensure_ivf_layout(self):
+        """(Re)build the IVF layout if the store mutated; returns the
+        store's device view (the expensive part is host-side build)."""
         from .ivf import build_ivf, build_ivf_sharded
         n_probe, n_clusters, growth = self._ivf_cfg
         n = len(self.store)
-        q = np.asarray(self.embed_fn([query]), np.float32)[0]
-        nq = float(np.linalg.norm(q))
-        if nq > 0:
-            q = q / nq
         if self.mesh is not None:
             # per-shard buckets over the capacity-padded, P('data')-
             # sharded index (padding rows have success=False and never
@@ -108,17 +114,7 @@ class FusionSearcher:
                     (self._ivf.centroids, self._ivf.members,
                      self._ivf.spill))
                 self._ivf_run = {}
-            rk = (min(k, n), n_probe)
-            if rk not in self._ivf_run:
-                import jax
-                from .ivf import sharded_ivf_search_impl
-                self._ivf_run[rk] = jax.jit(sharded_ivf_search_impl(
-                    self.mesh, self._ivf, k=rk[0], n_probe=n_probe,
-                    threshold=self.cfg.relevance_threshold))
-            cent_d, memb_d, spill_d = self._ivf_dev
-            return self._ivf_run[rk](
-                jnp.asarray(q), cent_d, memb_d, spill_d, emb, ok,
-                jnp.float32(wa.asr_weight), jnp.float32(wa.audio_weight))
+            return emb, ok
         ver = getattr(self.store, "version", n)
         if self._ivf is None or getattr(self, "_ivf_key", None) != ver:
             cent = None
@@ -130,8 +126,29 @@ class FusionSearcher:
                                   centroids=cent)
             self._ivf_key = ver
             self._ivf_spill = int(self._ivf.spill.shape[0])
-        emb, ok = self.store.device_index(
+        return self.store.device_index(
             getattr(self.cfg, "index_dtype", "float32"))
+
+    def _ivf_out(self, query: str, wa, k: int):
+        n_probe, n_clusters, growth = self._ivf_cfg
+        n = len(self.store)
+        q = np.asarray(self.embed_fn([query]), np.float32)[0]
+        nq = float(np.linalg.norm(q))
+        if nq > 0:
+            q = q / nq
+        emb, ok = self._ensure_ivf_layout()
+        if self.mesh is not None:
+            rk = (min(k, n), n_probe)
+            if rk not in self._ivf_run:
+                import jax
+                from .ivf import sharded_ivf_search_impl
+                self._ivf_run[rk] = jax.jit(sharded_ivf_search_impl(
+                    self.mesh, self._ivf, k=rk[0], n_probe=n_probe,
+                    threshold=self.cfg.relevance_threshold))
+            cent_d, memb_d, spill_d = self._ivf_dev
+            return self._ivf_run[rk](
+                jnp.asarray(q), cent_d, memb_d, spill_d, emb, ok,
+                jnp.float32(wa.asr_weight), jnp.float32(wa.audio_weight))
         run = self._ivf.search_fn(
             k=min(k, n), n_probe=n_probe,
             threshold=self.cfg.relevance_threshold)

@@ -134,6 +134,9 @@ class AudioSearchEngine:
         t0 = time.perf_counter()
         segments = self.ingest_pipeline.process_file(src, source_name)
         self.store.extend(segments)
+        if self._searcher is not None:
+            # IVF layouts rebuild on the write path, not the first query
+            self._searcher.prewarm()
         self.stats.log.log(
             "ingest_file", time.perf_counter() - t0,
             segments=len(segments), source=source_name)
@@ -187,6 +190,8 @@ class AudioSearchEngine:
         segments = self.ingest_pipeline.process_waveform(
             wave, sr, source_name)
         self.store.extend(segments)
+        if self._searcher is not None:
+            self._searcher.prewarm()
         self.stats.log.log(
             "ingest_waveform", time.perf_counter() - t0,
             segments=len(segments), source=source_name)
