@@ -136,7 +136,11 @@ class AudioSearchEngine:
         self.store.extend(segments)
         if self._searcher is not None:
             # IVF layouts rebuild on the write path, not the first query
+            t_pw = time.perf_counter()
             self._searcher.prewarm()
+            dt_pw = time.perf_counter() - t_pw
+            if dt_pw > 0.01:
+                self.stats.log.log("ivf_prewarm", dt_pw)
         self.stats.log.log(
             "ingest_file", time.perf_counter() - t0,
             segments=len(segments), source=source_name)
@@ -191,7 +195,11 @@ class AudioSearchEngine:
             wave, sr, source_name)
         self.store.extend(segments)
         if self._searcher is not None:
+            t_pw = time.perf_counter()
             self._searcher.prewarm()
+            dt_pw = time.perf_counter() - t_pw
+            if dt_pw > 0.01:
+                self.stats.log.log("ivf_prewarm", dt_pw)
         self.stats.log.log(
             "ingest_waveform", time.perf_counter() - t0,
             segments=len(segments), source=source_name)
