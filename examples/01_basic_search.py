@@ -15,7 +15,10 @@ import tempfile
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os
+
+sys.path.insert(0, os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

@@ -15,7 +15,8 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
 
 if "--cpu" in sys.argv and \
         "--xla_force_host_platform_device_count" not in \

@@ -11,7 +11,10 @@ finetune_captioner runs full dp+tp fine-tuning with checkpoint/resume.
 import argparse
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os
+
+sys.path.insert(0, os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

@@ -13,7 +13,10 @@ import urllib.request
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os
+
+sys.path.insert(0, os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
