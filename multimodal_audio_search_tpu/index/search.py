@@ -130,8 +130,8 @@ class FusionSearcher:
             getattr(self.cfg, "index_dtype", "float32"))
 
     def _ivf_out(self, query: str, wa, k: int):
-        n_probe, n_clusters, growth = self._ivf_cfg
-        n = len(self.store)
+        n_probe = self._ivf_cfg[0]   # rebuild policy lives in
+        n = len(self.store)          # _ensure_ivf_layout
         q = np.asarray(self.embed_fn([query]), np.float32)[0]
         nq = float(np.linalg.norm(q))
         if nq > 0:

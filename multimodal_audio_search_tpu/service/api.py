@@ -129,21 +129,38 @@ class AudioSearchEngine:
         return self.ingest_pipeline.embedder
 
     # -------------------------------------------------------------- ingest
+    def _prewarm_searcher(self) -> None:
+        """Move the IVF layout rebuild to the write path (FusionSearcher
+        .prewarm) so the first query after growth does not stall on
+        k-means/packing. Strictly an optimization: failures are logged
+        and swallowed (the query path rebuilds lazily), it runs AFTER
+        the ingest metric is logged (ingest_* and ivf_prewarm stay
+        disjoint), and bulk flows (ingest_many, a non-empty async job
+        queue) defer it to one build at drain end instead of one per
+        file."""
+        wants_ivf = getattr(self.cfg.fusion, "ann", "none") == "ivf" or (
+            self._searcher is not None
+            and self._searcher._ivf_cfg is not None)
+        if not wants_ivf or getattr(self, "_defer_prewarm", False):
+            return
+        try:
+            t0 = time.perf_counter()
+            self._ensure_searcher().prewarm()
+            dt = time.perf_counter() - t0
+            if dt > 0.01:
+                self.stats.log.log("ivf_prewarm", dt)
+        except Exception as e:  # noqa: BLE001 — optimization only
+            self.stats.log.log("ivf_prewarm_failed", 0.0, error=str(e))
+
     def ingest(self, src, source_name: str = "upload") -> list[dict]:
         """file path/bytes/stream -> processed segments appended to index."""
         t0 = time.perf_counter()
         segments = self.ingest_pipeline.process_file(src, source_name)
         self.store.extend(segments)
-        if self._searcher is not None:
-            # IVF layouts rebuild on the write path, not the first query
-            t_pw = time.perf_counter()
-            self._searcher.prewarm()
-            dt_pw = time.perf_counter() - t_pw
-            if dt_pw > 0.01:
-                self.stats.log.log("ivf_prewarm", dt_pw)
         self.stats.log.log(
             "ingest_file", time.perf_counter() - t0,
             segments=len(segments), source=source_name)
+        self._prewarm_searcher()
         return segments
 
     def ingest_many(
@@ -177,14 +194,19 @@ class AudioSearchEngine:
                     yield name, None, 0, last
 
         out: list[dict] = []
-        for name, wave, sr, err in PrefetchLoader(decoded(), depth=2):
-            if err is not None:
-                self.stats.log.log("ingest_error", 0.0,
-                                   source=name, error=str(err))
-                if on_error == "raise":
-                    raise err
-                continue
-            out.extend(self.ingest_waveform(wave, sr, name))
+        self._defer_prewarm = True
+        try:
+            for name, wave, sr, err in PrefetchLoader(decoded(), depth=2):
+                if err is not None:
+                    self.stats.log.log("ingest_error", 0.0,
+                                       source=name, error=str(err))
+                    if on_error == "raise":
+                        raise err
+                    continue
+                out.extend(self.ingest_waveform(wave, sr, name))
+        finally:
+            self._defer_prewarm = False
+        self._prewarm_searcher()        # ONE rebuild for the whole batch
         return out
 
     def ingest_waveform(
@@ -194,15 +216,10 @@ class AudioSearchEngine:
         segments = self.ingest_pipeline.process_waveform(
             wave, sr, source_name)
         self.store.extend(segments)
-        if self._searcher is not None:
-            t_pw = time.perf_counter()
-            self._searcher.prewarm()
-            dt_pw = time.perf_counter() - t_pw
-            if dt_pw > 0.01:
-                self.stats.log.log("ivf_prewarm", dt_pw)
         self.stats.log.log(
             "ingest_waveform", time.perf_counter() - t0,
             segments=len(segments), source=source_name)
+        self._prewarm_searcher()
         return segments
 
     # -------------------------------------------------------------- search

@@ -702,7 +702,16 @@ def _ingest_worker(handler_cls) -> None:
             job["started"] = time.time()
         try:
             with handler_cls.lock:
-                segs = handler_cls.engine.ingest(data, name)
+                # a backlog of queued jobs defers the per-job IVF
+                # prewarm; the engine rebuilds once at drain end
+                handler_cls.engine._defer_prewarm = \
+                    not handler_cls.jobs_q.empty()
+                try:
+                    segs = handler_cls.engine.ingest(data, name)
+                finally:
+                    handler_cls.engine._defer_prewarm = False
+                if handler_cls.jobs_q.empty():
+                    handler_cls.engine._prewarm_searcher()
             out = {"state": "done", "segments": _slim(segs),
                    "n_segments": len(segs),
                    "total": len(handler_cls.engine.store)}
