@@ -191,16 +191,20 @@ def encode(
         # measured on-chip (B=64, 10 s ctx): one whole-T step per batch
         # (blk_q=512) beats 256 (16.2 vs 17.7 ms encode) — K/V are
         # fetched once and the /l divide defers to the [blk, D] output.
-        # Longer contexts take the streaming online-softmax formulation
-        # (blk_k chunks): the f32 [blk, T] score tile that overflowed
-        # scoped VMEM at the 30 s context (220 KB past the 16 MB limit
-        # at blk 256, forcing blk 128 + in-tile divide in round 3)
-        # shrinks to [blk, blk_k], so the deferred divide and a 256-row
-        # query block both survive at t_pad 1536.
+        # Longer contexts: the streaming online-softmax formulation
+        # (blk_k chunks) shrinks the f32 [blk, T] score tile that forced
+        # blk 128 + in-tile divide at the 30 s context — but it has
+        # NEVER compiled on real Mosaic (the axon backend spent the
+        # whole session wedged), so it is opt-in (MAS_ENC_STREAM=1, the
+        # A/B runbook docs/ONCHIP_RUNBOOK.md) until measured; the
+        # default stays the chip-proven full-T config.
+        import os
         if t <= 512:
             blk_q, blk_k = 512, None
-        else:
+        elif os.environ.get("MAS_ENC_STREAM", "0").lower() in ("1", "true"):
             blk_q, blk_k = 256, 512
+        else:
+            blk_q, blk_k = (256 if t <= 1024 else 128), None
         for blk in params["encoder"]["blocks"]:
             a = blk["self_attn"]
             h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)

@@ -130,10 +130,12 @@ def test_attn_o_residual_bf16_streaming_close(rng):
 
 
 def test_encode_long_context_streaming_wiring(rng, monkeypatch):
-    """W.encode at t > 512 routes through the streaming (blk_k) kernel
-    configuration; full encode must match the plain path (interpret
-    mode on CPU)."""
+    """W.encode at t > 512 with MAS_ENC_STREAM=1 routes through the
+    streaming (blk_k) kernel configuration; full encode must match the
+    plain path (interpret mode on CPU)."""
     import multimodal_audio_search_tpu.ops.encoder_block as eb_mod
+
+    monkeypatch.setenv("MAS_ENC_STREAM", "1")
 
     orig = eb_mod.fused_attention_o_residual
     seen = {}
