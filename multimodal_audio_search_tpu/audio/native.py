@@ -169,7 +169,12 @@ def flac_decode_mono(data: bytes) -> tuple[np.ndarray, int] | None:
     # so a full buffer (n == cap) means "truncated", not "done" — the C
     # decoder stops writing at capacity (native/flac_decode.cc:273-280).
     known = total.value > 0
-    cap = int(total.value) if known else max(len(data) * 8, 1 << 16)
+    # unknown-length start: real-world FLAC runs ~0.5-0.7 compressed
+    # bytes per 16-bit sample, so len(data) samples over-covers typical
+    # files while the *4 regrow handles constant/silence blocks that
+    # compress below 1 bit/sample — a len*8 start allocated ~32x the
+    # file size in f32 up front (1.6 GB for a 50 MB stream)
+    cap = int(total.value) if known else max(len(data), 1 << 16)
     while True:
         out = np.empty(cap, np.float32)
         n = lib.mas_flac_decode_mono(

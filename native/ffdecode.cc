@@ -172,6 +172,9 @@ int mas_ff_decode(const uint8_t* data, int64_t len, float** out,
       int r;
       while ((r = avcodec_receive_frame(dec, fr)) == 0) {
         if (!append_frame(fr, nch, &pcm)) {
+          // mid-stream layout change (chained Ogg, AAC PCE): stop
+          // reading and keep the cleanly decoded prefix instead of
+          // failing the whole upload (audioread-tolerance contract)
           bad = true;
           return;
         }
@@ -189,7 +192,7 @@ int mas_ff_decode(const uint8_t* data, int64_t len, float** out,
       avcodec_send_packet(dec, nullptr);  // flush
       drain();
     }
-    if (bad || pcm.empty()) break;
+    if (pcm.empty()) break;
 
     float* buf = static_cast<float*>(malloc(pcm.size() * sizeof(float)));
     if (!buf) break;

@@ -118,6 +118,11 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
   int wasted = 0;
   if (br.bits(1)) wasted = 1 + (int)br.unary();
   if (!br.ok) return false;
+  // a crafted wasted-bits run would make the effective bps negative:
+  // bits(-n) then runs zero iterations but still advances pos by -n,
+  // rewinding the cursor into out-of-bounds reads BEFORE the buffer
+  // (and v <<= wasted below would be UB past 63)
+  if (wasted >= bps || wasted > 32) return false;
   bps -= wasted;
   x.assign(blocksize, 0);
 
@@ -128,6 +133,9 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
     for (int i = 0; i < blocksize; ++i) x[i] = br.sbits(bps);
   } else if (type >= 8 && type <= 12) {               // FIXED order 0-4
     int order = type - 8;
+    // warmup writes x[0..order-1]: a crafted 1-sample frame with a
+    // higher order would write past the blocksize-sized vector
+    if (order > blocksize) return false;
     for (int i = 0; i < order; ++i) x[i] = br.sbits(bps);
     if (!decode_residuals(br, blocksize, order, x)) return false;
     for (int i = order; i < blocksize; ++i) {
@@ -141,6 +149,7 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
     }
   } else if (type >= 32) {                            // LPC, order 1-32
     int order = (type & 0x1F) + 1;
+    if (order > blocksize) return false;  // warmup overflow (see FIXED)
     for (int i = 0; i < order; ++i) x[i] = br.sbits(bps);
     int precision = (int)br.bits(4) + 1;
     if (precision == 16) return false;  // 0b1111 is invalid
@@ -230,18 +239,21 @@ int64_t mas_flac_decode_mono(const uint8_t* data, int64_t len,
     int ss_code = (int)br.bits(3);
     br.bits(1);                       // reserved
     uint64_t frame_no;
-    if (!read_utf8(br, &frame_no)) return -4;
+    // tolerant-reader contract: a corrupt frame mid-stream salvages the
+    // cleanly decoded prefix (matching the lost-sync path above) instead
+    // of failing the whole upload
+    if (!read_utf8(br, &frame_no)) return written > 0 ? written : -4;
     int blocksize;
     if (bs_code == 6) blocksize = (int)br.bits(8) + 1;
     else if (bs_code == 7) blocksize = (int)br.bits(16) + 1;
     else if (kBlockSizes[bs_code] > 0) blocksize = kBlockSizes[bs_code];
-    else return -5;
+    else return written > 0 ? written : -5;
     if (sr_code == 12) br.bits(8);
     else if (sr_code == 13 || sr_code == 14) br.bits(16);
     int fbps = ss_code == 0 ? bps : kSampleSizes[ss_code];
-    if (fbps <= 0) return -6;
+    if (fbps <= 0) return written > 0 ? written : -6;
     br.bits(8);                       // CRC-8 (not enforced)
-    if (!br.ok) return -7;
+    if (!br.ok) return written > 0 ? written : -7;
 
     int nch = ch_asgn < 8 ? ch_asgn + 1 : 2;
     ch.assign(nch, {});
@@ -250,7 +262,7 @@ int64_t mas_flac_decode_mono(const uint8_t* data, int64_t len,
       if ((ch_asgn == 8 && c == 1) || (ch_asgn == 9 && c == 0) ||
           (ch_asgn == 10 && c == 1))
         sub_bps += 1;  // side channel carries one extra bit
-      if (!decode_subframe(br, blocksize, sub_bps, ch[c])) return -8;
+      if (!decode_subframe(br, blocksize, sub_bps, ch[c])) return written > 0 ? written : -8;
     }
     br.align();
     br.bits(16);                      // CRC-16 (not enforced)

@@ -996,7 +996,18 @@ struct Decoder {
     BitReader hdr(fp, nbytes);
     hdr.pos = 32;  // header already parsed
     if (h.crc) hdr.pos += 16;
-    if (!read_side_info(&hdr, h, &si)) return false;
+    if (!read_side_info(&hdr, h, &si)) {
+      // keep the bit reservoir aligned even when skipping the frame:
+      // its payload is still part of the stream's main-data byte
+      // sequence, and later frames' main_data_begin counts back
+      // through it — dropping it would desync every following frame.
+      // The side-info length is fixed per version/channel count.
+      int fixed_side = h.lsf() ? (h.channels() == 1 ? 9 : 17)
+                               : (h.channels() == 1 ? 17 : 32);
+      int off = 4 + (h.crc ? 2 : 0) + fixed_side;
+      if (off < nbytes) resv.insert(resv.end(), fp + off, fp + nbytes);
+      return false;
+    }
     int side_bytes = (int)(hdr.pos / 8);
     int main_bytes = nbytes - side_bytes;
     if (main_bytes < 0) return false;
