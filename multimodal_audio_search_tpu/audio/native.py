@@ -196,6 +196,7 @@ def quantize_mulaw(
     lib = get_lib()
     if lib is None:
         return False
+    w = np.ascontiguousarray(w, np.float32)  # ctypes reads raw memory
     lib.mas_quantize_mulaw(
         w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(w),
         ctypes.c_float(scale),
@@ -209,6 +210,7 @@ def quantize_int16(w: np.ndarray, scale: float, out: np.ndarray) -> bool:
     lib = get_lib()
     if lib is None:
         return False
+    w = np.ascontiguousarray(w, np.float32)  # ctypes reads raw memory
     lib.mas_quantize_int16(
         w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(w),
         ctypes.c_float(scale),
@@ -226,6 +228,7 @@ def quantize_int12(w: np.ndarray, scale: float, out: np.ndarray) -> bool:
     need = 3 * ((len(w) + 1) // 2)
     if out.size < need:
         return False
+    w = np.ascontiguousarray(w, np.float32)  # ctypes reads raw memory
     lib.mas_quantize_int12(
         w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(w),
         ctypes.c_float(scale),

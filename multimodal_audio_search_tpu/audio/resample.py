@@ -79,3 +79,13 @@ def resample(
     if len(y) < n_out:
         y = np.pad(y, (0, n_out - len(y)))
     return y.astype(dtype)
+
+
+def resample_best(x, sr_in: int, sr_out: int):
+    """Native single-pass resampler when available, python upfirdn
+    otherwise — the two are bit-consistent (audio/native.py::resample
+    rounds the group delay to an output-sample boundary for exactly
+    this). One dispatch point so fixes apply to every caller."""
+    from . import native
+    y = native.resample(x, sr_in, sr_out) if native.available() else None
+    return y if y is not None else resample(x, sr_in, sr_out)

@@ -218,11 +218,16 @@ class EngineConfig:
     # known-good accuracy trade in practice, but OFF by default because the
     # parity contract is the exact 30 s pipeline.
     short_context: bool = False
-    # host->device waveform encoding: "float32" (exact), "int16" (default;
-    # 96 dB SNR, inaudible), "int12" (packed 1.5 B/sample, 72 dB SNR —
-    # 25% fewer bytes than int16 at a 16x finer grid than mulaw8), or
+    # host->device waveform encoding: "float32" (bit-exact for any
+    # source), "int16" (default; BIT-EXACT for the 16-bit PCM sources
+    # that dominate the reference's upload types — WAV and almost all
+    # FLAC decode to the int16 grid, so re-quantizing to it is the
+    # identity; mp3/m4a decode to float and round at -96 dB, measured
+    # transcript-exact on the synthetic oracle), "int12" (packed
+    # 1.5 B/sample, 72 dB SNR, also transcript-exact on the oracle), or
     # "mulaw8" (telephony-grade 8-bit companding for bandwidth-starved
-    # hosts; has measured transcript drift, docs/BENCHMARKS.md)
+    # hosts; has measured transcript drift, docs/BENCHMARKS.md). Set
+    # MAS_TRANSFER_DTYPE=float32 for the unconditional-exact path.
     transfer_dtype: str = "int16"
     # multi-chip execution (SURVEY §2c; the reference is single-device,
     # audio_search.py:89,181). data_parallel shards ingest segment batches

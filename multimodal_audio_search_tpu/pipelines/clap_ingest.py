@@ -30,13 +30,7 @@ from ..models.minilm import MiniLMConfig
 from ..models.minilm import init_params as init_minilm
 from ..models.tokenizer import load_tokenizer
 from ..ops.mel import log_mel_spectrogram
-
-
-def _bucket(n: int, floor: int = 8) -> int:
-    b = floor
-    while b < n:
-        b *= 2
-    return b
+from ..utils.batching import bucket_pow2 as _bucket
 
 
 class ClapSearch:
@@ -106,12 +100,8 @@ class ClapSearch:
                         source_name: str = "clap") -> list[int]:
         """Chunk + batch-embed; returns store row indices."""
         if sr != self.sample_rate:
-            from ..audio import native
-            from ..audio.resample import resample
-            y = native.resample(wave, sr, self.sample_rate) \
-                if native.available() else None
-            wave = y if y is not None else resample(
-                wave, sr, self.sample_rate)
+            from ..audio.resample import resample_best
+            wave = resample_best(wave, sr, self.sample_rate)
             sr = self.sample_rate
         n = int(self.chunk_seconds * sr)
         keep = int(self.min_seconds * sr)

@@ -18,14 +18,8 @@ import numpy as np
 
 from ..models import minilm
 from ..models.tokenizer import load_tokenizer
+from ..utils.batching import bucket_pow2 as _bucket
 from ..service.stats import PipelineStats
-
-
-def _bucket(n: int, floor: int = 8) -> int:
-    b = floor
-    while b < n:
-        b *= 2
-    return b
 
 
 class TextEmbedder:

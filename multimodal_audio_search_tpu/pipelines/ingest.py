@@ -126,12 +126,9 @@ class DualPipelineIngest:
             # the mel frontend is calibrated for its configured rate; a raw
             # waveform at any other rate must be resampled first (parity
             # with the reference's librosa.load(sr=16000))
-            from ..audio import native
-            from ..audio.resample import resample
+            from ..audio.resample import resample_best
             t0 = time.perf_counter()
-            y = native.resample(wave, sr, target_sr) \
-                if native.available() else None
-            wave = y if y is not None else resample(wave, sr, target_sr)
+            wave = resample_best(wave, sr, target_sr)
             sr = target_sr
             tr["resample"] = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -141,7 +138,11 @@ class DualPipelineIngest:
         # waveform; the factor folds into the transfer quantize and the
         # per-segment storage copies (bitwise-identical f32 results).
         from ..audio.segment import peak_scale, segment_windows
-        wave = np.asarray(wave, np.float32)
+        # ascontiguousarray, not asarray: a strided f32 view (stereo
+        # column, step-sliced array) would otherwise flow into the
+        # native ctypes quantizers, which read .ctypes.data as
+        # contiguous memory — silently quantizing the wrong samples
+        wave = np.ascontiguousarray(wave, np.float32)
         scale = np.float32(peak_scale(wave, cfg.audio))
         wins = segment_windows(len(wave), sr, cfg.segment)
         waves = [wave[w.start_sample: w.start_sample + w.length]
@@ -159,7 +160,7 @@ class DualPipelineIngest:
         # compute.
         import jax
         import jax.numpy as jnp
-        from .whisper_pipeline import _bucket
+        from ..utils.batching import bucket_pow2 as _bucket
 
         shared_mel = (self.asr.mel_cfg == self.caption.mel_cfg)
         seg_len = min(int(cfg.segment.segment_seconds * sr), n_samples)
@@ -246,12 +247,16 @@ class DualPipelineIngest:
                             w[:m], float(scale), q[i, :m]):
                         continue
                     wn = w[:m] * scale if scale != 1.0 else w[:m]
-                    q[i, :m] = np.clip(wn, -1.0, 1.0) * 32767.0
+                    # nan_to_num matches the native kernel (NaN -> 0);
+                    # clip(NaN) would cast undefined int16 codes
+                    q[i, :m] = np.clip(np.nan_to_num(wn),
+                                       -1.0, 1.0) * 32767.0
             else:
                 q = np.zeros((b, seg_len), np.float32)
                 for i, w in enumerate(chunk):
                     m = min(len(w), seg_len)
-                    q[i, :m] = w[:m] * scale if scale != 1.0 else w[:m]
+                    q[i, :m] = np.nan_to_num(
+                        w[:m] * scale if scale != 1.0 else w[:m])
             return q
 
         pending = []  # (lo, hi, t0, asr_future, cap_future) per batch
@@ -274,10 +279,11 @@ class DualPipelineIngest:
                 c_fut = self.caption.dispatch_mel(mel)
                 tr["dispatch"] += time.perf_counter() - td
             else:
-                batch, _ = pad_segment_batch(waves[lo:hi], n_samples)
-                if scale != 1.0:
-                    batch *= scale          # owned buffer: in-place
-                a_fut, c_fut = None, batch
+                # non-shared-mel (different asr/caption mel configs):
+                # fully synchronous, so the padded f32 batch is built
+                # lazily in produce_texts — materializing every batch
+                # here held ~the whole file padded in RAM for nothing
+                a_fut, c_fut = None, None
             pending.append((lo, hi, t0, a_fut, c_fut))
 
         def produce_texts(lo, hi, a_fut, c_fut):
@@ -295,7 +301,9 @@ class DualPipelineIngest:
                 cap_texts = self.caption.texts_from_tokens(c_tok, c_len, n)
                 tr["detok"] += time.perf_counter() - tk
             else:
-                batch = c_fut
+                batch, _ = pad_segment_batch(waves[lo:hi], n_samples)
+                if scale != 1.0:
+                    batch *= scale          # owned buffer: in-place
                 asr_texts = self.asr.transcribe_batch(batch)
                 t1 = time.perf_counter()
                 cap_texts = self.caption.transcribe_batch(batch)

@@ -11,12 +11,17 @@ optional autosave persists the index every N commits.
 Boundary parity: windows are cut in INPUT-rate samples and each complete
 window is processed the moment it exists, so a stream fed in any chunking
 produces byte-identical windows to the one-shot path on the concatenated
-audio (tested). One deliberate divergence: the reference's
-peak-conditional normalization (audio_search.py:237-242) is per-upload;
-a live stream has no "whole file", so it applies per commit group — for
-mid-range audio (peak in [0.1, 0.95]) neither path rescales and parity
-is exact. The <min-segment tail is emitted by ``flush()`` iff it clears
-the reference's 3 s rule (audio_search.py:259-260).
+audio (tested) WHEN the input rate equals the mel target rate. Two
+deliberate divergences: (a) the reference's peak-conditional
+normalization (audio_search.py:237-242) is per-upload; a live stream has
+no "whole file", so it applies per commit group — for mid-range audio
+(peak in [0.1, 0.95]) neither path rescales and parity is exact; (b) at
+any OTHER input rate, each committed window is resampled independently,
+so the Kaiser FIR's edge transients make a handful of samples at window
+boundaries differ from resampling the concatenated audio once (a
+stateful streaming resampler would close this; not built — live sources
+should feed 16 kHz). The <min-segment tail is emitted by ``flush()`` iff
+it clears the reference's 3 s rule (audio_search.py:259-260).
 """
 from __future__ import annotations
 
@@ -52,6 +57,10 @@ class StreamingIngest:
 
     @property
     def segment_samples(self) -> int:
+        if self._rate is None:
+            raise RuntimeError(
+                "stream not started: segment_samples is defined by the "
+                "first feed()'s sample rate")
         return int(self.cfg.segment.segment_seconds * self._rate)
 
     def feed(self, samples: np.ndarray, sample_rate: int) -> list[dict]:

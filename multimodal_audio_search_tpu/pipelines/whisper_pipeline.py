@@ -25,14 +25,8 @@ from ..models.generate import generate
 from ..models.layers import cast_floats
 from ..models.tokenizer import load_tokenizer
 from ..ops.mel import log_mel_spectrogram
+from ..utils.batching import bucket_pow2 as _bucket
 from ..service.stats import PipelineStats
-
-
-def _bucket(n: int, floor: int = 8) -> int:
-    b = floor
-    while b < n:
-        b *= 2
-    return b
 
 
 class WhisperTextPipeline:
@@ -122,12 +116,6 @@ class WhisperTextPipeline:
         if self._batch_sharding is not None:
             waves = jax.device_put(waves, self._batch_sharding)
         return self._decode_to_texts(self._run, waves, n, b)
-
-    def transcribe_mel(self, mel: jnp.ndarray, n: int) -> list[str]:
-        """mel: [B_bucket, n_mels, frames] device array (precomputed once
-        per ingest batch and shared between the ASR and caption pipelines);
-        n = true row count."""
-        return self._decode_to_texts(self._run_mel, mel, n, mel.shape[0])
 
     def dispatch_mel(self, mel: jnp.ndarray):
         """Async: launch encode+generate on device-resident mel, returning
