@@ -5,16 +5,21 @@ ASR greedy decode (KV cache, 64 steps) -> whisper-tiny caption decode ->
 MiniLM embed — over synthesized 16 kHz audio, plus fused-search p50 latency
 over a 100k-segment index. Prints ONE JSON line.
 
-Two configurations are measured every run (VERDICT round 1):
+Three configurations are measured every run:
 
+  * fast_lossless — HEADLINE: only levers measured transcript-exact on
+              the drift oracle (int12 transfer, fused kernels, full 30 s
+              context, f32 index).
   * parity  — the engine's defaults: 30 s mel context, bf16 KV cache,
               f32 device index (exact top-10 parity mode).
-  * fast    — opt-in perf modes: 10 s short context (whisper.cpp audio_ctx
-              trick) + the fused cross-attention kernel (auto-selected on
-              TPU at short context) + bf16 index. int8 KV is NOT used: it
-              is a memory mode, not a speed mode (docs/BENCHMARKS.md).
+  * fast    — every opt-in perf mode incl. measured-LOSSY ones: 10 s
+              short context (whisper.cpp audio_ctx trick, 0.698
+              agree-exact) + mulaw8 transfer (0.500 agree-exact) + fused
+              kernels + bf16 index. Extra only, never the headline.
 
-The headline number is the fast-mode ingest throughput; both modes' full
+The headline number is the best TRANSCRIPT-EXACT mode's ingest throughput
+(fast_lossless, falling back to parity); the measured-lossy ``fast`` mode
+(mulaw8 + short_context) is reported in extras only. All modes' full
 stage timings live in extras, along with an in-run chip calibration
 (bf16 matmul TFLOP/s, HBM GB/s) and per-stage MFU / HBM-bandwidth
 fractions so results can be judged against roofline.
@@ -29,9 +34,73 @@ never emit EOS, so throughput numbers are the worst case.
 """
 import functools
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _probe_tpu(timeout_s: float) -> tuple:
+    """Probe TPU backend health in a DISPOSABLE subprocess.
+
+    The axon backend has a failure mode where init/compile hangs ~25 min
+    and then fails (docs/BENCHMARKS.md, round-3 postmortem: BENCH_r03 was
+    rc=1 because ``jax.devices()`` was called unguarded in the main
+    process). The probe jits a NOVEL odd shape — previously-compiled
+    programs still run while the remote compile service is wedged, so a
+    cached-shape probe would report healthy on a wedged backend.
+
+    On timeout the child is deliberately NOT killed: SIGKILLing a process
+    mid-TPU-compile is itself what wedges the compile service for ~45 min.
+    It is left orphaned to finish or fail on its own.
+
+    Returns ``(tpu_ok, detail)``; ``tpu_ok`` is False both when the
+    backend is broken and when the machine simply has no TPU (detail
+    distinguishes the two).
+    """
+    code = (
+        "import time, jax, jax.numpy as jnp\n"
+        "n = 131 + (int(time.time()) % 97)\n"
+        "d = jax.devices()[0]\n"
+        "x = jnp.ones((n, n + 60))\n"
+        "print('PROBE_OK', d.platform, float((x @ x.T).sum()), flush=True)\n"
+    )
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", code], stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True, start_new_session=True)
+        try:
+            out, _ = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            return False, (f"probe timed out after {timeout_s:.0f}s "
+                           "(backend wedged?); child left to finish")
+        if proc.returncode == 0 and "PROBE_OK" in out:
+            platform = out.rsplit("PROBE_OK", 1)[1].split()[0]
+            if platform == "tpu":
+                return True, "tpu healthy"
+            return False, f"no TPU present (backend={platform})"
+        return False, f"probe rc={proc.returncode}: {out[-400:]}"
+    except Exception as e:  # noqa: BLE001
+        return False, f"probe launch failed: {type(e).__name__}: {e}"
+
+
+def probe_tpu_with_retry() -> tuple:
+    """Bounded-backoff TPU probe (VERDICT r3 #2).
+
+    A fast failure (backend raises quickly) gets one retry after a short
+    sleep — transient tunnel errors recover in seconds. A TIMEOUT is not
+    retried: each attempt against a wedged backend eats ~25 min of wall
+    and the driver's capture window, and a second one cannot succeed.
+    """
+    timeout_s = float(os.environ.get("MAS_BENCH_PROBE_TIMEOUT", "900"))
+    t0 = time.perf_counter()
+    ok, detail = _probe_tpu(timeout_s)
+    if not ok and "timed out" not in detail and "no TPU" not in detail:
+        time.sleep(float(os.environ.get("MAS_BENCH_PROBE_BACKOFF", "45")))
+        ok, detail = _probe_tpu(timeout_s)
+    return ok, detail, round(time.perf_counter() - t0, 1)
 
 
 def _sync_time(fn, *args, reps: int = 5, best: bool = False) -> float:
@@ -416,13 +485,26 @@ def measure_ivf(n_index: int, n_queries: int, cal: dict) -> dict:
         return {"error": str(e)[:200]}
 
 
-def main() -> None:
+def _main() -> None:
     # opt-in persistent compilation cache (MAS_COMPILE_CACHE=<dir>);
     # default off so the driver's recorded run keeps stock behavior
     from multimodal_audio_search_tpu.utils.compile_cache import (
         enable_from_env)
     enable_from_env()
+    # Backend guard (VERDICT r3 #2): never let a wedged axon tunnel turn
+    # the round's one driver capture into a stack trace. Probe in a
+    # disposable subprocess; on failure force CPU in THIS process (the
+    # axon plugin ignores JAX_PLATFORMS, so jax.config is the only lever
+    # that works — must run before first backend use).
     import jax
+    if os.environ.get("MAS_BENCH_FORCE_CPU") == "1":
+        tpu_probe = {"ok": False, "detail": "MAS_BENCH_FORCE_CPU=1",
+                     "probe_s": 0.0}
+    else:
+        ok, detail, probe_s = probe_tpu_with_retry()
+        tpu_probe = {"ok": ok, "detail": detail, "probe_s": probe_s}
+    if not tpu_probe["ok"]:
+        jax.config.update("jax_platforms", "cpu")
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
 
@@ -450,35 +532,38 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             return {"error": f"{type(e).__name__}: {e}"[:300]}
 
-    # fast mode = every opt-in perf lever (cross_attn="auto" resolves to
-    # the fused kernel on TPU at this context length); mulaw8 halves
-    # host->device bytes (ingest is transfer-bound through the tunnel).
+    # fast_lossless = only the levers measured TRANSCRIPT-EXACT on the
+    # self-trained oracle (docs/BENCHMARKS.md drift table): int12 packed
+    # transfer + fused decode/encode kernels, full 30 s context, f32
+    # index — the recommended production configuration and the HEADLINE
+    # (VERDICT r3 #3: the headline must not ride measured-lossy levers).
     # Measured FIRST so the headline number exists even if a later
     # mode's fresh compile fails.
+    lossless = guarded("fast_lossless", short_context=False,
+                       int8_kv=False, fused_layer=on_tpu,
+                       transfer_dtype="int12", fused_encoder=on_tpu,
+                       index_dtype=jnp.float32, **common)
+    # parity mode = engine defaults (exact reference-parity search results)
+    parity = guarded("parity", short_context=False, int8_kv=False,
+                     fused_layer=False, index_dtype=jnp.float32,
+                     **common)
+    # fast mode = every opt-in perf lever, including the measured-LOSSY
+    # ones (mulaw8 transfer: 0.500 agree-exact on the synth oracle;
+    # short_context 0.698 — docs/synth_drift_2400.json). Reported as an
+    # extra only; never the headline.
     fast = guarded("fast", short_context=True, int8_kv=False,
                    fused_layer=on_tpu, transfer_dtype="mulaw8",
                    fused_encoder=on_tpu,
                    index_dtype=jnp.bfloat16 if on_tpu
                    else jnp.float32, **common)
-    # parity mode = engine defaults (exact reference-parity search results)
-    parity = guarded("parity", short_context=False, int8_kv=False,
-                     fused_layer=False, index_dtype=jnp.float32,
-                     **common)
-    # fast_lossless = only the levers measured TRANSCRIPT-EXACT on the
-    # self-trained oracle (docs/BENCHMARKS.md drift table): int12 packed
-    # transfer + fused decode/encode kernels, full 30 s context, f32
-    # index — the recommended production configuration
-    lossless = guarded("fast_lossless", short_context=False,
-                       int8_kv=False, fused_layer=on_tpu,
-                       transfer_dtype="int12", fused_encoder=on_tpu,
-                       index_dtype=jnp.float32, **common)
 
     ivf = measure_ivf(n_index, n_queries, cal)
 
     baseline = 60.0  # audio-sec/sec/chip target (BASELINE.md)
-    throughput = next(
-        (m["ingest_audio_sec_per_sec"] for m in (fast, lossless, parity)
-         if "ingest_audio_sec_per_sec" in m), 0.0)
+    headline_mode, throughput = next(
+        ((nm, m["ingest_audio_sec_per_sec"]) for nm, m in
+         (("fast_lossless", lossless), ("parity", parity), ("fast", fast))
+         if "ingest_audio_sec_per_sec" in m), ("none", 0.0))
     print(json.dumps({
         "metric": "ingest_audio_seconds_per_sec_per_chip",
         "value": throughput,
@@ -486,6 +571,8 @@ def main() -> None:
         "vs_baseline": round(throughput / baseline, 3),
         "extras": {
             "platform": platform,
+            "headline_mode": headline_mode,
+            "tpu_probe": tpu_probe,
             "decode_steps": max_new,
             "batch": batch,
             "calibration": cal,
@@ -495,6 +582,28 @@ def main() -> None:
             "ivf": ivf,
         },
     }))
+
+
+def main() -> None:
+    """Entry point that can never lose the driver's capture: whatever
+    happens inside — a wedged backend, a Mosaic crash during calibration,
+    an OOM — exactly one parseable JSON line is printed and the process
+    exits 0 (VERDICT r3 #2; BENCH_r03 was rc=1 with no JSON)."""
+    try:
+        _main()
+    except BaseException as e:  # noqa: BLE001 — last-resort capture guard
+        if isinstance(e, KeyboardInterrupt):
+            raise
+        print(json.dumps({
+            "metric": "ingest_audio_seconds_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "audio-sec/sec/chip",
+            "vs_baseline": 0.0,
+            "extras": {"platform": "unavailable",
+                       "error": f"{type(e).__name__}: {e}"[:500]},
+        }))
+        sys.stdout.flush()
+        os._exit(0)
 
 
 if __name__ == "__main__":
