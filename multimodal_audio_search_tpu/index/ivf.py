@@ -44,12 +44,18 @@ import numpy as np
 from .fusion import NEG_INF, normalize
 
 
+# Module-level so every chunk (and every caller) shares ONE compiled
+# executable — a per-call jax.jit wrapper recompiled the identical
+# [chunk, C] program once per 262k-row memmap chunk (ADVICE r3).
+_argmax_sim_jit = jax.jit(
+    lambda a, c: jnp.argmax(a @ c.T, axis=1).astype(jnp.int32))
+
+
 def _chunked_argmax_sim(x: np.ndarray, cent: jnp.ndarray,
                         chunk: int = 16384) -> np.ndarray:
     """argmax_c <x_i, cent_c> for every row, chunked so the [chunk, C]
     similarity tile stays small at any N."""
-    fn = jax.jit(lambda a, c: jnp.argmax(
-        a @ c.T, axis=1).astype(jnp.int32))
+    fn = _argmax_sim_jit
     out = np.empty(len(x), np.int32)
     for lo in range(0, len(x), chunk):
         hi = min(lo + chunk, len(x))

@@ -179,7 +179,10 @@ class SegmentStore:
         with the reference (the north-star contract); pass "bfloat16" to
         halve per-query HBM traffic when close-rank flips are acceptable.
         """
-        key = (self._cap, str(dtype), id(mesh) if mesh is not None else None)
+        # key on the Mesh object itself (hashable), not id(mesh): a GC'd
+        # mesh's id can be reused by a new Mesh, which would serve a view
+        # sharded for the dead mesh (ADVICE r3)
+        key = (self._cap, str(dtype), mesh)
         if self._device_view is None or self._device_view[0] != key:
             import jax.numpy as jnp
             if mesh is not None:
@@ -301,7 +304,15 @@ class SegmentStore:
                         "rewrite with save()")
             else:
                 lines = meta_path.read_text().splitlines(keepends=True)
-                if len(lines) != lo:
+                if len(lines) < lo:
+                    # same data-loss condition the meta_bytes path refuses:
+                    # appending after a gap would leave _load_shards'
+                    # meta[:rows] silently misaligned with rows (ADVICE r3)
+                    raise ValueError(
+                        f"meta.jsonl has {len(lines)} lines < manifest's "
+                        f"committed {lo} rows; directory lost data — "
+                        "rewrite with save()")
+                if len(lines) > lo:
                     meta_path.write_text("".join(lines[:lo]))
         k = state["shards"]
         np.save(p / f"emb.shard-{k:05d}.npy", self._emb[lo:n])

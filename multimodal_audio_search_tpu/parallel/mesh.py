@@ -32,6 +32,20 @@ def make_mesh(
     return Mesh(grid, ("data", "model"))
 
 
+def validate_data_axis(mesh: Mesh) -> None:
+    """Reject meshes whose 'data' axis is not a power of two, with the
+    same clear error ``mesh_from_config`` raises. Pipelines' batch
+    buckets double from a floor of max(8, dp), so a dp like 6 would pass
+    ``make_mesh`` and then fail deep inside the first sharded
+    device_put with an opaque divisibility error (ADVICE r3)."""
+    dp = mesh.shape.get("data", 1)
+    if dp & (dp - 1):
+        raise ValueError(
+            f"mesh 'data' axis = {dp} is not a power of two; sharded "
+            "batch and index buckets are powers of two, so dp must be "
+            "one of 1, 2, 4, 8, ...")
+
+
 def mesh_from_config(cfg) -> Mesh | None:
     """Engine knob -> mesh: ``EngineConfig.data_parallel/model_parallel``
     select the production mesh; 1 x 1 returns None (single-device, the

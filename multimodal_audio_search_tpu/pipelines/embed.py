@@ -68,8 +68,9 @@ class TextEmbedder:
         replicated) and shard embed batches over its 'data' axis. Batch
         bucketing already pads to a power of two >= 8, which every
         dp <= 8 divides; larger dp raises the bucket floor."""
-        from ..parallel.mesh import shard_params
+        from ..parallel.mesh import shard_params, validate_data_axis
         from jax.sharding import NamedSharding, PartitionSpec as P
+        validate_data_axis(mesh)  # ADVICE r3: clear error for dp=6 etc.
         self.mesh = mesh
         self.params = shard_params(self.params, mesh)
         self._batch_sharding = NamedSharding(mesh, P("data"))

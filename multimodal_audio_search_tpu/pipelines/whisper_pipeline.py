@@ -96,8 +96,9 @@ class WhisperTextPipeline:
         divide), batches sharded over 'data'. The jitted programs are
         unchanged — GSPMD partitions them from the input shardings (the
         pattern proven in tests/test_sampling_sharded_infer.py)."""
-        from ..parallel.mesh import shard_params
+        from ..parallel.mesh import shard_params, validate_data_axis
         from jax.sharding import NamedSharding, PartitionSpec as P
+        validate_data_axis(mesh)  # ADVICE r3: clear error for dp=6 etc.
         self.mesh = mesh
         self.params = shard_params(self.params, mesh)
         self._batch_sharding = NamedSharding(mesh, P("data"))

@@ -1124,8 +1124,24 @@ int mas_mp3_decode(const uint8_t* data, int64_t len, float** out,
         if (!parse_header(data + i + h.frame_bytes, &h2) ||
             h2.rate != h.rate || h2.channels() != h.channels() ||
             h2.version != h.version) {
-          i++;
-          continue;
+          // Lookahead failed — but a single-frame MP3 with trailing
+          // junk (ID3v1 tag, padding) has no next header to agree
+          // with. Accept the candidate only when (a) NO parseable
+          // header exists anywhere after it (a real stream later
+          // means this sync sits inside leading junk) and (b) its
+          // own side info parses cleanly (ADVICE r3).
+          bool stream_later = false;
+          for (int64_t j = i + h.frame_bytes; j + 4 <= len; ++j) {
+            Header hj;
+            if (parse_header(data + j, &hj)) { stream_later = true; break; }
+          }
+          BitReader sihdr(data + i, h.frame_bytes);
+          sihdr.pos = 32 + (h.crc ? 16 : 0);
+          SideInfo si_check;
+          if (stream_later || !read_side_info(&sihdr, h, &si_check)) {
+            i++;
+            continue;
+          }
         }
       }
       if (is_info_frame(data + i, h, h.frame_bytes)) {
