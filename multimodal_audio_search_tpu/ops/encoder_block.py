@@ -155,20 +155,28 @@ def _round_up(x: int, m: int) -> int:
     jax.jit, static_argnames=("blk_q", "blk_k", "use_exp2", "interpret"))
 def fused_attention_o_residual(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,   # [B, H, T, D]
-    x: jnp.ndarray,                                   # [B, T, H*D] residual
-    wo: jnp.ndarray, bo: jnp.ndarray,                 # [H*D, H*D], [H*D]
+    x: jnp.ndarray,                                   # [B, T, HD_out]
+    wo: jnp.ndarray, bo: jnp.ndarray,                 # [H*D, HD_out], [HD_out]
     blk_q: int = 256, blk_k: int | None = None, use_exp2: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x + (softmax(QK^T/sqrt(D)) V merged over heads) @ Wo + bo.
 
     Non-causal, padding-masked (keys >= T are masked), f32 softmax and
-    accumulation. Output is [B, T, H*D] — the next LN consumes it
+    accumulation. Output is [B, T, HD_out] — the next LN consumes it
     directly, no head merge transpose. ``blk_k`` (< T_pad) selects the
     streaming online-softmax formulation (see _attn_o_kernel).
+
+    Single-device: ``HD_out == H*D`` (square Wo). Under tensor
+    parallelism, each device holds an H/mp head shard and the matching
+    [H*D/mp, HD_out] ROW shard of Wo (Megatron attention layout); the
+    kernel emits that device's partial [B, T, HD_out] which psum over
+    'model' completes (tests/test_production_geometry_mesh.py).
     """
     b, h, t, d = q.shape
-    hd = h * d
+    hd = x.shape[-1]
+    assert wo.shape == (h * d, hd) and bo.shape[-1] == hd, \
+        (wo.shape, bo.shape, (h * d, hd))
     scale = 1.0 / math.sqrt(d)
     t_pad = _round_up(t, blk_q)
     if blk_k is not None:
@@ -200,7 +208,7 @@ def fused_attention_o_residual(
             qkv_spec,
             pl.BlockSpec((1, blk_q, hd), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hd, hd), lambda bi, i: (0, 0),
+            pl.BlockSpec((h * d, hd), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hd), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -210,7 +218,7 @@ def fused_attention_o_residual(
         out_shape=jax.ShapeDtypeStruct((b, t_pad, hd), dt),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * t_pad * t_pad * d
-            + 2 * b * t_pad * hd * hd,
+            + 2 * b * t_pad * (h * d) * hd,
             bytes_accessed=b * t_pad * hd * 6 * 2,
             transcendentals=b * h * t_pad * t_pad),
         interpret=interpret,
