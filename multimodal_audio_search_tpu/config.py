@@ -107,6 +107,12 @@ class DecodeConfig:
     # (0.850 vs 0.838 ms/step, B=64/10 s): the per-step residue is not
     # XLA op overhead (docs/BENCHMARKS.md)
     fused_layer: bool | str = False
+    # run the decode layer loop as lax.scan over stacked per-layer params
+    # instead of a traced Python loop (models/whisper.py::decode_step_scan)
+    # — the ROADMAP-18 dispatch-residue experiment for many-layer decoders
+    # (whisper-small: 12). Math identical to the plain path; forces the
+    # merged-head cross-KV format. A/B tool: tools/profile_decode_scan_ab.py.
+    scan_layers: bool = False
     # encoder fused blocks (ops/encoder_block.py): fold LN+qkv and
     # LN+MLP+residual into Pallas kernels around the fused attention
     # kernel — the ROADMAP-17 encoder MFU lever. bf16-rounding equal to

@@ -151,8 +151,20 @@ def generate(
     b = enc_out.shape[0]
     total = prefix_len + max_new_tokens
     dtype = enc_out.dtype
-    ckv = _select_cross_kv(params, enc_out, cfg, decode)
-    cache = init_cache(cfg, b, total, dtype)
+    scan_layers = getattr(decode, "scan_layers", False)
+    if scan_layers:
+        # stacked layouts for the lax.scan layer loop; stacking the
+        # block params is a one-time relayout per generate call,
+        # amortized over every decode step of the while loop
+        from .whisper import (
+            cross_kv_merged_stacked, decode_step_scan, init_cache_stacked,
+            stack_decoder_blocks)
+        ckv = cross_kv_merged_stacked(params, enc_out, cfg)
+        cache = init_cache_stacked(cfg, b, total, dtype)
+        stacked_blocks = stack_decoder_blocks(params)
+    else:
+        ckv = _select_cross_kv(params, enc_out, cfg, decode)
+        cache = init_cache(cfg, b, total, dtype)
     tokens = jnp.full((b, total), cfg.pad_token_id, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prefix.astype(jnp.int32),
                                           (0, 0))
@@ -165,9 +177,14 @@ def generate(
 
     def body(state):
         pos, tokens, cache, finished, scores, key = state
-        logits, cache = decode_step(
-            params, tokens[:, pos], pos, cache, ckv, cfg,
-            fused_layer=getattr(decode, "fused_layer", False))
+        if scan_layers:
+            logits, cache = decode_step_scan(
+                params, tokens[:, pos], pos, cache, ckv, cfg,
+                stacked_blocks=stacked_blocks)
+        else:
+            logits, cache = decode_step(
+                params, tokens[:, pos], pos, cache, ckv, cfg,
+                fused_layer=getattr(decode, "fused_layer", False))
         logits = logits.astype(jnp.float32)
         valid = jnp.arange(total)[None, :] <= pos
         logits = apply_repetition_penalty(

@@ -515,6 +515,86 @@ def decode_step(
     return logits, new_cache
 
 
+# ------------------------------------------------- layer-scan decode (A/B)
+def stack_decoder_blocks(params):
+    """Stack the per-layer decoder block params into one pytree whose
+    leaves carry a leading layer dim — the xs of ``decode_step_scan``'s
+    ``lax.scan``. All decoder layers are shape-homogeneous, so this is a
+    pure relayout."""
+    blocks = params["decoder"]["blocks"]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def decode_step_scan(
+    params, token: jnp.ndarray, pos: jnp.ndarray, cache, ckv,
+    cfg: WhisperConfig, stacked_blocks=None,
+):
+    """``decode_step`` with the layer loop as ``lax.scan`` over stacked
+    per-layer params (round-3 verdict item 7 / ROADMAP 18 experiment).
+
+    The traced-Python layer loop emits ~10 XLA ops per layer per step;
+    for many-layer decoders (whisper-small: 12) the hypothesis is that
+    per-op dispatch residue scales with layer count and a scanned body
+    amortizes it. This variant keeps the math of the plain path
+    (merged-head KV cache + single-query attentions) but runs ONE layer
+    body under scan.
+
+    cache: ``{"k": [L, B, total, D], "v": ...}`` (stacked layout, see
+    ``init_cache_stacked``); ckv: ``(k_m [L, B, T, H*D], v_m ...)``
+    stacked merged cross K/V. Returns (logits, new stacked cache).
+    Numerics are identical to ``decode_step``'s plain path up to XLA
+    reduction-order rounding (parity-tested exactly on CPU f32).
+    """
+    dec = params["decoder"]
+    if stacked_blocks is None:
+        stacked_blocks = stack_decoder_blocks(params)
+    x = dec["embed_tokens"][token][:, None, :] \
+        + jax.lax.dynamic_slice_in_dim(dec["positions"], pos, 1)[None]
+    x = x.astype(cache["k"].dtype)
+    ck_s, cv_s = ckv
+
+    def layer(x, xs):
+        blk, k_cache, v_cache, k_m, v_m = xs
+        h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
+        k1 = L.dense(blk["self_attn"]["k"], h)
+        v1 = L.dense(blk["self_attn"]["v"], h)
+        k = jax.lax.dynamic_update_slice(
+            k_cache, k1.astype(k_cache.dtype), (0, pos, 0))
+        v = jax.lax.dynamic_update_slice(
+            v_cache, v1.astype(v_cache.dtype), (0, pos, 0))
+        q1 = L.dense(blk["self_attn"]["q"], h)[:, 0, :]
+        attn = _self_attend_cached(q1, k, v, pos, cfg)
+        x = x + L.dense(blk["self_attn"]["o"],
+                        attn[:, None, :].astype(x.dtype))
+        h = L.layer_norm(blk["cross_ln"], x, cfg.ln_eps)
+        x = x + _cross_attend(blk, h, (k_m, v_m), cfg)
+        h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
+        x = x + L.dense(blk["mlp_out"], L.gelu(L.dense(blk["mlp_in"], h)))
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(
+        layer, x, (stacked_blocks, cache["k"], cache["v"], ck_s, cv_s))
+    x = L.layer_norm(dec["ln"], x, cfg.ln_eps)
+    return _tied_logits(dec, x[:, 0, :]), {"k": ks, "v": vs}
+
+
+def init_cache_stacked(cfg: WhisperConfig, batch: int, max_len: int,
+                       dtype=jnp.float32):
+    """Stacked-layout self-attention KV cache for ``decode_step_scan``:
+    one [L, B, max_len, d_model] array per side instead of L dicts."""
+    shape = (cfg.dec_layers, batch, max_len, cfg.d_model)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def cross_kv_merged_stacked(params, enc_out: jnp.ndarray,
+                            cfg: WhisperConfig):
+    """Merged-head cross K/V stacked over layers: ``(k_m, v_m)`` each
+    [L, B, T, H*D] — the xs layout of ``decode_step_scan``."""
+    pairs = cross_kv_merged(params, enc_out, cfg)
+    return (jnp.stack([k for k, _ in pairs]),
+            jnp.stack([v for _, v in pairs]))
+
+
 _WHISPER_LANG_CODES: tuple[str, ...] | None = None
 
 
