@@ -120,6 +120,14 @@ class SynthModel:
     vocab: SynthVocab
     mel_seconds: float
     losses: list
+    n_events: tuple[int, int] = (1, 3)
+
+    @property
+    def max_new(self) -> int:
+        """Decode budget covering the grammar: k two-word events +
+        (k-1) 'then's + <eot>."""
+        k = self.n_events[1]
+        return 2 * k + (k - 1) + 1
 
 
 def train_synth_captioner(
@@ -131,21 +139,38 @@ def train_synth_captioner(
     seed: int = 0,
     lr: float = 3e-4,
     mesh=None,
+    n_events: tuple[int, int] = (1, 3),
+    dtype=None,
 ) -> SynthModel:
     """Train the preset captioner on procedural clips until transcripts
     are non-degenerate. Prompt = <sot>; tokens = <sot> words <eot>.
 
     ``mesh`` runs the train step dp-sharded (params replicated) — the
-    same pattern as the production engine's mesh knob."""
+    same pattern as the production engine's mesh knob.
+
+    Production-geometry mode (round-3 verdict item 5): pass
+    ``preset="tiny", clip_seconds=10, mel_seconds=30, n_events=(2, 6)``
+    to measure lever drift at the shipped pipeline's 10 s-segment /
+    30 s-context geometry instead of the 2 s toy — run it on the chip
+    (tools/synth_drift.py --production, MAS_DRIFT_TPU=1); the tiny
+    encoder at 30 s context is not CPU-sized. ``dtype`` casts params for
+    training (e.g. bf16 on chip)."""
     import jax.numpy as jnp
     from ..config import MelConfig
     from ..ops.mel import log_mel_spectrogram
     from .finetune import TrainConfig, make_train_step
 
     cfg = W.PRESETS[preset]
+    if mel_seconds * 50 > cfg.enc_positions:
+        raise ValueError(
+            f"mel_seconds={mel_seconds} exceeds preset '{preset}' context "
+            f"({cfg.enc_positions / 50:.0f} s)")
     vocab = SynthVocab(cfg)
     mel_cfg = MelConfig(padded_seconds=mel_seconds)
     params = W.init_params(jax.random.PRNGKey(seed), cfg)
+    if dtype is not None:
+        from ..models import layers as L
+        params = L.cast_floats(params, dtype)
     tcfg = TrainConfig(learning_rate=lr, schedule="warmup_cosine",
                        warmup_steps=20, total_steps=steps,
                        weight_decay=0.0)
@@ -158,11 +183,12 @@ def train_synth_captioner(
 
     mel_fn = jax.jit(lambda w: log_mel_spectrogram(w, mel_cfg))
     rng = np.random.default_rng(seed)
-    max_words = 3 * 2 + 2                # 3 two-word events + 2 'then's
+    kmax = n_events[1]
+    max_words = kmax * 2 + (kmax - 1)    # k two-word events + k-1 'then's
     tok_len = 1 + max_words + 1          # <sot> words <eot>
     losses = []
     for step in range(steps):
-        waves, texts = zip(*(make_clip(rng, clip_seconds)
+        waves, texts = zip(*(make_clip(rng, clip_seconds, n_events)
                              for _ in range(batch)))
         waves = np.stack(waves)
         # log_mel expects waves at the full mel context length
@@ -184,14 +210,15 @@ def train_synth_captioner(
         params, opt_state, metrics = train_step(params, opt_state, b)
         losses.append(float(metrics["loss"]))
     return SynthModel(params=params, cfg=cfg, vocab=vocab,
-                      mel_seconds=mel_seconds, losses=losses)
+                      mel_seconds=mel_seconds, losses=losses,
+                      n_events=n_events)
 
 
 def transcribe(
     model: SynthModel,
     waves: np.ndarray,
     mel_seconds: float | None = None,
-    max_new: int = 8,
+    max_new: int | None = None,
     dtype=None,
 ) -> list[str]:
     """Greedy decode through the PRODUCTION pipeline machinery (the same
@@ -201,6 +228,8 @@ def transcribe(
     from ..config import DecodeConfig, MelConfig
     from ..pipelines.whisper_pipeline import WhisperTextPipeline
 
+    if max_new is None:
+        max_new = model.max_new
     pipe = WhisperTextPipeline(
         params=model.params, cfg=model.cfg, tokenizer=model.vocab,
         decode=DecodeConfig(max_new_tokens=max_new),

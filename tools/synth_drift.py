@@ -88,7 +88,20 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=24)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--preset", default="test")
+    ap.add_argument("--clip-seconds", type=float, default=1.0)
+    ap.add_argument("--mel-seconds", type=float, default=2.0)
+    ap.add_argument("--max-events", type=int, default=3)
+    ap.add_argument("--production", action="store_true",
+                    help="round-3 verdict item 5 geometry: whisper-tiny "
+                         "preset, 10 s clips, full 30 s mel context, up "
+                         "to 6 events. Chip-sized — run with "
+                         "MAS_DRIFT_TPU=1 (the tiny encoder at 30 s "
+                         "context is not CPU-trainable)")
     args = ap.parse_args()
+    if args.production:
+        args.preset, args.clip_seconds = "tiny", 10.0
+        args.mel_seconds, args.max_events = 30.0, 6
 
     import jax
     # test-preset training is CPU-sized; opt into the chip explicitly
@@ -102,13 +115,23 @@ def main() -> None:
     from multimodal_audio_search_tpu.training.synth import (
         make_clip, train_synth_captioner, transcribe)
 
-    model = train_synth_captioner(steps=args.steps, batch=args.batch,
-                                  seed=args.seed)
+    n_events = (1 if args.max_events <= 3 else 2, args.max_events)
+    model = train_synth_captioner(
+        steps=args.steps, batch=args.batch, seed=args.seed,
+        preset=args.preset, clip_seconds=args.clip_seconds,
+        mel_seconds=args.mel_seconds, n_events=n_events)
     rng = np.random.default_rng(args.seed + 1)
-    waves, truths = zip(*(make_clip(rng) for _ in range(args.clips)))
+    waves, truths = zip(*(make_clip(rng, args.clip_seconds, n_events)
+                          for _ in range(args.clips)))
     waves = np.stack(waves)
 
     parity = transcribe(model, waves)
+    # the production short_context lever shrinks the mel context to the
+    # segment length (config.py::short_context); at the toy geometry
+    # (clip == half context) the two coincide
+    short_ctx_s = (args.clip_seconds
+                   if args.clip_seconds < args.mel_seconds
+                   else args.mel_seconds / 2)
 
     def drift(texts):
         exact = float(np.mean([g == p for g, p in zip(texts, parity)]))
@@ -123,7 +146,7 @@ def main() -> None:
     modes = {
         "parity": drift(parity),
         "short_context": drift(transcribe(
-            model, waves, mel_seconds=model.mel_seconds / 2)),
+            model, waves, mel_seconds=short_ctx_s)),
         "mulaw8": drift(transcribe(model, mulaw_roundtrip(waves))),
         "int16": drift(transcribe(model, int16_roundtrip(waves))),
         "int12": drift(transcribe(model, int12_roundtrip(waves))),
@@ -138,7 +161,11 @@ def main() -> None:
         "train": {"steps": args.steps,
                   "final_loss": round(float(
                       np.mean(model.losses[-20:])), 4),
-                  "preset": "test"},
+                  "preset": args.preset},
+        "geometry": {"clip_seconds": args.clip_seconds,
+                     "mel_seconds": args.mel_seconds,
+                     "max_events": args.max_events,
+                     "short_context_seconds": short_ctx_s},
         "clips": args.clips,
         "modes": modes,
     }
