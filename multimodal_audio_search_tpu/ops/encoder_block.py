@@ -147,17 +147,87 @@ def _attn_o_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
     o_ref[0] = (x_ref[0].astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
+def _attn_o_kernel_paired(qp_ref, kb_ref, vb_ref, x_ref, wo_ref, bo_ref,
+                          o_ref, *, t_real: int, scale: float, pairs: int,
+                          defer_div: bool, use_exp2: bool = False):
+    """Head-PAIRED variant (round-3 verdict item 6): two D=64 heads per
+    dot via block-diagonal K/V packing, so every score dot contracts the
+    full 128-lane MXU depth and every PV dot emits a full 128-lane tile.
+
+    qp_ref [1, P, blk_q, 2D]; kb_ref [1, P, 2D, 2T_pad] block-diag
+    (upper-left = head 2p keys^T, lower-right = head 2p+1);
+    vb_ref [1, P, 2T_pad, 2D] block-diag likewise. The block-diagonal
+    zeros make the joint contraction separable: cols [:T] of the score
+    dot see only head 2p, cols [T:] only head 2p+1.
+
+    A-priori accounting says this is MXU-time NEUTRAL — a K=64 pass
+    costs a full array pass either way, and packing converts the idle
+    depth 1:1 into doubled output tiles — while K/V HBM traffic and
+    VMEM double (structural zeros). It exists to MEASURE that claim
+    (tools/profile_headpair_ab.py); it is not wired into production.
+    """
+    t_pad = kb_ref.shape[3] // 2
+    _exp = jnp.exp2 if use_exp2 else jnp.exp
+    outs = []
+    for p in range(pairs):                          # static unroll
+        q = (qp_ref[0, p].astype(jnp.float32) * scale).astype(
+            kb_ref.dtype)                                  # [blk_q, 2D]
+        s2 = jax.lax.dot_general(
+            q, kb_ref[0, p],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [blk_q, 2T]
+        if t_real < t_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+            valid = (col < t_real) | ((col >= t_pad)
+                                      & (col < t_pad + t_real))
+            s2 = jnp.where(valid, s2, NEG_INF)
+        sa, sb = s2[:, :t_pad], s2[:, t_pad:]       # 128-multiple slices
+        ma = jnp.max(sa, axis=1, keepdims=True)
+        mb = jnp.max(sb, axis=1, keepdims=True)
+        pa = _exp(sa - ma)
+        pb = _exp(sb - mb)
+        la = jnp.sum(pa, axis=1, keepdims=True)
+        lb = jnp.sum(pb, axis=1, keepdims=True)
+        if defer_div:
+            p2 = jnp.concatenate([pa, pb], axis=1).astype(vb_ref.dtype)
+            pv = jax.lax.dot_general(
+                p2, vb_ref[0, p],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [blk_q, 2D]
+            d2 = pv.shape[1] // 2
+            ldiv = jnp.concatenate(
+                [jnp.broadcast_to(la, (la.shape[0], d2)),
+                 jnp.broadcast_to(lb, (lb.shape[0], d2))], axis=1)
+            outs.append(pv / ldiv)
+        else:
+            p2 = jnp.concatenate([pa / la, pb / lb],
+                                 axis=1).astype(vb_ref.dtype)
+            outs.append(jax.lax.dot_general(
+                p2, vb_ref[0, p],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(outs, axis=-1)                  # [blk_q, H*D]
+    y = jax.lax.dot_general(
+        attn.astype(wo_ref.dtype), wo_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + bo_ref[0].astype(jnp.float32)
+    o_ref[0] = (x_ref[0].astype(jnp.float32) + y).astype(o_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
 @functools.partial(
-    jax.jit, static_argnames=("blk_q", "blk_k", "use_exp2", "interpret"))
+    jax.jit, static_argnames=("blk_q", "blk_k", "use_exp2", "pair_heads",
+                              "interpret"))
 def fused_attention_o_residual(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,   # [B, H, T, D]
     x: jnp.ndarray,                                   # [B, T, HD_out]
     wo: jnp.ndarray, bo: jnp.ndarray,                 # [H*D, HD_out], [HD_out]
     blk_q: int = 256, blk_k: int | None = None, use_exp2: bool = False,
+    pair_heads: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x + (softmax(QK^T/sqrt(D)) V merged over heads) @ Wo + bo.
@@ -193,6 +263,59 @@ def fused_attention_o_residual(
         # exp(x) == exp2(x * log2 e): fold the change of base into the
         # q scale so every in-kernel exponential is a bare exp2
         scale *= math.log2(math.e)
+    if pair_heads:
+        assert h % 2 == 0 and blk_k is None, (h, blk_k)
+        pairs = h // 2
+        # block-diagonal packing, built XLA-side (doubles K/V bytes with
+        # structural zeros — part of what the A/B measures)
+        qe, qo = q[:, 0::2], q[:, 1::2]                # [B, P, T, D]
+        qp = jnp.concatenate([qe, qo], axis=-1)        # [B, P, T, 2D]
+        kTe = k[:, 0::2].transpose(0, 1, 3, 2)         # [B, P, D, T]
+        kTo = k[:, 1::2].transpose(0, 1, 3, 2)
+        z = jnp.zeros_like(kTe)
+        kb = jnp.concatenate(
+            [jnp.concatenate([kTe, z], axis=-1),
+             jnp.concatenate([z, kTo], axis=-1)], axis=-2)  # [B,P,2D,2T]
+        zv = jnp.zeros_like(v[:, 0::2])
+        vb = jnp.concatenate(
+            [jnp.concatenate([v[:, 0::2], zv], axis=-1),
+             jnp.concatenate([zv, v[:, 1::2]], axis=-1)],
+            axis=-2)                                   # [B, P, 2T, 2D]
+        kernel = functools.partial(
+            _attn_o_kernel_paired, t_real=t, scale=scale, pairs=pairs,
+            defer_div=(t_pad == blk_q), use_exp2=use_exp2)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, t_pad // blk_q),
+            in_specs=[
+                pl.BlockSpec((1, pairs, blk_q, 2 * d),
+                             lambda bi, i: (bi, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pairs, 2 * d, 2 * t_pad),
+                             lambda bi, i: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pairs, 2 * t_pad, 2 * d),
+                             lambda bi, i: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_q, hd), lambda bi, i: (bi, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h * d, hd), lambda bi, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hd), lambda bi, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, blk_q, hd), lambda bi, i: (bi, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, t_pad, hd), dt),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * t_pad * t_pad * d
+                + 2 * b * t_pad * (h * d) * hd,
+                bytes_accessed=b * t_pad * hd * 8 * 2,
+                transcendentals=b * h * t_pad * t_pad),
+            interpret=interpret,
+        )(qp.astype(dt), kb.astype(dt), vb.astype(dt), x,
+          wo.astype(dt), bo.reshape(1, hd).astype(dt))
+        return out[:, :t, :]
     kernel = functools.partial(
         _attn_o_kernel, t_real=t, scale=scale, heads=h,
         defer_div=(t_pad == blk_q), blk_k=blk_k, use_exp2=use_exp2)

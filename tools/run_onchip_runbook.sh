@@ -33,6 +33,7 @@ run scan_ab      python tools/profile_decode_scan_ab.py
 run stream_ab    python tools/profile_encoder_stream_ab.py
 run stream_ab10  python tools/profile_encoder_stream_ab.py --t 500
 run ivf_1m       python tools/bench_ivf.py
+run headpair_ab  python tools/profile_headpair_ab.py
 run drift_prod   env MAS_DRIFT_TPU=1 python tools/synth_drift.py \
                      --production --steps 1200 --clips 64 \
                      --out "$OUT/synth_drift_production.json"
