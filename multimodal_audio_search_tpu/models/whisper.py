@@ -19,6 +19,7 @@ decode call.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -198,13 +199,20 @@ def encode(
         # whole session wedged), so it is opt-in (MAS_ENC_STREAM=1, the
         # A/B runbook docs/ONCHIP_RUNBOOK.md) until measured; the
         # default stays the chip-proven full-T config.
-        import os
         if t <= 512:
             blk_q, blk_k = 512, None
         elif os.environ.get("MAS_ENC_STREAM", "0").lower() in ("1", "true"):
             blk_q, blk_k = 256, 512
         else:
             blk_q, blk_k = (256 if t <= 1024 else 128), None
+        # int8-dot attention (2x MXU throughput; lossy — int8 rounding on
+        # q and softmax rows, same family as the transcript-exact int8
+        # cross-KV decode). Opt-in until its drift is measured on the
+        # synth oracle and its speed on chip (docs/ONCHIP_RUNBOOK.md).
+        qk_int8 = os.environ.get(
+            "MAS_ENC_INT8", "0").lower() in ("1", "true")
+        if qk_int8:
+            blk_k = None
         for blk in params["encoder"]["blocks"]:
             a = blk["self_attn"]
             h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
@@ -213,7 +221,7 @@ def encode(
             v = L.split_heads(L.dense(a["v"], h), cfg.heads)
             x = fused_attention_o_residual(
                 q, k, v, x, a["o"]["w"], a["o"]["b"], blk_q=blk_q,
-                blk_k=blk_k)
+                blk_k=blk_k, qk_int8=qk_int8)
             h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
             x = x + L.dense(blk["mlp_out"],
                             L.gelu(L.dense(blk["mlp_in"], h)))
@@ -227,6 +235,17 @@ def encode(
             v = L.split_heads(L.dense(a["v"], h), cfg.heads)
             attn = L.merge_heads(fused_encoder_attention(q, k, v))
             x = x + L.dense(a["o"], attn)
+        elif os.environ.get("MAS_ENC_INT8", "0").lower() in ("1", "true"):
+            # plain-XLA twin of the int8-dot kernel's math — lets the
+            # CPU drift oracle measure the lever without Pallas
+            from ..ops.encoder_block import int8_attention_xla
+            a = blk["self_attn"]
+            q = L.split_heads(L.dense(a["q"], h), cfg.heads)
+            k = L.split_heads(L.dense(a["k"], h), cfg.heads)
+            v = L.split_heads(L.dense(a["v"], h), cfg.heads)
+            x = x + L.dense(a["o"],
+                            L.merge_heads(int8_attention_xla(q, k, v))
+                            .astype(x.dtype))
         else:
             x = x + L.mha(blk["self_attn"], h, h, cfg.heads)
         h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)

@@ -215,19 +215,104 @@ def _attn_o_kernel_paired(qp_ref, kb_ref, vb_ref, x_ref, wo_ref, bo_ref,
     o_ref[0] = (x_ref[0].astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
+def _attn_o_kernel_int8(q_ref, k8_ref, ks_ref, v8_ref, vs_ref, x_ref,
+                        wo_ref, bo_ref, o_ref, *, t_real: int,
+                        scale: float, heads: int, use_exp2: bool = False):
+    """int8-dot variant (round-4 MFU lever): both attention dots run as
+    int8 x int8 -> int32 MXU ops — 2x the bf16 MXU throughput on v5e —
+    with the quantization scales factored around the dots:
+
+      scores = (q8 . k8) * q_rowscale * k_posscale       (k from XLA-side
+                                                          quantize_kv)
+      out    = ((p * v_posscale)8 . v8) * p_rowscale     (position scale
+                                                          folded into p
+                                                          BEFORE its row
+                                                          quantization,
+                                                          so it commutes
+                                                          through the T
+                                                          contraction)
+
+    q_ref [1, H, blk_q, D] bf16; k8/v8 [1, H, T_pad, D] int8;
+    ks/vs [1, H, T_pad] f32 per-position scales. Lossy (int8 rounding on
+    q and the softmax rows) — an OPT-IN fast mode whose drift the synth
+    oracle measures; same quantization family as the transcript-exact
+    int8 cross-KV decode path (ops/cached_attention.py).
+    """
+    t_pad = k8_ref.shape[2]
+    _exp = jnp.exp2 if use_exp2 else jnp.exp
+    outs = []
+    for h in range(heads):                          # static unroll
+        qf = q_ref[0, h].astype(jnp.float32) * scale       # [blk_q, D]
+        qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True),
+                         1e-12) / 127.0
+        q8 = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+        s = jax.lax.dot_general(
+            q8, k8_ref[0, h],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        s = s * qs * ks_ref[0, h][None, :]                 # [blk_q, T]
+        if t_real < t_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < t_real, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = _exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        pw = p * vs_ref[0, h][None, :]
+        ps = jnp.maximum(jnp.max(jnp.abs(pw), axis=1, keepdims=True),
+                         1e-30) / 127.0
+        p8 = jnp.clip(jnp.round(pw / ps), -127, 127).astype(jnp.int8)
+        pv = jax.lax.dot_general(
+            p8, v8_ref[0, h],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        outs.append(pv * ps)                               # [blk_q, D]
+    attn = jnp.concatenate(outs, axis=-1)                  # [blk_q, H*D]
+    y = jax.lax.dot_general(
+        attn.astype(wo_ref.dtype), wo_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + bo_ref[0].astype(jnp.float32)
+    o_ref[0] = (x_ref[0].astype(jnp.float32) + y).astype(o_ref.dtype)
+
+
+def int8_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Plain-XLA twin of ``_attn_o_kernel_int8``'s quantized attention
+    math: [B, H, T, D] q/k/v -> [B, H, T, D] attention output. Same
+    per-row q / softmax-row quantization and per-position K/V scales, so
+    the CPU drift oracle (tools/synth_drift.py int8_enc mode) measures
+    exactly the arithmetic the TPU kernel executes."""
+    from .cached_attention import quantize_kv
+    d = q.shape[-1]
+    k8, ks, v8, vs = quantize_kv(k, v)
+    qf = q.astype(jnp.float32) / math.sqrt(d)
+    qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                     1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(qf / qs), -127, 127)
+    s = jnp.einsum("bhqd,bhtd->bhqt", q8, k8.astype(jnp.float32))
+    s = s * qs * ks[:, :, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    pw = p * vs[:, :, None, :]
+    ps = jnp.maximum(jnp.max(jnp.abs(pw), axis=-1, keepdims=True),
+                     1e-30) / 127.0
+    p8 = jnp.clip(jnp.round(pw / ps), -127, 127)
+    return jnp.einsum("bhqt,bhtd->bhqd", p8,
+                      v8.astype(jnp.float32)) * ps
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
 @functools.partial(
     jax.jit, static_argnames=("blk_q", "blk_k", "use_exp2", "pair_heads",
-                              "interpret"))
+                              "qk_int8", "interpret"))
 def fused_attention_o_residual(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,   # [B, H, T, D]
     x: jnp.ndarray,                                   # [B, T, HD_out]
     wo: jnp.ndarray, bo: jnp.ndarray,                 # [H*D, HD_out], [HD_out]
     blk_q: int = 256, blk_k: int | None = None, use_exp2: bool = False,
-    pair_heads: bool = False,
+    pair_heads: bool = False, qk_int8: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x + (softmax(QK^T/sqrt(D)) V merged over heads) @ Wo + bo.
@@ -263,6 +348,48 @@ def fused_attention_o_residual(
         # exp(x) == exp2(x * log2 e): fold the change of base into the
         # q scale so every in-kernel exponential is a bare exp2
         scale *= math.log2(math.e)
+    if qk_int8:
+        assert blk_k is None and not pair_heads, (blk_k, pair_heads)
+        from .cached_attention import quantize_kv
+        k8, ks, v8, vs = quantize_kv(k, v)
+        kernel = functools.partial(
+            _attn_o_kernel_int8, t_real=t, scale=scale, heads=h,
+            use_exp2=use_exp2)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, t_pad // blk_q),
+            in_specs=[
+                pl.BlockSpec((1, h, blk_q, d), lambda bi, i: (bi, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, t_pad, d), lambda bi, i: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, t_pad), lambda bi, i: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, t_pad, d), lambda bi, i: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, t_pad), lambda bi, i: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_q, hd), lambda bi, i: (bi, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h * d, hd), lambda bi, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hd), lambda bi, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, blk_q, hd), lambda bi, i: (bi, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, t_pad, hd), dt),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * t_pad * t_pad * d
+                + 2 * b * t_pad * (h * d) * hd,
+                bytes_accessed=b * h * t_pad * d * 2
+                + b * t_pad * hd * 4 * 2,
+                transcendentals=b * h * t_pad * t_pad),
+            interpret=interpret,
+        )(q.astype(dt), k8, ks.astype(jnp.float32),
+          v8, vs.astype(jnp.float32), x,
+          wo.astype(dt), bo.reshape(1, hd).astype(dt))
+        return out[:, :t, :]
     if pair_heads:
         assert h % 2 == 0 and blk_k is None, (h, blk_k)
         pairs = h // 2

@@ -212,3 +212,57 @@ def test_attn_o_residual_pair_heads_single_step_defer(rng):
         interpret=True)
     ref = x + L.dense(o, L.merge_heads(L.attention_scores(q, k, v)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_attn_o_residual_int8_matches_quantized_reference(rng):
+    """int8-dot variant == the same quantized math in plain XLA (exact
+    modulo f32 reduction order), and close to the f32 attention."""
+    b, heads, t, d = 2, 4, 40, 16
+    hd = heads * d
+    q, k, v = (jnp.asarray(rng.normal(size=(b, heads, t, d)), jnp.float32)
+               for _ in range(3))
+    x = jnp.asarray(rng.normal(size=(b, t, hd)), jnp.float32)
+    o = L.init_dense(jax.random.PRNGKey(0), hd, hd)
+
+    out = fused_attention_o_residual(
+        q, k, v, x, o["w"], o["b"], blk_q=16, qk_int8=True,
+        interpret=True)
+
+    # XLA twin of the SAME quantized math (row maxima make the kernel's
+    # blk_q tiling irrelevant) — also the plain-encode MAS_ENC_INT8 path
+    from multimodal_audio_search_tpu.ops.encoder_block import (
+        int8_attention_xla)
+    ref = x + L.dense(o, L.merge_heads(int8_attention_xla(q, k, v)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    # and the quantization is a small perturbation of the f32 attention
+    f32 = x + L.dense(o, L.merge_heads(L.attention_scores(q, k, v)))
+    err = float(jnp.max(jnp.abs(out - f32)) / jnp.max(jnp.abs(f32)))
+    assert err < 0.05, err
+
+
+def test_encode_int8_env_path_matches_kernel(rng, monkeypatch):
+    """MAS_ENC_INT8=1 on the plain encode path (XLA twin) must produce
+    the same encoder states as the int8 Pallas kernel (interpret mode)
+    — one arithmetic, two executors."""
+    import os as _os
+    from multimodal_audio_search_tpu.ops import encoder_block as eb
+    cfg = W.config_for("test")
+    params = W.init_params(jax.random.PRNGKey(3), cfg)
+    mel = jnp.asarray(rng.normal(size=(2, cfg.n_mels, 2 * cfg.enc_positions)),
+                      jnp.float32)
+
+    monkeypatch.setenv("MAS_ENC_INT8", "1")
+    plain = W.encode(params, mel, cfg, fused_attention=False)
+
+    orig = eb.fused_attention_o_residual
+    def forced(*a, **kw):
+        kw["interpret"] = True
+        kw["qk_int8"] = True
+        kw["blk_k"] = None
+        return orig(*a, **kw)
+    monkeypatch.setattr(eb, "fused_attention_o_residual", forced)
+    fused = W.encode(params, mel, cfg, fused_blocks=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
+                               atol=2e-4, rtol=2e-4)

@@ -1,13 +1,18 @@
-"""Head-pairing A/B (round-3 verdict item 6).
+"""Encoder attention kernel variant A/B: base vs head-paired vs int8.
 
 Times the fused encoder attention block (ops/encoder_block.py) against
-its head-PAIRED variant (two D=64 heads per dot via block-diagonal K/V)
-at whisper-base geometry, 10 s and 30 s contexts. The a-priori MXU
-accounting says pairing is time-neutral (a K=64 pass costs a full array
-pass either way; packing converts idle depth 1:1 into doubled output
-tiles) while doubling K/V HBM traffic — this tool measures that claim.
+its round-4 variants at whisper-base geometry, 10 s and 30 s contexts:
 
-Run plain on the TPU (background, NO shell timeout; 4 novel compiles):
+  * paired — two D=64 heads per dot via block-diagonal K/V (round-3
+    verdict item 6). A-priori MXU accounting says time-NEUTRAL (a K=64
+    pass costs a full array pass either way; packing converts idle depth
+    1:1 into doubled output tiles) while doubling K/V HBM traffic —
+    this tool measures that claim.
+  * int8 — both attention dots as int8 x int8 -> int32 (2x bf16 MXU
+    throughput on v5e) with scales factored around the dots; lossy
+    (drift measured by the synth oracle), so a fast-mode candidate.
+
+Run plain on the TPU (background, NO shell timeout; 6 novel compiles):
 
     nohup python tools/profile_headpair_ab.py > /tmp/headpair_ab.out 2>&1 &
 
@@ -66,11 +71,12 @@ def main():
         flops = 4 * B * H * t * t * D + 2 * B * t * HD * HD
         print(f"\nt={t} blk_q={blk_q} useful_gflop={flops/1e9:.1f}",
               flush=True)
-        for name, pair in (("base", False), ("paired", True)):
+        for name, kw in (("base", {}), ("paired", {"pair_heads": True}),
+                         ("int8", {"qk_int8": True})):
             try:
-                fn = lambda q, k, v, x, wo, bo, _p=pair: \
+                fn = lambda q, k, v, x, wo, bo, _kw=kw: \
                     fused_attention_o_residual(
-                        q, k, v, x, wo, bo, blk_q=blk_q, pair_heads=_p)
+                        q, k, v, x, wo, bo, blk_q=blk_q, **_kw)
                 tt = sync_time(fn, q, k, v, x, wo, bo) - rtt
                 mfu = flops / tt / 394e12 if platform == "tpu" else 0.0
                 print(f"  {name:8s} {tt*1e3:8.2f} ms  in-kernel "

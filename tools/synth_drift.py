@@ -156,6 +156,13 @@ def main() -> None:
                 model, params=quantize_whisper_decoder(model.params)),
             waves)),
     }
+    # int8 encoder attention (ops/encoder_block.py int8 variant; the
+    # plain path routes through its XLA twin, same math)
+    os.environ["MAS_ENC_INT8"] = "1"
+    try:
+        modes["int8_enc"] = drift(transcribe(model, waves))
+    finally:
+        os.environ.pop("MAS_ENC_INT8", None)
     out = {
         "metric": "synth_drift",
         "train": {"steps": args.steps,
