@@ -306,9 +306,15 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
         100.0 * sum(v for k, v in trace.items() if k != "wall")
         / max(trace.get("wall", 1e-9), 1e-9), 1)
     throughput = audio_seconds / ingest_s
-    itemsize = {"mulaw8": 1, "int12": 1.5, "int16": 2,
-                "float32": 4}[transfer_dtype]
     seg_len = min(int(cfg.segment.segment_seconds * sr), mel_cfg.n_samples)
+    if transfer_dtype == "mel16":
+        # host-computed log-mel codes: n_mels x segment frames x uint16
+        from multimodal_audio_search_tpu.ops.mel import mel_seg_frames
+        itemsize = (mel_cfg.n_mels * mel_seg_frames(seg_len, mel_cfg)
+                    * 2.0 / seg_len)
+    else:
+        itemsize = {"mulaw8": 1, "int12": 1.5, "int16": 2,
+                    "float32": 4}[transfer_dtype]
     transfer_mb = len(segments) * seg_len * itemsize / 1e6
 
     # ---- device-side stage timings (whisper-base ASR path, batch rows).
@@ -543,6 +549,15 @@ def _main() -> None:
                        int8_kv=False, fused_layer=on_tpu,
                        transfer_dtype="int12", fused_encoder=on_tpu,
                        index_dtype=jnp.float32, **common)
+    # mel16 variant of fast_lossless: host-computed log-mel transfer
+    # (2/3 the tunnel bytes of int12 AND no device STFT; roundtrip
+    # error 3e-5 — an order below the device's own f32 mel deviation).
+    # Extra until the production-geometry oracle confirms it, then the
+    # headline candidate (docs/ONCHIP_RUNBOOK.md).
+    lossless_mel16 = guarded("fast_lossless_mel16", short_context=False,
+                             int8_kv=False, fused_layer=on_tpu,
+                             transfer_dtype="mel16", fused_encoder=on_tpu,
+                             index_dtype=jnp.float32, **common)
     # parity mode = engine defaults (exact reference-parity search results)
     parity = guarded("parity", short_context=False, int8_kv=False,
                      fused_layer=False, index_dtype=jnp.float32,
@@ -579,6 +594,7 @@ def _main() -> None:
             "parity": parity,
             "fast": fast,
             "fast_lossless": lossless,
+            "fast_lossless_mel16": lossless_mel16,
             "ivf": ivf,
         },
     }))

@@ -232,7 +232,12 @@ class EngineConfig:
     # transcript-exact on the synthetic oracle), "int12" (packed
     # 1.5 B/sample, 72 dB SNR, also transcript-exact on the oracle), or
     # "mulaw8" (telephony-grade 8-bit companding for bandwidth-starved
-    # hosts; has measured transcript drift, docs/BENCHMARKS.md). Set
+    # hosts; has measured transcript drift, docs/BENCHMARKS.md), or
+    # "mel16" (host-computed HF-f64-exact log-mel shipped as uint16
+    # codes: 1.5x fewer tunnel bytes than int12 for 10 s segments AND
+    # no device STFT; quantization error 3e-5, an order below the
+    # device's own f32 mel deviation — drift measured on the synth
+    # oracle, ops/mel.py::encode_mel16). Set
     # MAS_TRANSFER_DTYPE=float32 for the unconditional-exact path.
     transfer_dtype: str = "int16"
     # multi-chip execution (SURVEY §2c; the reference is single-device,

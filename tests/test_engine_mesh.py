@@ -141,3 +141,19 @@ def test_sharded_search_payload_matches_fused_topk(rng):
     np.testing.assert_array_equal(np.asarray(out["valid"]),
                                   np.asarray(ref["valid"]))
     assert int(out["num_valid"]) == int(ref["num_valid"])
+
+
+def test_engine_mesh_mel16_transfer_matches_single_device(wave):
+    """The mel16 transfer ([b, n_mels, T_seg] uint16 host-mel codes)
+    must shard over the data axis like any other batch layout and decode
+    to the same tokens as single-device mel16 ingest."""
+    ref = _engine(1, 1, transfer="mel16")
+    ref_segs = ref.ingest_waveform(wave, 16000, "clip")
+    eng = _engine(8, 1, transfer="mel16")
+    segs = eng.ingest_waveform(wave, 16000, "clip")
+    assert len(segs) == len(ref_segs) > 0
+    for s, r in zip(segs, ref_segs):
+        assert s["asr_text"] == r["asr_text"]
+        assert s["audio_description"] == r["audio_description"]
+    np.testing.assert_allclose(
+        eng.store.embeddings, ref.store.embeddings, atol=2e-5)

@@ -31,7 +31,8 @@ def make_ingest(transfer):
         cfg)
 
 
-@pytest.mark.parametrize("transfer", ["float32", "int16", "int12", "mulaw8"])
+@pytest.mark.parametrize("transfer",
+                         ["float32", "int16", "int12", "mulaw8", "mel16"])
 def test_transfer_dtypes_agree(rng, transfer):
     """All transfer encodings produce identical decoded tokens on the same
     audio (the models are coarse enough that 8/16-bit waveform quantization
@@ -132,3 +133,23 @@ def test_native_quantize_bit_exact_vs_numpy(rng):
         # NaN->int16 is platform-defined in numpy too; compare finite only
         fin = np.isfinite(wn)
         np.testing.assert_array_equal(out16[fin], ref16[fin])
+
+
+def test_mel16_codes_roundtrip_accuracy(rng):
+    """mel16 transfer: host HF-f64-exact log-mel quantized at step
+    16/65535 — the device reconstruction must sit within half a step of
+    the exact f64 mel, including the silent reconstructed tail."""
+    import jax
+    from multimodal_audio_search_tpu.ops import mel as M
+    cfg = MelConfig(padded_seconds=2.0)
+    seg = 16000
+    w = (rng.normal(size=(2, seg)) * 0.3).astype(np.float32)
+    codes = M.encode_mel16(w, cfg)
+    assert codes.shape == (2, cfg.n_mels, M.mel_seg_frames(seg, cfg))
+    rec = np.asarray(M.decode_mel16(jnp.asarray(codes), cfg))
+    wp = np.pad(w, ((0, 0), (0, cfg.n_samples - seg)))
+    with jax.enable_x64():
+        exact = np.asarray(M.log_mel_spectrogram(
+            jnp.asarray(wp, jnp.float64), cfg, dtype=jnp.float64))
+    step = (M.MEL_LOG_HI - M.MEL_LOG_LO) / 65535.0
+    assert np.max(np.abs(rec - exact)) <= step / 2 / 4 * 1.01 + 1e-7

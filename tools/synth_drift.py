@@ -81,6 +81,39 @@ def int12_roundtrip(w: np.ndarray) -> np.ndarray:
     return out
 
 
+def transcribe_mel16(model, waves: np.ndarray) -> list[str]:
+    """Greedy decode through the mel16 transfer path: host-computed
+    quantized log-mel (ops/mel.py encode_mel16) reconstructed on device
+    (decode_mel16) and fed to the pipeline's mel entry — exactly what
+    ingest does under transfer_dtype="mel16"."""
+    import jax.numpy as jnp
+    from multimodal_audio_search_tpu.config import DecodeConfig, MelConfig
+    from multimodal_audio_search_tpu.ops.mel import (
+        decode_mel16, encode_mel16, mel_seg_frames)
+    from multimodal_audio_search_tpu.pipelines.whisper_pipeline import (
+        WhisperTextPipeline)
+
+    mel_cfg = MelConfig(padded_seconds=model.mel_seconds)
+    pipe = WhisperTextPipeline(
+        params=model.params, cfg=model.cfg, tokenizer=model.vocab,
+        decode=DecodeConfig(max_new_tokens=model.max_new),
+        mel_cfg=mel_cfg, prefix_ids=[model.cfg.bos_token_id],
+        dtype=jnp.float32, name="synth_mel16")
+    seg_len = max(len(w) for w in waves)
+    t_seg = mel_seg_frames(seg_len, mel_cfg)
+    n = len(waves)
+    from multimodal_audio_search_tpu.utils.batching import bucket_pow2
+    b = bucket_pow2(n, pipe.batch_floor())
+    w = np.zeros((b, seg_len), np.float32)
+    for i, src in enumerate(waves):
+        m = min(len(src), seg_len)
+        w[i, :m] = src[:m]
+    codes = encode_mel16(w, mel_cfg, t_seg)
+    mel = decode_mel16(jnp.asarray(codes), mel_cfg)
+    toks, lens = pipe.dispatch_mel(mel)
+    return pipe.texts_from_tokens(np.asarray(toks), np.asarray(lens), n)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
@@ -163,6 +196,9 @@ def main() -> None:
         modes["int8_enc"] = drift(transcribe(model, waves))
     finally:
         os.environ.pop("MAS_ENC_INT8", None)
+    # mel16 transfer: host HF-f64-exact log-mel -> uint16 codes ->
+    # device reconstruction (the exact ingest path, pipelines/ingest.py)
+    modes["mel16"] = drift(transcribe_mel16(model, waves))
     out = {
         "metric": "synth_drift",
         "train": {"steps": args.steps,
