@@ -307,11 +307,13 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
         / max(trace.get("wall", 1e-9), 1e-9), 1)
     throughput = audio_seconds / ingest_s
     seg_len = min(int(cfg.segment.segment_seconds * sr), mel_cfg.n_samples)
-    if transfer_dtype == "mel16":
-        # host-computed log-mel codes: n_mels x segment frames x uint16
+    if transfer_dtype in ("mel16", "mel12"):
+        # host-computed log-mel codes: n_mels x segment frames x 2 B
+        # (mel16) or packed 1.5 B (mel12)
         from multimodal_audio_search_tpu.ops.mel import mel_seg_frames
         itemsize = (mel_cfg.n_mels * mel_seg_frames(seg_len, mel_cfg)
-                    * 2.0 / seg_len)
+                    * (2.0 if transfer_dtype == "mel16" else 1.5)
+                    / seg_len)
     else:
         itemsize = {"mulaw8": 1, "int12": 1.5, "int16": 2,
                     "float32": 4}[transfer_dtype]

@@ -275,6 +275,50 @@ def encode_mel16(wave: np.ndarray, cfg: MelConfig,
                    0.0, 65535.0).astype(np.uint16)
 
 
+_MEL12_SCALE = 4095.0 / (MEL_LOG_HI - MEL_LOG_LO)
+
+
+def encode_mel12(wave: np.ndarray, cfg: MelConfig,
+                 n_frames: int | None = None) -> np.ndarray:
+    """mel12: the mel16 representation packed to 12 bits/code (1.5 B
+    per 2 codes — 2x fewer tunnel bytes than the int12 waveform for
+    10 s segments). [B, L] float -> [B, n_mels * n_frames * 3 // 2]
+    uint8. Code count per sample (n_mels * n_frames) must be even.
+    Layout per 2 codes (a, b): byte0 = a&0xFF, byte1 = (a>>8) | ((b&0xF)
+    <<4), byte2 = b>>4 (the unsigned cousin of _pack_int12's layout)."""
+    log = host_log_mel(wave, cfg, n_frames)        # [B, n_mels, T]
+    b = log.shape[0]
+    codes = np.clip(np.round((log - MEL_LOG_LO) * _MEL12_SCALE),
+                    0.0, 4095.0).astype(np.uint16).reshape(b, -1)
+    assert codes.shape[1] % 2 == 0, codes.shape
+    pair = codes.reshape(b, -1, 2).astype(np.uint32)
+    a, c = pair[..., 0], pair[..., 1]
+    out = np.empty((b, pair.shape[1], 3), np.uint8)
+    out[..., 0] = a & 0xFF
+    out[..., 1] = (a >> 8) | ((c & 0xF) << 4)
+    out[..., 2] = c >> 4
+    return out.reshape(b, -1)
+
+
+def decode_mel12(packed: jnp.ndarray, cfg: MelConfig,
+                 t_seg: int) -> jnp.ndarray:
+    """Device side: [B, n_mels * t_seg * 3 // 2] uint8 -> [B, n_mels,
+    n_frames] normalized features (unpack + the clamp/scale epilogue)."""
+    b = packed.shape[0]
+    u = packed.astype(jnp.int32).reshape(b, -1, 3)
+    a = u[..., 0] | ((u[..., 1] & 0xF) << 8)
+    c = (u[..., 1] >> 4) | (u[..., 2] << 4)
+    codes = jnp.stack([a, c], -1).reshape(b, cfg.n_mels, t_seg)
+    log = codes.astype(jnp.float32) / _MEL12_SCALE + MEL_LOG_LO
+    if t_seg < cfg.n_frames:
+        log = jnp.concatenate(
+            [log, jnp.full((b, cfg.n_mels, cfg.n_frames - t_seg),
+                           MEL_LOG_LO, jnp.float32)], axis=2)
+    gmax = jnp.max(log, axis=(1, 2), keepdims=True)
+    log = jnp.maximum(log, gmax - 8.0)
+    return (log + 4.0) / 4.0
+
+
 def decode_mel16(codes: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
     """Device side: [B, n_mels, T_seg] uint16 -> [B, n_mels, n_frames]
     normalized features (the clamp/scale epilogue of

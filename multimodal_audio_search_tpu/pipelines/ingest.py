@@ -178,6 +178,10 @@ class DualPipelineIngest:
                     # device STFT at all (ops/mel.py::decode_mel16)
                     from ..ops.mel import decode_mel16
                     return decode_mel16(wq, mel_cfg)
+                if transfer == "mel12":
+                    from ..ops.mel import decode_mel12, mel_seg_frames
+                    return decode_mel12(
+                        wq, mel_cfg, mel_seg_frames(seg_len, mel_cfg))
                 if transfer == "mulaw8":
                     # mu-law expansion (mu=255): telephony-grade 8-bit
                     y = wq.astype(jnp.float32) / 127.0
@@ -214,19 +218,22 @@ class DualPipelineIngest:
             # temporaries (native/audio_kernels.cc, bit-identical — the
             # numpy closed form below needed five passes and was the
             # largest quantize cost on the 1-core ingest host)
-            if transfer == "mel16":
-                # host-side HF-f64-exact log-mel, quantized uint16
-                # (ops/mel.py): ~1.5x fewer tunnel bytes than int12 and
-                # the device skips its STFT entirely. Deferred norm
-                # scale applies to the waveform before the transform.
-                from ..ops.mel import encode_mel16, mel_seg_frames
+            if transfer in ("mel16", "mel12"):
+                # host-side HF-f64-exact log-mel, quantized to 16- or
+                # packed 12-bit codes (ops/mel.py): 1.5-2x fewer tunnel
+                # bytes than int12 and the device skips its STFT
+                # entirely. Deferred norm scale applies to the waveform
+                # before the transform.
+                from ..ops.mel import (encode_mel12, encode_mel16,
+                                       mel_seg_frames)
                 t_seg = mel_seg_frames(seg_len, self.asr.mel_cfg)
                 w = np.zeros((b, seg_len), np.float32)
                 for i, src in enumerate(chunk):
                     m = min(len(src), seg_len)
                     w[i, :m] = np.nan_to_num(
                         src[:m] * scale if scale != 1.0 else src[:m])
-                return encode_mel16(w, self.asr.mel_cfg, t_seg)
+                enc = encode_mel16 if transfer == "mel16" else encode_mel12
+                return enc(w, self.asr.mel_cfg, t_seg)
             if transfer == "mulaw8":
                 q = np.zeros((b, seg_len), np.int8)
                 lut = _mulaw_lut()

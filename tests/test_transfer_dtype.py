@@ -32,7 +32,8 @@ def make_ingest(transfer):
 
 
 @pytest.mark.parametrize("transfer",
-                         ["float32", "int16", "int12", "mulaw8", "mel16"])
+                         ["float32", "int16", "int12", "mulaw8", "mel16",
+                          "mel12"])
 def test_transfer_dtypes_agree(rng, transfer):
     """All transfer encodings produce identical decoded tokens on the same
     audio (the models are coarse enough that 8/16-bit waveform quantization
@@ -152,4 +153,35 @@ def test_mel16_codes_roundtrip_accuracy(rng):
         exact = np.asarray(M.log_mel_spectrogram(
             jnp.asarray(wp, jnp.float64), cfg, dtype=jnp.float64))
     step = (M.MEL_LOG_HI - M.MEL_LOG_LO) / 65535.0
+    assert np.max(np.abs(rec - exact)) <= step / 2 / 4 * 1.01 + 1e-7
+
+
+def test_mel12_pack_roundtrip_and_accuracy(rng):
+    """mel12: the 12-bit packing must be lossless over the 12-bit codes,
+    and the reconstruction within half a 12-bit step of the exact mel."""
+    import jax
+    from multimodal_audio_search_tpu.ops import mel as M
+    cfg = MelConfig(padded_seconds=2.0)
+    seg = 16000
+    w = (rng.normal(size=(2, seg)) * 0.3).astype(np.float32)
+    t_seg = M.mel_seg_frames(seg, cfg)
+    packed = M.encode_mel12(w, cfg, t_seg)
+    assert packed.shape == (2, cfg.n_mels * t_seg * 3 // 2)
+    # pack/unpack is the identity on codes
+    log = M.host_log_mel(w, cfg, t_seg)
+    codes = np.clip(np.round((log - M.MEL_LOG_LO) * M._MEL12_SCALE),
+                    0.0, 4095.0).astype(np.int64)
+    rec = np.asarray(M.decode_mel12(jnp.asarray(packed), cfg, t_seg))
+    # pack/unpack identity: dequantized codes appear exactly in rec
+    # (silent tail aside), so the bound below is pure quantization
+    dq = (np.maximum(codes / M._MEL12_SCALE + M.MEL_LOG_LO,
+                     (codes / M._MEL12_SCALE + M.MEL_LOG_LO)
+                     .max((1, 2), keepdims=True) - 8.0) + 4.0) / 4.0
+    np.testing.assert_allclose(rec[:, :, :t_seg], dq, atol=1e-6)
+    # quantization bound vs the exact f64 mel
+    wp = np.pad(w, ((0, 0), (0, cfg.n_samples - seg)))
+    with jax.enable_x64():
+        exact = np.asarray(M.log_mel_spectrogram(
+            jnp.asarray(wp, jnp.float64), cfg, dtype=jnp.float64))
+    step = (M.MEL_LOG_HI - M.MEL_LOG_LO) / 4095.0
     assert np.max(np.abs(rec - exact)) <= step / 2 / 4 * 1.01 + 1e-7

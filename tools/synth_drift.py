@@ -81,15 +81,17 @@ def int12_roundtrip(w: np.ndarray) -> np.ndarray:
     return out
 
 
-def transcribe_mel16(model, waves: np.ndarray) -> list[str]:
-    """Greedy decode through the mel16 transfer path: host-computed
-    quantized log-mel (ops/mel.py encode_mel16) reconstructed on device
-    (decode_mel16) and fed to the pipeline's mel entry — exactly what
-    ingest does under transfer_dtype="mel16"."""
+def transcribe_hostmel(model, waves: np.ndarray, bits: int = 16
+                       ) -> list[str]:
+    """Greedy decode through the mel16/mel12 transfer path: host-computed
+    quantized log-mel (ops/mel.py encode_mel16/encode_mel12) reconstructed
+    on device and fed to the pipeline's mel entry — exactly what ingest
+    does under transfer_dtype="mel16"/"mel12"."""
     import jax.numpy as jnp
     from multimodal_audio_search_tpu.config import DecodeConfig, MelConfig
     from multimodal_audio_search_tpu.ops.mel import (
-        decode_mel16, encode_mel16, mel_seg_frames)
+        decode_mel12, decode_mel16, encode_mel12, encode_mel16,
+        mel_seg_frames)
     from multimodal_audio_search_tpu.pipelines.whisper_pipeline import (
         WhisperTextPipeline)
 
@@ -98,7 +100,7 @@ def transcribe_mel16(model, waves: np.ndarray) -> list[str]:
         params=model.params, cfg=model.cfg, tokenizer=model.vocab,
         decode=DecodeConfig(max_new_tokens=model.max_new),
         mel_cfg=mel_cfg, prefix_ids=[model.cfg.bos_token_id],
-        dtype=jnp.float32, name="synth_mel16")
+        dtype=jnp.float32, name=f"synth_mel{bits}")
     seg_len = max(len(w) for w in waves)
     t_seg = mel_seg_frames(seg_len, mel_cfg)
     n = len(waves)
@@ -108,8 +110,12 @@ def transcribe_mel16(model, waves: np.ndarray) -> list[str]:
     for i, src in enumerate(waves):
         m = min(len(src), seg_len)
         w[i, :m] = src[:m]
-    codes = encode_mel16(w, mel_cfg, t_seg)
-    mel = decode_mel16(jnp.asarray(codes), mel_cfg)
+    if bits == 16:
+        codes = encode_mel16(w, mel_cfg, t_seg)
+        mel = decode_mel16(jnp.asarray(codes), mel_cfg)
+    else:
+        codes = encode_mel12(w, mel_cfg, t_seg)
+        mel = decode_mel12(jnp.asarray(codes), mel_cfg, t_seg)
     toks, lens = pipe.dispatch_mel(mel)
     return pipe.texts_from_tokens(np.asarray(toks), np.asarray(lens), n)
 
@@ -198,7 +204,8 @@ def main() -> None:
         os.environ.pop("MAS_ENC_INT8", None)
     # mel16 transfer: host HF-f64-exact log-mel -> uint16 codes ->
     # device reconstruction (the exact ingest path, pipelines/ingest.py)
-    modes["mel16"] = drift(transcribe_mel16(model, waves))
+    modes["mel16"] = drift(transcribe_hostmel(model, waves, 16))
+    modes["mel12"] = drift(transcribe_hostmel(model, waves, 12))
     out = {
         "metric": "synth_drift",
         "train": {"steps": args.steps,
