@@ -16,6 +16,7 @@ WhisperFeatureExtractor):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -229,19 +230,15 @@ def _host_mel_fb(cfg: MelConfig) -> tuple[np.ndarray, np.ndarray]:
             mel_filterbank(cfg.n_mels, cfg.n_fft, cfg.sample_rate).T)
 
 
-def host_log_mel(wave: np.ndarray, cfg: MelConfig,
-                 n_frames: int | None = None) -> np.ndarray:
-    """[B, L<=n_samples] float -> [B, n_mels, n_frames] UNNORMALIZED
-    log10 mel (before the global-max clamp and (x+4)/4 epilogue), in
-    HF float64 numerics: rfft spectrum rounded through complex64, then
-    float64 power/mel/log10 — the same rounding the f64 exactness path
-    of ``log_mel_spectrogram`` reproduces (parity-tested)."""
-    win, mel = _host_mel_fb(cfg)
+def _host_mel_padded(wave: np.ndarray, cfg: MelConfig,
+                     n_frames: int) -> np.ndarray:
+    """The framing input both host mel paths share: [B, L] -> [B, need]
+    float64, reflect-padded half a window on the left and zero-extended/
+    reflect-closed on the right exactly as the full-context transform
+    frames it (need = (n_frames-1)*hop + n_fft)."""
     n_fft, hop = cfg.n_fft, cfg.hop_length
     half = n_fft // 2
     b, m = wave.shape
-    if n_frames is None:
-        n_frames = mel_seg_frames(m, cfg)
     # zero-extend to every original sample the requested frames touch
     # BEFORE the reflect pad: in the real padded context the samples
     # after the segment are zeros, not a reflection of its tail (the
@@ -255,21 +252,61 @@ def host_log_mel(wave: np.ndarray, cfg: MelConfig,
     need = (n_frames - 1) * hop + n_fft
     if x.shape[1] < need:
         x = np.pad(x, ((0, 0), (0, need - x.shape[1])))
+    return x
+
+
+def host_log_mel(wave: np.ndarray, cfg: MelConfig,
+                 n_frames: int | None = None) -> np.ndarray:
+    """[B, L<=n_samples] float -> [B, n_mels, n_frames] UNNORMALIZED
+    log10 mel (before the global-max clamp and (x+4)/4 epilogue), in
+    HF float64 numerics: rfft spectrum rounded through complex64, then
+    float64 power/mel/log10 — the same rounding the f64 exactness path
+    of ``log_mel_spectrogram`` reproduces (parity-tested)."""
+    win, mel = _host_mel_fb(cfg)
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    b, m = wave.shape
+    if n_frames is None:
+        n_frames = mel_seg_frames(m, cfg)
+    x = _host_mel_padded(wave, cfg, n_frames)
     frames = np.lib.stride_tricks.as_strided(
         x, shape=(b, n_frames, n_fft),
         strides=(x.strides[0], hop * x.itemsize, x.itemsize))
-    spec = np.fft.rfft(frames * win, axis=-1).astype(np.complex64) \
-        .astype(np.complex128)
-    power = spec.real ** 2 + spec.imag ** 2          # [B, T, F]
+    spec = np.fft.rfft(frames * win, axis=-1)
+    # complex64 rounding of the HF recipe without materializing the
+    # complex128 roundtrip (real/imag round independently)
+    sr = spec.real.astype(np.float32).astype(np.float64)
+    si = spec.imag.astype(np.float32).astype(np.float64)
+    power = sr * sr + si * si                        # [B, T, F]
     melspec = power @ mel                            # [B, T, n_mels]
     return np.log10(np.maximum(melspec, 1e-10)) \
         .transpose(0, 2, 1)                          # [B, n_mels, T]
+
+
+def _native_mel_codes(wave: np.ndarray, cfg: MelConfig, n_frames: int,
+                      bits: int) -> np.ndarray | None:
+    """Single-pass C encode of the mel16/mel12 transfer codes
+    (native/audio_kernels.cc::mas_mel_encode); None -> numpy fallback.
+    Codes match the numpy path to <=1 (FFT summation-order differences
+    sit ~7 orders below the code step; parity-tested)."""
+    if os.environ.get("MAS_NO_NATIVE_MEL"):
+        return None
+    from ..audio import native
+    win, mel = _host_mel_fb(cfg)
+    x = _host_mel_padded(wave, cfg, n_frames)
+    scale = _MEL_CODE_SCALE if bits == 16 else _MEL12_SCALE
+    return native.mel_encode(x, win, mel, cfg.n_fft, cfg.hop_length,
+                             n_frames, bits, MEL_LOG_LO, scale)
 
 
 def encode_mel16(wave: np.ndarray, cfg: MelConfig,
                  n_frames: int | None = None) -> np.ndarray:
     """[B, L] float waveform -> [B, n_mels, n_frames] uint16 transfer
     codes over the absolute log range [MEL_LOG_LO, MEL_LOG_HI]."""
+    if n_frames is None:
+        n_frames = mel_seg_frames(wave.shape[1], cfg)
+    nat = _native_mel_codes(wave, cfg, n_frames, 16)
+    if nat is not None:
+        return nat
     log = host_log_mel(wave, cfg, n_frames)
     return np.clip(np.round((log - MEL_LOG_LO) * _MEL_CODE_SCALE),
                    0.0, 65535.0).astype(np.uint16)
@@ -286,6 +323,11 @@ def encode_mel12(wave: np.ndarray, cfg: MelConfig,
     uint8. Code count per sample (n_mels * n_frames) must be even.
     Layout per 2 codes (a, b): byte0 = a&0xFF, byte1 = (a>>8) | ((b&0xF)
     <<4), byte2 = b>>4 (the unsigned cousin of _pack_int12's layout)."""
+    if n_frames is None:
+        n_frames = mel_seg_frames(wave.shape[1], cfg)
+    nat = _native_mel_codes(wave, cfg, n_frames, 12)
+    if nat is not None:
+        return nat
     log = host_log_mel(wave, cfg, n_frames)        # [B, n_mels, T]
     b = log.shape[0]
     codes = np.clip(np.round((log - MEL_LOG_LO) * _MEL12_SCALE),

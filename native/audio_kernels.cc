@@ -13,6 +13,7 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <vector>
 
 extern "C" {
 
@@ -212,6 +213,191 @@ void mas_quantize_int12(const float* x, int64_t n, float scale,
     out[3 * k + 1] = (uint8_t)((q[0] >> 8) | ((q[1] & 0xFu) << 4));
     out[3 * k + 2] = (uint8_t)(q[1] >> 4);
   }
+}
+
+}  // extern "C"
+
+// ------------------------------------------------------------ host log-mel
+// Fused mel16/mel12 transfer encode for ops/mel.py::encode_mel16/12: one
+// pass of window -> real FFT (f64) -> complex64-rounded power -> banded mel
+// filterbank -> log10 -> code quantize, replacing five numpy passes whose
+// temporaries (complex128 roundtrip, [B,T,F] power) dominate the host cost
+// on the 1-core ingest machine. Numerics follow the HF
+// WhisperFeatureExtractor recipe the numpy path reproduces: f64 FFT rounded
+// through complex64, f64 power/mel/log10 (reference behavior:
+// /root/reference/audio_search.py:315-340 via transformers' extractor).
+// The FFT is a recursive mixed-radix (2/5) complex DIT over the half-size
+// packed-real transform, so any n_fft = 2^a * 5^b is supported (Whisper's
+// 400 = 2^4*5^2); unsupported sizes return -1 and Python falls back to
+// numpy. Codes match the numpy path to <=1 ulp-of-code (FFT summation
+// order differs at ~1e-15 relative, below the complex64 rounding that
+// defines the contract).
+
+namespace {
+
+struct Cplx { double re, im; };
+
+bool mel_factorable(int n) {
+  while (n % 2 == 0) n /= 2;
+  while (n % 5 == 0) n /= 5;
+  return n == 1;
+}
+
+// Mixed-radix DIT: y <- FFT_n(x strided by s). W is the exp(-2*pi*i*k/nfft)
+// table; every sub-transform's twiddles are strides into it (n | nfft).
+void mel_fft_rec(const Cplx* x, Cplx* y, int n, int s,
+                 const Cplx* W, int nfft) {
+  if (n == 1) {
+    y[0] = x[0];
+    return;
+  }
+  const int r = (n % 2 == 0) ? 2 : 5;
+  const int m = n / r;
+  for (int j = 0; j < r; ++j)
+    mel_fft_rec(x + (int64_t)j * s, y + (int64_t)j * m, m, s * r, W, nfft);
+  const int tw = nfft / n;
+  if (r == 2) {
+    for (int k = 0; k < m; ++k) {
+      const Cplx a = y[k], v = y[m + k];
+      const Cplx w = W[(int64_t)k * tw];
+      const double br = v.re * w.re - v.im * w.im;
+      const double bi = v.re * w.im + v.im * w.re;
+      y[k] = {a.re + br, a.im + bi};
+      y[m + k] = {a.re - br, a.im - bi};
+    }
+  } else {
+    // fifth roots w_5^t = W[t*nfft/5]; (i*j) mod 5 resolved via table
+    const Cplx w5[5] = {W[0], W[(size_t)(nfft / 5)],
+                        W[(size_t)(2 * (nfft / 5))],
+                        W[(size_t)(3 * (nfft / 5))],
+                        W[(size_t)(4 * (nfft / 5))]};
+    Cplx t[5];
+    for (int k = 0; k < m; ++k) {
+      t[0] = y[k];
+      for (int j = 1; j < r; ++j) {
+        // j*k*tw = j*k*nfft/n <= 4*(m-1)*nfft/n < nfft: no modulo
+        const Cplx v = y[(int64_t)j * m + k];
+        const Cplx w = W[(int64_t)j * k * tw];
+        t[j] = {v.re * w.re - v.im * w.im, v.re * w.im + v.im * w.re};
+      }
+      for (int i = 0; i < r; ++i) {
+        double re = t[0].re, im = t[0].im;
+        for (int j = 1; j < r; ++j) {
+          const Cplx w = w5[(i * j) % 5];
+          re += t[j].re * w.re - t[j].im * w.im;
+          im += t[j].re * w.im + t[j].im * w.re;
+        }
+        y[(int64_t)i * m + k] = {re, im};
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// x: [b, xlen] f64, already padded exactly as ops/mel.py::host_log_mel pads
+// (reflect half-window + zero extension); xlen >= (n_frames-1)*hop + n_fft.
+// win: [n_fft] f64 Hann. melw: [n_freq, n_mels] f64 row-major filterbank
+// (transposed, as _host_mel_fb returns it). out per batch row: bits==16 ->
+// uint16 codes [n_mels, n_frames] row-major; bits==12 -> the 2-codes-per-
+// 3-bytes pack of the row-major flattened codes (encode_mel12's layout).
+// Returns 0, or -1 when this n_fft/bits combination is unsupported here.
+int mas_mel_encode(const double* x, int64_t b, int64_t xlen,
+                   const double* win, const double* melw,
+                   int32_t n_fft, int32_t hop, int32_t n_freq,
+                   int32_t n_mels, int32_t n_frames, int32_t bits,
+                   double log_lo, double code_scale,
+                   uint8_t* out, int64_t out_row_bytes) {
+  if (n_fft <= 0 || n_fft % 2 != 0 || !mel_factorable(n_fft / 2) ||
+      n_freq != n_fft / 2 + 1 || hop <= 0 || n_frames <= 0 || n_mels <= 0)
+    return -1;
+  if (bits != 16 && bits != 12)
+    return -1;
+  const int64_t n_codes = (int64_t)n_mels * n_frames;
+  if (bits == 12 && n_codes % 2 != 0)
+    return -1;
+  if (xlen < (int64_t)(n_frames - 1) * hop + n_fft)
+    return -1;
+  const int h = n_fft / 2;
+  const double cmax = bits == 16 ? 65535.0 : 4095.0;
+
+  // twiddle table exp(-2*pi*i*k/n_fft)
+  std::vector<Cplx> W((size_t)n_fft);
+  for (int k = 0; k < n_fft; ++k) {
+    const double a = -2.0 * 3.14159265358979323846 * (double)k
+        / (double)n_fft;
+    W[(size_t)k] = {std::cos(a), std::sin(a)};
+  }
+  // banded filterbank: per mel bin, the contiguous nonzero freq range
+  std::vector<int> blo((size_t)n_mels, 0), bhi((size_t)n_mels, 0);
+  for (int j = 0; j < n_mels; ++j) {
+    int lo = n_freq, hi = 0;
+    for (int f = 0; f < n_freq; ++f) {
+      if (melw[(int64_t)f * n_mels + j] != 0.0) {
+        if (f < lo) lo = f;
+        hi = f + 1;
+      }
+    }
+    blo[(size_t)j] = lo < hi ? lo : 0;
+    bhi[(size_t)j] = hi;
+  }
+
+  std::vector<Cplx> z((size_t)h), Z((size_t)h);
+  std::vector<double> p((size_t)n_freq);
+  std::vector<uint16_t> codes((size_t)n_codes);
+
+  for (int64_t row = 0; row < b; ++row) {
+    const double* xr = x + row * xlen;
+    for (int t = 0; t < n_frames; ++t) {
+      const double* fr = xr + (int64_t)t * hop;
+      // windowed frame packed as h complex points
+      for (int k = 0; k < h; ++k)
+        z[(size_t)k] = {fr[2 * k] * win[2 * k],
+                        fr[2 * k + 1] * win[2 * k + 1]};
+      mel_fft_rec(z.data(), Z.data(), h, 1, W.data(), n_fft);
+      // real-input untangle + complex64-rounded power (numpy's
+      // .astype(complex64).astype(complex128) then re^2+im^2)
+      for (int k = 0; k < n_freq; ++k) {
+        const Cplx Zk = Z[(size_t)(k == h ? 0 : k)];
+        Cplx Zc = Z[(size_t)((h - k) % h)];
+        Zc.im = -Zc.im;
+        const double dre = Zk.re - Zc.re, dim = Zk.im - Zc.im;
+        const double Ere = (Zk.re + Zc.re) * 0.5;
+        const double Eim = (Zk.im + Zc.im) * 0.5;
+        const double Ore = dim * 0.5, Oim = -dre * 0.5;
+        const Cplx w = W[(size_t)k];
+        const float sr = (float)(Ere + w.re * Ore - w.im * Oim);
+        const float si = (float)(Eim + w.re * Oim + w.im * Ore);
+        p[(size_t)k] = (double)sr * sr + (double)si * si;
+      }
+      for (int j = 0; j < n_mels; ++j) {
+        double acc = 0.0;
+        const int lo = blo[(size_t)j], hi = bhi[(size_t)j];
+        for (int f = lo; f < hi; ++f)
+          acc += p[(size_t)f] * melw[(int64_t)f * n_mels + j];
+        if (!(acc > 1e-10)) acc = 1e-10;   // np.maximum floor
+        double c = nearbyint((std::log10(acc) - log_lo) * code_scale);
+        if (!(c >= 0.0)) c = 0.0;
+        if (c > cmax) c = cmax;
+        codes[(size_t)j * n_frames + t] = (uint16_t)c;
+      }
+    }
+    uint8_t* orow = out + row * out_row_bytes;
+    if (bits == 16) {
+      std::memcpy(orow, codes.data(), (size_t)n_codes * 2);
+    } else {
+      for (int64_t k = 0; k < n_codes / 2; ++k) {
+        const uint32_t a = codes[(size_t)(2 * k)];
+        const uint32_t c2 = codes[(size_t)(2 * k + 1)];
+        orow[3 * k] = (uint8_t)(a & 0xFFu);
+        orow[3 * k + 1] = (uint8_t)((a >> 8) | ((c2 & 0xFu) << 4));
+        orow[3 * k + 2] = (uint8_t)(c2 >> 4);
+      }
+    }
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -136,6 +136,35 @@ def test_native_quantize_bit_exact_vs_numpy(rng):
         np.testing.assert_array_equal(out16[fin], ref16[fin])
 
 
+def test_native_mel_codes_match_numpy(rng):
+    """The fused C mel encoder (mas_mel_encode: mixed-radix f64 FFT +
+    complex64-rounded power + banded filterbank + quantize) must produce
+    the numpy path's codes exactly — the FFT summation-order difference
+    sits ~7 orders below the complex64 rounding that defines the
+    contract, so any mismatch is a real bug, not numerics."""
+    import os
+    from multimodal_audio_search_tpu.audio import native
+    from multimodal_audio_search_tpu.ops import mel as M
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    for cfg, seg in ((MelConfig(padded_seconds=2.0), 16000),
+                     (MelConfig(), 24000)):
+        w = (rng.normal(size=(2, seg)) * 0.4).astype(np.float32)
+        w[0, :50] = 0.0                        # silence -> log floor
+        t_seg = M.mel_seg_frames(seg, cfg)
+        os.environ["MAS_NO_NATIVE_MEL"] = "1"
+        try:
+            ref16 = M.encode_mel16(w, cfg, t_seg)
+            ref12 = M.encode_mel12(w, cfg, t_seg)
+        finally:
+            del os.environ["MAS_NO_NATIVE_MEL"]
+        nat16 = M._native_mel_codes(w, cfg, t_seg, 16)
+        nat12 = M._native_mel_codes(w, cfg, t_seg, 12)
+        assert nat16 is not None and nat12 is not None
+        np.testing.assert_array_equal(nat16, ref16)
+        np.testing.assert_array_equal(nat12, ref12)
+
+
 def test_mel16_codes_roundtrip_accuracy(rng):
     """mel16 transfer: host HF-f64-exact log-mel quantized at step
     16/65535 — the device reconstruction must sit within half a step of
@@ -167,10 +196,12 @@ def test_mel12_pack_roundtrip_and_accuracy(rng):
     t_seg = M.mel_seg_frames(seg, cfg)
     packed = M.encode_mel12(w, cfg, t_seg)
     assert packed.shape == (2, cfg.n_mels * t_seg * 3 // 2)
-    # pack/unpack is the identity on codes
-    log = M.host_log_mel(w, cfg, t_seg)
-    codes = np.clip(np.round((log - M.MEL_LOG_LO) * M._MEL12_SCALE),
-                    0.0, 4095.0).astype(np.int64)
+    # pack/unpack is the identity on codes (unpack in numpy, backend-
+    # independently, so this holds for both the native and numpy encoders)
+    u = packed.reshape(2, -1, 3).astype(np.int64)
+    codes = np.stack([u[..., 0] | ((u[..., 1] & 0xF) << 8),
+                      (u[..., 1] >> 4) | (u[..., 2] << 4)], -1) \
+        .reshape(2, cfg.n_mels, t_seg)
     rec = np.asarray(M.decode_mel12(jnp.asarray(packed), cfg, t_seg))
     # pack/unpack identity: dequantized codes appear exactly in rec
     # (silent tail aside), so the bound below is pure quantization
