@@ -307,13 +307,15 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
         / max(trace.get("wall", 1e-9), 1e-9), 1)
     throughput = audio_seconds / ingest_s
     seg_len = min(int(cfg.segment.segment_seconds * sr), mel_cfg.n_samples)
-    if transfer_dtype in ("mel16", "mel12"):
+    if transfer_dtype in ("mel16", "mel12", "mel8"):
         # host-computed log-mel codes: n_mels x segment frames x 2 B
-        # (mel16) or packed 1.5 B (mel12)
+        # (mel16) / packed 1.5 B (mel12) / 1 B (mel8); the relative
+        # modes add a 4-byte f32 gmax tail per segment
         from multimodal_audio_search_tpu.ops.mel import mel_seg_frames
-        itemsize = (mel_cfg.n_mels * mel_seg_frames(seg_len, mel_cfg)
-                    * (2.0 if transfer_dtype == "mel16" else 1.5)
-                    / seg_len)
+        per_code = {"mel16": 2.0, "mel12": 1.5, "mel8": 1.0}
+        tail = 0.0 if transfer_dtype == "mel16" else 4.0
+        itemsize = ((mel_cfg.n_mels * mel_seg_frames(seg_len, mel_cfg)
+                     * per_code[transfer_dtype] + tail) / seg_len)
     else:
         itemsize = {"mulaw8": 1, "int12": 1.5, "int16": 2,
                     "float32": 4}[transfer_dtype]
@@ -560,6 +562,12 @@ def _main() -> None:
                              int8_kv=False, fused_layer=on_tpu,
                              transfer_dtype="mel16", fused_encoder=on_tpu,
                              index_dtype=jnp.float32, **common)
+    # mel12: the same host log-mel packed to 12-bit codes (half the
+    # int12 waveform's tunnel bytes); drift pending the synth oracle
+    lossless_mel12 = guarded("fast_lossless_mel12", short_context=False,
+                             int8_kv=False, fused_layer=on_tpu,
+                             transfer_dtype="mel12", fused_encoder=on_tpu,
+                             index_dtype=jnp.float32, **common)
     # parity mode = engine defaults (exact reference-parity search results)
     parity = guarded("parity", short_context=False, int8_kv=False,
                      fused_layer=False, index_dtype=jnp.float32,
@@ -597,6 +605,7 @@ def _main() -> None:
             "fast": fast,
             "fast_lossless": lossless,
             "fast_lossless_mel16": lossless_mel16,
+            "fast_lossless_mel12": lossless_mel12,
             "ivf": ivf,
         },
     }))

@@ -90,7 +90,7 @@ def _build_and_load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_double, ctypes.c_double,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
     if hasattr(lib, "mas_flac_probe"):
         lib.mas_flac_probe.restype = ctypes.c_int
         lib.mas_flac_probe.argtypes = [
@@ -246,12 +246,14 @@ def quantize_int12(w: np.ndarray, scale: float, out: np.ndarray) -> bool:
 
 def mel_encode(x: np.ndarray, win: np.ndarray, melw: np.ndarray,
                n_fft: int, hop: int, n_frames: int, bits: int,
-               log_lo: float, code_scale: float) -> np.ndarray | None:
+               log_lo: float, code_scale: float,
+               relative: bool = False) -> np.ndarray | None:
     """Fused host log-mel transfer encode (mas_mel_encode): padded f64
-    input [B, need] -> uint16 codes [B, n_mels, n_frames] (bits=16) or
-    the 12-bit pack [B, n_mels*n_frames*3//2] (bits=12). None when the
-    library or this n_fft factorization is unavailable — callers fall
-    back to the numpy path in ops/mel.py."""
+    input [B, need] -> uint16 codes [B, n_mels, n_frames] (bits=16,
+    absolute range) or the relative-range byte streams of
+    encode_mel12/encode_mel8 (12-bit pack / 1 B codes + f32 gmax tail).
+    None when the library or this n_fft factorization is unavailable —
+    callers fall back to the numpy path in ops/mel.py."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "mas_mel_encode"):
         return None
@@ -263,11 +265,15 @@ def mel_encode(x: np.ndarray, win: np.ndarray, melw: np.ndarray,
     x = np.ascontiguousarray(x, np.float64)
     win = np.ascontiguousarray(win, np.float64)
     melw = np.ascontiguousarray(melw, np.float64)
+    tail = 4 if relative else 0
     if bits == 16:
         out = np.empty((b, n_mels, n_frames), np.uint16)
         row_bytes = n_codes * 2
+    elif bits == 12:
+        out = np.empty((b, n_codes * 3 // 2 + tail), np.uint8)
+        row_bytes = out.shape[1]
     else:
-        out = np.empty((b, n_codes * 3 // 2), np.uint8)
+        out = np.empty((b, n_codes + tail), np.uint8)
         row_bytes = out.shape[1]
     dp = ctypes.POINTER(ctypes.c_double)
     rc = lib.mas_mel_encode(
@@ -275,6 +281,7 @@ def mel_encode(x: np.ndarray, win: np.ndarray, melw: np.ndarray,
         win.ctypes.data_as(dp), melw.ctypes.data_as(dp),
         n_fft, hop, melw.shape[0], n_mels, n_frames, bits,
         ctypes.c_double(log_lo), ctypes.c_double(code_scale),
+        1 if relative else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), row_bytes)
     return out if rc == 0 else None
 

@@ -237,9 +237,11 @@ class EngineConfig:
     # codes: 1.5x fewer tunnel bytes than int12 for 10 s segments AND
     # no device STFT; quantization error 3e-5, an order below the
     # device's own f32 mel deviation — drift measured on the synth
-    # oracle, ops/mel.py::encode_mel16), or "mel12" (the same log-mel
-    # codes packed to 12 bits — 2x fewer tunnel bytes than int12; step
-    # 5e-4 in log-mel units, drift on the synth oracle). Set
+    # oracle, ops/mel.py::encode_mel16), "mel12" (log-mel codes packed
+    # to 12 bits over the RELATIVE [gmax-8, gmax] window the epilogue
+    # keeps — 2x fewer tunnel bytes than int12 at step 2e-3 log units),
+    # or "mel8" (1 B relative codes — half of mulaw8's bytes with the
+    # loss in feature space; drift on the synth oracle). Set
     # MAS_TRANSFER_DTYPE=float32 for the unconditional-exact path.
     transfer_dtype: str = "int16"
     # multi-chip execution (SURVEY §2c; the reference is single-device,

@@ -293,9 +293,13 @@ def _native_mel_codes(wave: np.ndarray, cfg: MelConfig, n_frames: int,
     from ..audio import native
     win, mel = _host_mel_fb(cfg)
     x = _host_mel_padded(wave, cfg, n_frames)
-    scale = _MEL_CODE_SCALE if bits == 16 else _MEL12_SCALE
+    scale = {16: _MEL_CODE_SCALE, 12: _MEL12_SCALE,
+             8: _MEL8_SCALE}[bits]
+    # bits==16 encodes the absolute [MEL_LOG_LO, MEL_LOG_HI] range;
+    # 12/8 encode relative to the row's gmax (4-byte f32 tail)
     return native.mel_encode(x, win, mel, cfg.n_fft, cfg.hop_length,
-                             n_frames, bits, MEL_LOG_LO, scale)
+                             n_frames, bits, MEL_LOG_LO, scale,
+                             relative=bits != 16)
 
 
 def encode_mel16(wave: np.ndarray, cfg: MelConfig,
@@ -312,26 +316,50 @@ def encode_mel16(wave: np.ndarray, cfg: MelConfig,
                    0.0, 65535.0).astype(np.uint16)
 
 
-_MEL12_SCALE = 4095.0 / (MEL_LOG_HI - MEL_LOG_LO)
+# mel12/mel8: RELATIVE-range codes. The normalization epilogue keeps
+# only [gmax - 8, gmax] of the log-mel (everything below the global-max
+# clamp is flattened to gmax-8), so absolute-range codes waste most of
+# their code space on values the model never sees. These modes quantize
+# the post-clamp representation directly — clamp(log, gmax-8, gmax) —
+# over the 8-log-unit window and ship the per-row float32 gmax as a
+# 4-byte tail, halving mel12's effective step vs an absolute encoding
+# and making a 1 B/code mel8 viable (half of mulaw8's bytes, with the
+# loss in feature space instead of waveform companding).
+MEL_REL_RANGE = 8.0
+_MEL12_SCALE = 4095.0 / MEL_REL_RANGE
+_MEL8_SCALE = 255.0 / MEL_REL_RANGE
+
+
+def _relative_codes(wave: np.ndarray, cfg: MelConfig, n_frames: int,
+                    bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host path shared by mel12/mel8: ([B, n_mels*T] uint16 codes over
+    [gmax-8, gmax], [B] float32 gmax)."""
+    log = host_log_mel(wave, cfg, n_frames)        # [B, n_mels, T]
+    b = log.shape[0]
+    gmax = log.max(axis=(1, 2))
+    scale = _MEL12_SCALE if bits == 12 else _MEL8_SCALE
+    cmax = 4095.0 if bits == 12 else 255.0
+    rel = (log - (gmax[:, None, None] - MEL_REL_RANGE)) * scale
+    codes = np.clip(np.round(rel), 0.0, cmax).astype(np.uint16)
+    return codes.reshape(b, -1), gmax.astype("<f4")
 
 
 def encode_mel12(wave: np.ndarray, cfg: MelConfig,
                  n_frames: int | None = None) -> np.ndarray:
-    """mel12: the mel16 representation packed to 12 bits/code (1.5 B
-    per 2 codes — 2x fewer tunnel bytes than the int12 waveform for
-    10 s segments). [B, L] float -> [B, n_mels * n_frames * 3 // 2]
-    uint8. Code count per sample (n_mels * n_frames) must be even.
-    Layout per 2 codes (a, b): byte0 = a&0xFF, byte1 = (a>>8) | ((b&0xF)
-    <<4), byte2 = b>>4 (the unsigned cousin of _pack_int12's layout)."""
+    """mel12: relative log-mel codes packed to 12 bits (1.5 B per 2
+    codes — 2x fewer tunnel bytes than the int12 waveform for 10 s
+    segments). [B, L] float -> [B, n_mels * n_frames * 3 // 2 + 4]
+    uint8; the last 4 bytes are the row's float32 gmax (LE). Code count
+    (n_mels * n_frames) must be even. Layout per 2 codes (a, b): byte0 =
+    a&0xFF, byte1 = (a>>8) | ((b&0xF)<<4), byte2 = b>>4 (the unsigned
+    cousin of _pack_int12's layout)."""
     if n_frames is None:
         n_frames = mel_seg_frames(wave.shape[1], cfg)
     nat = _native_mel_codes(wave, cfg, n_frames, 12)
     if nat is not None:
         return nat
-    log = host_log_mel(wave, cfg, n_frames)        # [B, n_mels, T]
-    b = log.shape[0]
-    codes = np.clip(np.round((log - MEL_LOG_LO) * _MEL12_SCALE),
-                    0.0, 4095.0).astype(np.uint16).reshape(b, -1)
+    codes, gmax = _relative_codes(wave, cfg, n_frames, 12)
+    b = codes.shape[0]
     assert codes.shape[1] % 2 == 0, codes.shape
     pair = codes.reshape(b, -1, 2).astype(np.uint32)
     a, c = pair[..., 0], pair[..., 1]
@@ -339,26 +367,65 @@ def encode_mel12(wave: np.ndarray, cfg: MelConfig,
     out[..., 0] = a & 0xFF
     out[..., 1] = (a >> 8) | ((c & 0xF) << 4)
     out[..., 2] = c >> 4
-    return out.reshape(b, -1)
+    return np.concatenate(
+        [out.reshape(b, -1), gmax.view(np.uint8).reshape(b, 4)], axis=1)
+
+
+def encode_mel8(wave: np.ndarray, cfg: MelConfig,
+                n_frames: int | None = None) -> np.ndarray:
+    """mel8: relative log-mel codes at 1 B each — half of mulaw8's
+    tunnel bytes for 10 s segments, with the quantization applied to the
+    post-clamp feature window instead of companding the waveform.
+    [B, L] float -> [B, n_mels * n_frames + 4] uint8 (float32 gmax
+    tail)."""
+    if n_frames is None:
+        n_frames = mel_seg_frames(wave.shape[1], cfg)
+    nat = _native_mel_codes(wave, cfg, n_frames, 8)
+    if nat is not None:
+        return nat
+    codes, gmax = _relative_codes(wave, cfg, n_frames, 8)
+    return np.concatenate(
+        [codes.astype(np.uint8), gmax.view(np.uint8).reshape(-1, 4)],
+        axis=1)
+
+
+def _finish_relative(codes: jnp.ndarray, gmax: jnp.ndarray, scale: float,
+                     cfg: MelConfig, t_seg: int) -> jnp.ndarray:
+    """[B, n_mels, t_seg] int codes + [B] gmax -> [B, n_mels, n_frames]
+    normalized features. Codes already encode the clamped window, so no
+    further max/clamp is needed; tail frames sit at the clamp floor
+    (exactly where the full transform's epilogue puts silence)."""
+    b = codes.shape[0]
+    lo = (gmax - MEL_REL_RANGE)[:, None, None]
+    log = codes.astype(jnp.float32) / scale + lo
+    if t_seg < cfg.n_frames:
+        log = jnp.concatenate(
+            [log, jnp.broadcast_to(
+                lo, (b, cfg.n_mels, cfg.n_frames - t_seg))], axis=2)
+    return (log + 4.0) / 4.0
 
 
 def decode_mel12(packed: jnp.ndarray, cfg: MelConfig,
                  t_seg: int) -> jnp.ndarray:
-    """Device side: [B, n_mels * t_seg * 3 // 2] uint8 -> [B, n_mels,
-    n_frames] normalized features (unpack + the clamp/scale epilogue)."""
+    """Device side: [B, n_mels * t_seg * 3 // 2 + 4] uint8 -> [B,
+    n_mels, n_frames] normalized features (unpack + scale epilogue)."""
     b = packed.shape[0]
-    u = packed.astype(jnp.int32).reshape(b, -1, 3)
+    gmax = jax.lax.bitcast_convert_type(packed[:, -4:], jnp.float32)
+    u = packed[:, :-4].astype(jnp.int32).reshape(b, -1, 3)
     a = u[..., 0] | ((u[..., 1] & 0xF) << 8)
     c = (u[..., 1] >> 4) | (u[..., 2] << 4)
     codes = jnp.stack([a, c], -1).reshape(b, cfg.n_mels, t_seg)
-    log = codes.astype(jnp.float32) / _MEL12_SCALE + MEL_LOG_LO
-    if t_seg < cfg.n_frames:
-        log = jnp.concatenate(
-            [log, jnp.full((b, cfg.n_mels, cfg.n_frames - t_seg),
-                           MEL_LOG_LO, jnp.float32)], axis=2)
-    gmax = jnp.max(log, axis=(1, 2), keepdims=True)
-    log = jnp.maximum(log, gmax - 8.0)
-    return (log + 4.0) / 4.0
+    return _finish_relative(codes, gmax, _MEL12_SCALE, cfg, t_seg)
+
+
+def decode_mel8(packed: jnp.ndarray, cfg: MelConfig,
+                t_seg: int) -> jnp.ndarray:
+    """Device side: [B, n_mels * t_seg + 4] uint8 -> [B, n_mels,
+    n_frames] normalized features."""
+    b = packed.shape[0]
+    gmax = jax.lax.bitcast_convert_type(packed[:, -4:], jnp.float32)
+    codes = packed[:, :-4].astype(jnp.int32).reshape(b, cfg.n_mels, t_seg)
+    return _finish_relative(codes, gmax, _MEL8_SCALE, cfg, t_seg)
 
 
 def decode_mel16(codes: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:

@@ -178,10 +178,13 @@ class DualPipelineIngest:
                     # device STFT at all (ops/mel.py::decode_mel16)
                     from ..ops.mel import decode_mel16
                     return decode_mel16(wq, mel_cfg)
-                if transfer == "mel12":
-                    from ..ops.mel import decode_mel12, mel_seg_frames
-                    return decode_mel12(
-                        wq, mel_cfg, mel_seg_frames(seg_len, mel_cfg))
+                if transfer in ("mel12", "mel8"):
+                    from ..ops.mel import (decode_mel8, decode_mel12,
+                                           mel_seg_frames)
+                    dec = decode_mel12 if transfer == "mel12" \
+                        else decode_mel8
+                    return dec(wq, mel_cfg,
+                               mel_seg_frames(seg_len, mel_cfg))
                 if transfer == "mulaw8":
                     # mu-law expansion (mu=255): telephony-grade 8-bit
                     y = wq.astype(jnp.float32) / 127.0
@@ -218,21 +221,23 @@ class DualPipelineIngest:
             # temporaries (native/audio_kernels.cc, bit-identical — the
             # numpy closed form below needed five passes and was the
             # largest quantize cost on the 1-core ingest host)
-            if transfer in ("mel16", "mel12"):
-                # host-side HF-f64-exact log-mel, quantized to 16- or
-                # packed 12-bit codes (ops/mel.py): 1.5-2x fewer tunnel
-                # bytes than int12 and the device skips its STFT
-                # entirely. Deferred norm scale applies to the waveform
-                # before the transform.
-                from ..ops.mel import (encode_mel12, encode_mel16,
-                                       mel_seg_frames)
+            if transfer in ("mel16", "mel12", "mel8"):
+                # host-side HF-f64-exact log-mel, quantized to 16-bit
+                # absolute / packed 12-bit relative / 8-bit relative
+                # codes (ops/mel.py): 1.5-4x fewer tunnel bytes than
+                # int12 and the device skips its STFT entirely. Deferred
+                # norm scale applies to the waveform before the
+                # transform.
+                from ..ops.mel import (encode_mel8, encode_mel12,
+                                       encode_mel16, mel_seg_frames)
                 t_seg = mel_seg_frames(seg_len, self.asr.mel_cfg)
                 w = np.zeros((b, seg_len), np.float32)
                 for i, src in enumerate(chunk):
                     m = min(len(src), seg_len)
                     w[i, :m] = np.nan_to_num(
                         src[:m] * scale if scale != 1.0 else src[:m])
-                enc = encode_mel16 if transfer == "mel16" else encode_mel12
+                enc = {"mel16": encode_mel16, "mel12": encode_mel12,
+                       "mel8": encode_mel8}[transfer]
                 return enc(w, self.asr.mel_cfg, t_seg)
             if transfer == "mulaw8":
                 q = np.zeros((b, seg_len), np.int8)

@@ -302,18 +302,21 @@ extern "C" {
 // win: [n_fft] f64 Hann. melw: [n_freq, n_mels] f64 row-major filterbank
 // (transposed, as _host_mel_fb returns it). out per batch row: bits==16 ->
 // uint16 codes [n_mels, n_frames] row-major; bits==12 -> the 2-codes-per-
-// 3-bytes pack of the row-major flattened codes (encode_mel12's layout).
+// 3-bytes pack of the row-major flattened codes (encode_mel12's layout);
+// bits==8 -> 1 byte/code. relative!=0 quantizes against the row's
+// gmax - 8 window instead of log_lo (ops/mel.py::_relative_codes) and
+// appends the row's float32 gmax (LE) as a 4-byte tail.
 // Returns 0, or -1 when this n_fft/bits combination is unsupported here.
 int mas_mel_encode(const double* x, int64_t b, int64_t xlen,
                    const double* win, const double* melw,
                    int32_t n_fft, int32_t hop, int32_t n_freq,
                    int32_t n_mels, int32_t n_frames, int32_t bits,
-                   double log_lo, double code_scale,
+                   double log_lo, double code_scale, int32_t relative,
                    uint8_t* out, int64_t out_row_bytes) {
   if (n_fft <= 0 || n_fft % 2 != 0 || !mel_factorable(n_fft / 2) ||
       n_freq != n_fft / 2 + 1 || hop <= 0 || n_frames <= 0 || n_mels <= 0)
     return -1;
-  if (bits != 16 && bits != 12)
+  if (bits != 16 && bits != 12 && bits != 8)
     return -1;
   const int64_t n_codes = (int64_t)n_mels * n_frames;
   if (bits == 12 && n_codes % 2 != 0)
@@ -321,7 +324,7 @@ int mas_mel_encode(const double* x, int64_t b, int64_t xlen,
   if (xlen < (int64_t)(n_frames - 1) * hop + n_fft)
     return -1;
   const int h = n_fft / 2;
-  const double cmax = bits == 16 ? 65535.0 : 4095.0;
+  const double cmax = bits == 16 ? 65535.0 : (bits == 12 ? 4095.0 : 255.0);
 
   // twiddle table exp(-2*pi*i*k/n_fft)
   std::vector<Cplx> W((size_t)n_fft);
@@ -346,10 +349,12 @@ int mas_mel_encode(const double* x, int64_t b, int64_t xlen,
 
   std::vector<Cplx> z((size_t)h), Z((size_t)h);
   std::vector<double> p((size_t)n_freq);
+  std::vector<double> logv((size_t)n_codes);
   std::vector<uint16_t> codes((size_t)n_codes);
 
   for (int64_t row = 0; row < b; ++row) {
     const double* xr = x + row * xlen;
+    double gmax = -1e300;
     for (int t = 0; t < n_frames; ++t) {
       const double* fr = xr + (int64_t)t * hop;
       // windowed frame packed as h complex points
@@ -378,16 +383,23 @@ int mas_mel_encode(const double* x, int64_t b, int64_t xlen,
         for (int f = lo; f < hi; ++f)
           acc += p[(size_t)f] * melw[(int64_t)f * n_mels + j];
         if (!(acc > 1e-10)) acc = 1e-10;   // np.maximum floor
-        double c = nearbyint((std::log10(acc) - log_lo) * code_scale);
-        if (!(c >= 0.0)) c = 0.0;
-        if (c > cmax) c = cmax;
-        codes[(size_t)j * n_frames + t] = (uint16_t)c;
+        const double lg = std::log10(acc);
+        logv[(size_t)j * n_frames + t] = lg;
+        if (lg > gmax) gmax = lg;
       }
+    }
+    const double base = relative ? gmax - 8.0 : log_lo;
+    for (int64_t i = 0; i < n_codes; ++i) {
+      double c = nearbyint((logv[(size_t)i] - base) * code_scale);
+      if (!(c >= 0.0)) c = 0.0;
+      if (c > cmax) c = cmax;
+      codes[(size_t)i] = (uint16_t)c;
     }
     uint8_t* orow = out + row * out_row_bytes;
     if (bits == 16) {
       std::memcpy(orow, codes.data(), (size_t)n_codes * 2);
-    } else {
+      orow += n_codes * 2;
+    } else if (bits == 12) {
       for (int64_t k = 0; k < n_codes / 2; ++k) {
         const uint32_t a = codes[(size_t)(2 * k)];
         const uint32_t c2 = codes[(size_t)(2 * k + 1)];
@@ -395,6 +407,15 @@ int mas_mel_encode(const double* x, int64_t b, int64_t xlen,
         orow[3 * k + 1] = (uint8_t)((a >> 8) | ((c2 & 0xFu) << 4));
         orow[3 * k + 2] = (uint8_t)(c2 >> 4);
       }
+      orow += n_codes / 2 * 3;
+    } else {
+      for (int64_t i = 0; i < n_codes; ++i)
+        orow[i] = (uint8_t)codes[(size_t)i];
+      orow += n_codes;
+    }
+    if (relative) {
+      const float g = (float)gmax;
+      std::memcpy(orow, &g, 4);     // little-endian f32 tail
     }
   }
   return 0;

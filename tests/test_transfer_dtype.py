@@ -33,7 +33,7 @@ def make_ingest(transfer):
 
 @pytest.mark.parametrize("transfer",
                          ["float32", "int16", "int12", "mulaw8", "mel16",
-                          "mel12"])
+                          "mel12", "mel8"])
 def test_transfer_dtypes_agree(rng, transfer):
     """All transfer encodings produce identical decoded tokens on the same
     audio (the models are coarse enough that 8/16-bit waveform quantization
@@ -156,13 +156,16 @@ def test_native_mel_codes_match_numpy(rng):
         try:
             ref16 = M.encode_mel16(w, cfg, t_seg)
             ref12 = M.encode_mel12(w, cfg, t_seg)
+            ref8 = M.encode_mel8(w, cfg, t_seg)
         finally:
             del os.environ["MAS_NO_NATIVE_MEL"]
         nat16 = M._native_mel_codes(w, cfg, t_seg, 16)
         nat12 = M._native_mel_codes(w, cfg, t_seg, 12)
-        assert nat16 is not None and nat12 is not None
+        nat8 = M._native_mel_codes(w, cfg, t_seg, 8)
+        assert nat16 is not None and nat12 is not None and nat8 is not None
         np.testing.assert_array_equal(nat16, ref16)
         np.testing.assert_array_equal(nat12, ref12)
+        np.testing.assert_array_equal(nat8, ref8)
 
 
 def test_mel16_codes_roundtrip_accuracy(rng):
@@ -187,7 +190,10 @@ def test_mel16_codes_roundtrip_accuracy(rng):
 
 def test_mel12_pack_roundtrip_and_accuracy(rng):
     """mel12: the 12-bit packing must be lossless over the 12-bit codes,
-    and the reconstruction within half a 12-bit step of the exact mel."""
+    and the reconstruction within half a RELATIVE-window step of the
+    exact mel — the codes quantize clamp(log, gmax-8, gmax), the only
+    range the (x+4)/4 epilogue keeps, so the effective step is
+    8/4095 log units (half the absolute encoding's)."""
     import jax
     from multimodal_audio_search_tpu.ops import mel as M
     cfg = MelConfig(padded_seconds=2.0)
@@ -195,24 +201,48 @@ def test_mel12_pack_roundtrip_and_accuracy(rng):
     w = (rng.normal(size=(2, seg)) * 0.3).astype(np.float32)
     t_seg = M.mel_seg_frames(seg, cfg)
     packed = M.encode_mel12(w, cfg, t_seg)
-    assert packed.shape == (2, cfg.n_mels * t_seg * 3 // 2)
+    assert packed.shape == (2, cfg.n_mels * t_seg * 3 // 2 + 4)
     # pack/unpack is the identity on codes (unpack in numpy, backend-
     # independently, so this holds for both the native and numpy encoders)
-    u = packed.reshape(2, -1, 3).astype(np.int64)
+    u = packed[:, :-4].reshape(2, -1, 3).astype(np.int64)
     codes = np.stack([u[..., 0] | ((u[..., 1] & 0xF) << 8),
                       (u[..., 1] >> 4) | (u[..., 2] << 4)], -1) \
         .reshape(2, cfg.n_mels, t_seg)
+    gmax = packed[:, -4:].copy().view("<f4")[:, 0].astype(np.float64)
     rec = np.asarray(M.decode_mel12(jnp.asarray(packed), cfg, t_seg))
     # pack/unpack identity: dequantized codes appear exactly in rec
     # (silent tail aside), so the bound below is pure quantization
-    dq = (np.maximum(codes / M._MEL12_SCALE + M.MEL_LOG_LO,
-                     (codes / M._MEL12_SCALE + M.MEL_LOG_LO)
-                     .max((1, 2), keepdims=True) - 8.0) + 4.0) / 4.0
+    lo = gmax[:, None, None] - M.MEL_REL_RANGE
+    dq = ((codes / M._MEL12_SCALE + lo) + 4.0) / 4.0
     np.testing.assert_allclose(rec[:, :, :t_seg], dq, atol=1e-6)
-    # quantization bound vs the exact f64 mel
+    # quantization bound vs the exact f64 mel (incl. its clamp epilogue)
     wp = np.pad(w, ((0, 0), (0, cfg.n_samples - seg)))
     with jax.enable_x64():
         exact = np.asarray(M.log_mel_spectrogram(
             jnp.asarray(wp, jnp.float64), cfg, dtype=jnp.float64))
-    step = (M.MEL_LOG_HI - M.MEL_LOG_LO) / 4095.0
-    assert np.max(np.abs(rec - exact)) <= step / 2 / 4 * 1.01 + 1e-7
+    step = M.MEL_REL_RANGE / 4095.0
+    assert np.max(np.abs(rec - exact)) <= step / 2 / 4 * 1.01 + 1e-6
+
+
+def test_mel8_roundtrip_and_accuracy(rng):
+    """mel8: 1 B/code relative-window encoding — reconstruction within
+    half an 8/255 step of the exact f64 mel features."""
+    import jax
+    from multimodal_audio_search_tpu.ops import mel as M
+    cfg = MelConfig(padded_seconds=2.0)
+    seg = 16000
+    w = (rng.normal(size=(2, seg)) * 0.3).astype(np.float32)
+    t_seg = M.mel_seg_frames(seg, cfg)
+    packed = M.encode_mel8(w, cfg, t_seg)
+    assert packed.shape == (2, cfg.n_mels * t_seg + 4)
+    rec = np.asarray(M.decode_mel8(jnp.asarray(packed), cfg, t_seg))
+    wp = np.pad(w, ((0, 0), (0, cfg.n_samples - seg)))
+    with jax.enable_x64():
+        exact = np.asarray(M.log_mel_spectrogram(
+            jnp.asarray(wp, jnp.float64), cfg, dtype=jnp.float64))
+    step = M.MEL_REL_RANGE / 255.0
+    assert np.max(np.abs(rec - exact)) <= step / 2 / 4 * 1.01 + 1e-6
+    # the silent tail reconstructs at the clamp floor
+    assert np.allclose(rec[:, :, t_seg:],
+                       ((packed[:, -4:].copy().view("<f4")[:, 0]
+                         - M.MEL_REL_RANGE)[:, None, None] + 4.0) / 4.0)

@@ -30,7 +30,7 @@ run() {
 
 run bench        python bench.py
 run transfer     python tools/transfer_sweep.py \
-                     --modes int16 int12 mel16 mel12 mulaw8
+                     --modes int16 int12 mel16 mel12 mel8 mulaw8
 run scan_ab      python tools/profile_decode_scan_ab.py
 run stream_ab    python tools/profile_encoder_stream_ab.py
 run stream_ab10  python tools/profile_encoder_stream_ab.py --t 500

@@ -83,15 +83,16 @@ def int12_roundtrip(w: np.ndarray) -> np.ndarray:
 
 def transcribe_hostmel(model, waves: np.ndarray, bits: int = 16
                        ) -> list[str]:
-    """Greedy decode through the mel16/mel12 transfer path: host-computed
-    quantized log-mel (ops/mel.py encode_mel16/encode_mel12) reconstructed
-    on device and fed to the pipeline's mel entry — exactly what ingest
-    does under transfer_dtype="mel16"/"mel12"."""
+    """Greedy decode through the mel16/mel12/mel8 transfer path: host-
+    computed quantized log-mel (ops/mel.py encode_mel16/12/8)
+    reconstructed on device and fed to the pipeline's mel entry —
+    exactly what ingest does under transfer_dtype="mel16"/"mel12"/
+    "mel8"."""
     import jax.numpy as jnp
     from multimodal_audio_search_tpu.config import DecodeConfig, MelConfig
     from multimodal_audio_search_tpu.ops.mel import (
-        decode_mel12, decode_mel16, encode_mel12, encode_mel16,
-        mel_seg_frames)
+        decode_mel8, decode_mel12, decode_mel16, encode_mel8,
+        encode_mel12, encode_mel16, mel_seg_frames)
     from multimodal_audio_search_tpu.pipelines.whisper_pipeline import (
         WhisperTextPipeline)
 
@@ -113,9 +114,12 @@ def transcribe_hostmel(model, waves: np.ndarray, bits: int = 16
     if bits == 16:
         codes = encode_mel16(w, mel_cfg, t_seg)
         mel = decode_mel16(jnp.asarray(codes), mel_cfg)
-    else:
+    elif bits == 12:
         codes = encode_mel12(w, mel_cfg, t_seg)
         mel = decode_mel12(jnp.asarray(codes), mel_cfg, t_seg)
+    else:
+        codes = encode_mel8(w, mel_cfg, t_seg)
+        mel = decode_mel8(jnp.asarray(codes), mel_cfg, t_seg)
     toks, lens = pipe.dispatch_mel(mel)
     return pipe.texts_from_tokens(np.asarray(toks), np.asarray(lens), n)
 
@@ -206,6 +210,7 @@ def main() -> None:
     # device reconstruction (the exact ingest path, pipelines/ingest.py)
     modes["mel16"] = drift(transcribe_hostmel(model, waves, 16))
     modes["mel12"] = drift(transcribe_hostmel(model, waves, 12))
+    modes["mel8"] = drift(transcribe_hostmel(model, waves, 8))
     out = {
         "metric": "synth_drift",
         "train": {"steps": args.steps,
