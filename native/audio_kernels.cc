@@ -323,6 +323,14 @@ int mas_mel_encode(const double* x, int64_t b, int64_t xlen,
     return -1;
   if (xlen < (int64_t)(n_frames - 1) * hop + n_fft)
     return -1;
+  // the 4-byte gmax tail exists only in relative mode (mel16 is
+  // absolute); reject row buffers that can't hold what we will write
+  const int64_t need_row =
+      (bits == 16 ? n_codes * 2
+                  : (bits == 12 ? n_codes / 2 * 3 : n_codes))
+      + (relative ? 4 : 0);
+  if (out_row_bytes < need_row || (relative && bits == 16))
+    return -1;
   const int h = n_fft / 2;
   const double cmax = bits == 16 ? 65535.0 : (bits == 12 ? 4095.0 : 255.0);
 
