@@ -77,7 +77,11 @@ def main():
               f"kv_read_per_step={kv_bytes/1e6:.1f} MB", flush=True)
 
         results = {}
-        for mode, kw in (("loop(fused)", dict(cross_attn="fused")),
+        # baseline = the production fast-mode loop (fused cross kernel +
+        # fused self sub-block), so a scan WIN means beating the best
+        # shipping config, not a weakened one
+        for mode, kw in (("loop(fused)", dict(cross_attn="fused",
+                                              fused_layer=True)),
                          ("scan_layers", dict(scan_layers=True))):
             dec_cfg = DecodeConfig(method="greedy", max_new_tokens=STEPS,
                                    **kw)

@@ -60,6 +60,12 @@ def main():
     one = jnp.zeros((1,))
     rtt = sync_time(lambda x: x + 1, one)
     print(f"rtt_ms={rtt*1e3:.1f}", flush=True)
+    # measured bf16 peak, like every other MFU reporter (bench.calibrate;
+    # a hardcoded 394e12 is the INT8 peak and halves every MFU reading)
+    from bench import calibrate
+    cal = calibrate(platform == "tpu")
+    peak = cal["tflops_bf16"] * 1e12
+    print(f"calibration: {cal}", flush=True)
 
     rng = np.random.default_rng(0)
     for t, blk_q in ((500, 512), (1500, 128)):
@@ -78,7 +84,7 @@ def main():
                     fused_attention_o_residual(
                         q, k, v, x, wo, bo, blk_q=blk_q, **_kw)
                 tt = sync_time(fn, q, k, v, x, wo, bo) - rtt
-                mfu = flops / tt / 394e12 if platform == "tpu" else 0.0
+                mfu = flops / tt / peak if platform == "tpu" else 0.0
                 print(f"  {name:8s} {tt*1e3:8.2f} ms  in-kernel "
                       f"MFU={mfu:.3f}", flush=True)
             except Exception as e:  # noqa: BLE001
