@@ -28,7 +28,21 @@ run() {
   echo "=== $name rc=$? end $(date -u +%F' '%T)" >> "$OUT/runbook.log"
 }
 
+# Pause any CPU-side drift run (by pidfile, never by pattern) for the
+# host-sensitive bench: a 90%-CPU trainer on the 1-core host would
+# pollute the ingest host phases. Resumed right after.
+DRIFT_PID=""
+if [ -f /tmp/drift.pid ] && grep -q synth_drift \
+    "/proc/$(cat /tmp/drift.pid)/cmdline" 2>/dev/null; then
+  DRIFT_PID=$(cat /tmp/drift.pid)
+  kill -STOP "$DRIFT_PID" 2>/dev/null && \
+    echo "paused drift pid $DRIFT_PID for bench" >> "$OUT/runbook.log"
+fi
 run bench        python bench.py
+if [ -n "$DRIFT_PID" ]; then
+  kill -CONT "$DRIFT_PID" 2>/dev/null && \
+    echo "resumed drift pid $DRIFT_PID" >> "$OUT/runbook.log"
+fi
 run transfer     python tools/transfer_sweep.py \
                      --modes int16 int12 mel16 mel12 mel8 mulaw8
 run scan_ab      python tools/profile_decode_scan_ab.py
