@@ -180,7 +180,8 @@ def generate(
         if scan_layers:
             logits, cache = decode_step_scan(
                 params, tokens[:, pos], pos, cache, ckv, cfg,
-                stacked_blocks=stacked_blocks)
+                stacked_blocks=stacked_blocks,
+                fused_layer=getattr(decode, "fused_layer", False) is True)
         else:
             logits, cache = decode_step(
                 params, tokens[:, pos], pos, cache, ckv, cfg,

@@ -546,7 +546,7 @@ def stack_decoder_blocks(params):
 
 def decode_step_scan(
     params, token: jnp.ndarray, pos: jnp.ndarray, cache, ckv,
-    cfg: WhisperConfig, stacked_blocks=None,
+    cfg: WhisperConfig, stacked_blocks=None, fused_layer: bool = False,
 ):
     """``decode_step`` with the layer loop as ``lax.scan`` over stacked
     per-layer params (round-3 verdict item 7 / ROADMAP 18 experiment).
@@ -571,24 +571,55 @@ def decode_step_scan(
         + jax.lax.dynamic_slice_in_dim(dec["positions"], pos, 1)[None]
     x = x.astype(cache["k"].dtype)
     ck_s, cv_s = ckv
+    fused = fused_layer and x.shape[0] % 8 == 0
+    interpret = jax.devices()[0].platform != "tpu"
 
     def layer(x, xs):
         blk, k_cache, v_cache, k_m, v_m = xs
-        h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
-        k1 = L.dense(blk["self_attn"]["k"], h)
-        v1 = L.dense(blk["self_attn"]["v"], h)
-        k = jax.lax.dynamic_update_slice(
-            k_cache, k1.astype(k_cache.dtype), (0, pos, 0))
-        v = jax.lax.dynamic_update_slice(
-            v_cache, v1.astype(v_cache.dtype), (0, pos, 0))
-        q1 = L.dense(blk["self_attn"]["q"], h)[:, 0, :]
-        attn = _self_attend_cached(q1, k, v, pos, cfg)
-        x = x + L.dense(blk["self_attn"]["o"],
-                        attn[:, None, :].astype(x.dtype))
+        if fused:
+            # same Pallas sub-block kernels as decode_step's fused_layer
+            # loop — scan slices this layer's stacked weights per step,
+            # so the A/B isolates the dispatch residue, not kernel choice
+            from ..ops.decoder_block import fused_mlp_block, fused_self_block
+            a = blk["self_attn"]
+            x1, k1, v1 = fused_self_block(
+                x[:, 0, :],
+                blk["self_ln"]["scale"], blk["self_ln"]["bias"],
+                a["q"]["w"], a["q"]["b"], a["k"]["w"],
+                a["v"]["w"], a["v"]["b"], a["o"]["w"], a["o"]["b"],
+                k_cache, v_cache, pos,
+                heads=cfg.heads, eps=cfg.ln_eps, interpret=interpret)
+            k = jax.lax.dynamic_update_slice(
+                k_cache, k1[:, None, :], (0, pos, 0))
+            v = jax.lax.dynamic_update_slice(
+                v_cache, v1[:, None, :], (0, pos, 0))
+            x = x1[:, None, :]
+        else:
+            h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
+            k1 = L.dense(blk["self_attn"]["k"], h)
+            v1 = L.dense(blk["self_attn"]["v"], h)
+            k = jax.lax.dynamic_update_slice(
+                k_cache, k1.astype(k_cache.dtype), (0, pos, 0))
+            v = jax.lax.dynamic_update_slice(
+                v_cache, v1.astype(v_cache.dtype), (0, pos, 0))
+            q1 = L.dense(blk["self_attn"]["q"], h)[:, 0, :]
+            attn = _self_attend_cached(q1, k, v, pos, cfg)
+            x = x + L.dense(blk["self_attn"]["o"],
+                            attn[:, None, :].astype(x.dtype))
         h = L.layer_norm(blk["cross_ln"], x, cfg.ln_eps)
         x = x + _cross_attend(blk, h, (k_m, v_m), cfg)
-        h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
-        x = x + L.dense(blk["mlp_out"], L.gelu(L.dense(blk["mlp_in"], h)))
+        if fused and "w" in blk["mlp_in"]:
+            from ..ops.decoder_block import fused_mlp_block
+            x = fused_mlp_block(
+                x[:, 0, :],
+                blk["mlp_ln"]["scale"], blk["mlp_ln"]["bias"],
+                blk["mlp_in"]["w"], blk["mlp_in"]["b"],
+                blk["mlp_out"]["w"], blk["mlp_out"]["b"],
+                eps=cfg.ln_eps, interpret=interpret)[:, None, :]
+        else:
+            h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
+            x = x + L.dense(blk["mlp_out"],
+                            L.gelu(L.dense(blk["mlp_in"], h)))
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(

@@ -58,6 +58,24 @@ def test_scan_layers_with_processors_matches_loop(model, enc):
                                   np.asarray(ref.tokens))
 
 
+def test_scan_layers_fused_tokens_match_fused_loop(model):
+    """scan_layers + fused_layer runs the SAME Pallas sub-block kernels
+    inside the scan body (weights sliced from the stacked pytree per
+    step); tokens must match the fused loop. Batch 8 — both paths gate
+    the fused kernels on batch % 8 == 0."""
+    cfg, params = model
+    rng = np.random.default_rng(11)
+    mel = (rng.normal(size=(8, cfg.n_mels, 2 * cfg.enc_positions)) * 0.5) \
+        .astype(np.float32)
+    enc8 = W.encode(params, mel, cfg)
+    ref = _gen(cfg, params, enc8, cross_attn="fused", fused_layer=True)
+    out = _gen(cfg, params, enc8, scan_layers=True, fused_layer=True)
+    np.testing.assert_array_equal(np.asarray(out.tokens),
+                                  np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(out.lengths),
+                                  np.asarray(ref.lengths))
+
+
 def test_decode_step_scan_logits_match_decode_step(model, enc):
     """Single-step logits parity at step 0 and a later step, exact f32."""
     import jax.numpy as jnp
