@@ -573,14 +573,24 @@ def _main() -> None:
                      fused_layer=False, index_dtype=jnp.float32,
                      **common)
     # fast mode = every opt-in perf lever, including the measured-LOSSY
-    # ones (mulaw8 transfer: 0.500 agree-exact on the synth oracle;
-    # short_context 0.698 — docs/synth_drift_2400.json). Reported as an
+    # ones (mulaw8 transfer: 0.594 agree-exact on the synth oracle;
+    # short_context 0.594 — docs/synth_drift_2400.json). Reported as an
     # extra only; never the headline.
     fast = guarded("fast", short_context=True, int8_kv=False,
                    fused_layer=on_tpu, transfer_dtype="mulaw8",
                    fused_encoder=on_tpu,
                    index_dtype=jnp.bfloat16 if on_tpu
                    else jnp.float32, **common)
+    # fast_mel8: mulaw8 swapped for mel8 relative-window codes — HALF
+    # the tunnel bytes AND transcript-exact on the toy oracle where
+    # mulaw8 drifts (docs/BENCHMARKS.md r4 drift table); still carries
+    # short_context's measured cost. Headline candidate for lossy-
+    # tolerant deployments once the production-geometry oracle confirms.
+    fast_mel8 = guarded("fast_mel8", short_context=True, int8_kv=False,
+                        fused_layer=on_tpu, transfer_dtype="mel8",
+                        fused_encoder=on_tpu,
+                        index_dtype=jnp.bfloat16 if on_tpu
+                        else jnp.float32, **common)
 
     ivf = measure_ivf(n_index, n_queries, cal)
 
@@ -606,6 +616,7 @@ def _main() -> None:
             "fast_lossless": lossless,
             "fast_lossless_mel16": lossless_mel16,
             "fast_lossless_mel12": lossless_mel12,
+            "fast_mel8": fast_mel8,
             "ivf": ivf,
         },
     }))
