@@ -116,8 +116,11 @@ class DecodeConfig:
     # encoder fused blocks (ops/encoder_block.py): fold LN+qkv and
     # LN+MLP+residual into Pallas kernels around the fused attention
     # kernel — the ROADMAP-17 encoder MFU lever. bf16-rounding equal to
-    # the XLA path; opt-in like every perf mode.
-    fused_encoder: bool = False
+    # the XLA path; opt-in like every perf mode. "int8" additionally
+    # runs both attention dots as int8 x int8 -> int32 (2x MXU rate;
+    # transcript-exact on the toy synth oracle, docs/BENCHMARKS.md r4
+    # drift table; production-geometry confirmation chip-queued).
+    fused_encoder: bool | str = False
 
 
 def asr_parity_decode() -> DecodeConfig:

@@ -162,7 +162,7 @@ def _conv1d(p, x: jnp.ndarray, stride: int) -> jnp.ndarray:
 def encode(
     params, mel: jnp.ndarray, cfg: WhisperConfig,
     fused_attention: bool | None = None,
-    fused_blocks: bool = False,
+    fused_blocks: bool | str = False,
 ) -> jnp.ndarray:
     """[B, n_mels, 3000] log-mel -> [B, 1500, d] encoder states.
 
@@ -170,7 +170,8 @@ def encode(
     kernel (ops/attention.py). None = auto (real TPU and T >= 512).
     ``fused_blocks``: additionally fold LN+qkv and LN+MLP+residual into
     Pallas kernels (ops/encoder_block.py; opt-in perf mode, bf16-rounding
-    equal to the XLA path). Implies the fused attention kernel.
+    equal to the XLA path). Implies the fused attention kernel. "int8"
+    selects the int8-dot attention variant of the block kernel.
     """
     from ..ops.attention import fused_encoder_attention, use_pallas_attention
     enc = params["encoder"]
@@ -205,11 +206,13 @@ def encode(
             blk_q, blk_k = 256, 512
         else:
             blk_q, blk_k = (256 if t <= 1024 else 128), None
-        # int8-dot attention (2x MXU throughput; lossy — int8 rounding on
-        # q and softmax rows, same family as the transcript-exact int8
-        # cross-KV decode). Opt-in until its drift is measured on the
-        # synth oracle and its speed on chip (docs/ONCHIP_RUNBOOK.md).
-        qk_int8 = os.environ.get(
+        # int8-dot attention (2x MXU throughput; int8 rounding on q and
+        # softmax rows — measured transcript-exact on the toy synth
+        # oracle, docs/BENCHMARKS.md r4). Select via
+        # fused_blocks="int8" (DecodeConfig.fused_encoder) or the
+        # MAS_ENC_INT8 env override the drift tool uses; speed A/B
+        # chip-queued (docs/ONCHIP_RUNBOOK.md).
+        qk_int8 = fused_blocks == "int8" or os.environ.get(
             "MAS_ENC_INT8", "0").lower() in ("1", "true")
         if qk_int8:
             blk_k = None

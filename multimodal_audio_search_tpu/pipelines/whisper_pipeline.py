@@ -62,7 +62,9 @@ class WhisperTextPipeline:
             f"{name} pipeline", name)
         self.name = name
 
-        fused_enc = bool(getattr(self.decode, "fused_encoder", False))
+        # bool or "int8" (the int8-dot attention variant) — pass the
+        # value through, encode() dispatches on it
+        fused_enc = getattr(self.decode, "fused_encoder", False)
 
         @functools.partial(jax.jit, static_argnames=())
         def _run(params, waves, prefix, rng):
