@@ -143,13 +143,15 @@ def test_sharded_search_payload_matches_fused_topk(rng):
     assert int(out["num_valid"]) == int(ref["num_valid"])
 
 
-def test_engine_mesh_mel16_transfer_matches_single_device(wave):
-    """The mel16 transfer ([b, n_mels, T_seg] uint16 host-mel codes)
-    must shard over the data axis like any other batch layout and decode
-    to the same tokens as single-device mel16 ingest."""
-    ref = _engine(1, 1, transfer="mel16")
+@pytest.mark.parametrize("transfer", ["mel16", "mel8"])
+def test_engine_mesh_hostmel_transfer_matches_single_device(wave, transfer):
+    """The host-mel transfers (mel16 uint16 codes; mel8 relative codes
+    with the per-row f32 gmax tail, whose bitcast slice must stay
+    shard-local) must shard over the data axis like any other batch
+    layout and decode to the same tokens as single-device ingest."""
+    ref = _engine(1, 1, transfer=transfer)
     ref_segs = ref.ingest_waveform(wave, 16000, "clip")
-    eng = _engine(8, 1, transfer="mel16")
+    eng = _engine(8, 1, transfer=transfer)
     segs = eng.ingest_waveform(wave, 16000, "clip")
     assert len(segs) == len(ref_segs) > 0
     for s, r in zip(segs, ref_segs):
