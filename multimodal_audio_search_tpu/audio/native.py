@@ -45,7 +45,8 @@ def _build_and_load() -> ctypes.CDLL | None:
         # the two-op f32 numpy path; an FMA-contracted mul+add computes a
         # more-precise intermediate that can flip half-grid samples.
         cmd = ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
-               "-std=c++17", "-o", str(tmp)] + [str(s) for s in srcs]
+               "-pthread", "-std=c++17", "-o", str(tmp)] \
+            + [str(s) for s in srcs]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             os.replace(tmp, so)

@@ -13,6 +13,8 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <atomic>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -355,12 +357,13 @@ int mas_mel_encode(const double* x, int64_t b, int64_t xlen,
     bhi[(size_t)j] = hi;
   }
 
-  std::vector<Cplx> z((size_t)h), Z((size_t)h);
-  std::vector<double> p((size_t)n_freq);
-  std::vector<double> logv((size_t)n_codes);
-  std::vector<uint16_t> codes((size_t)n_codes);
-
-  for (int64_t row = 0; row < b; ++row) {
+  // rows are independent (per-row scratch, disjoint output rows, gmax
+  // is per-row), so batch rows parallelize across host cores with
+  // bitwise-identical results; the 1-core dev host runs nthreads=1
+  auto encode_row = [&](int64_t row, std::vector<Cplx>& z,
+                        std::vector<Cplx>& Z, std::vector<double>& p,
+                        std::vector<double>& logv,
+                        std::vector<uint16_t>& codes) {
     const double* xr = x + row * xlen;
     double gmax = -1e300;
     for (int t = 0; t < n_frames; ++t) {
@@ -425,6 +428,31 @@ int mas_mel_encode(const double* x, int64_t b, int64_t xlen,
       const float g = (float)gmax;
       std::memcpy(orow, &g, 4);     // little-endian f32 tail
     }
+  };
+
+  const unsigned hw = std::thread::hardware_concurrency();
+  const int64_t nthreads =
+      std::max<int64_t>(1, std::min<int64_t>(b, hw ? hw : 1));
+  if (nthreads == 1) {
+    std::vector<Cplx> z((size_t)h), Z((size_t)h);
+    std::vector<double> p((size_t)n_freq), logv((size_t)n_codes);
+    std::vector<uint16_t> codes((size_t)n_codes);
+    for (int64_t row = 0; row < b; ++row)
+      encode_row(row, z, Z, p, logv, codes);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)nthreads);
+    std::atomic<int64_t> next{0};
+    for (int64_t ti = 0; ti < nthreads; ++ti)
+      pool.emplace_back([&]() {
+        std::vector<Cplx> z((size_t)h), Z((size_t)h);
+        std::vector<double> p((size_t)n_freq), logv((size_t)n_codes);
+        std::vector<uint16_t> codes((size_t)n_codes);
+        for (int64_t row = next.fetch_add(1); row < b;
+             row = next.fetch_add(1))
+          encode_row(row, z, Z, p, logv, codes);
+      });
+    for (auto& th : pool) th.join();
   }
   return 0;
 }
