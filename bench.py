@@ -8,8 +8,9 @@ over a 100k-segment index. Prints ONE JSON line.
 Three configurations are measured every run:
 
   * fast_lossless — HEADLINE: only levers measured transcript-exact on
-              the drift oracle (int12 transfer, fused kernels, full 30 s
-              context, f32 index).
+              the drift oracle (auto-probed lossless transfer — fastest
+              of int16/int16d/int12 on the live link — fused kernels,
+              full 30 s context, f32 index).
   * parity  — the engine's defaults: 30 s mel context, bf16 KV cache,
               f32 device index (exact top-10 parity mode).
   * fast    — every opt-in perf mode incl. measured-LOSSY ones: 10 s
@@ -307,18 +308,22 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
         / max(trace.get("wall", 1e-9), 1e-9), 1)
     throughput = audio_seconds / ingest_s
     seg_len = min(int(cfg.segment.segment_seconds * sr), mel_cfg.n_samples)
-    if transfer_dtype in ("mel16", "mel12", "mel8"):
+    # "auto" probes the lossless candidates on the live link and locks
+    # one (pipelines/ingest.py); byte accounting uses the resolved mode
+    transfer_resolved = getattr(ingest, "last_transfer_resolved",
+                                transfer_dtype)
+    if transfer_resolved in ("mel16", "mel12", "mel8"):
         # host-computed log-mel codes: n_mels x segment frames x 2 B
         # (mel16) / packed 1.5 B (mel12) / 1 B (mel8); the relative
         # modes add a 4-byte f32 gmax tail per segment
         from multimodal_audio_search_tpu.ops.mel import mel_seg_frames
         per_code = {"mel16": 2.0, "mel12": 1.5, "mel8": 1.0}
-        tail = 0.0 if transfer_dtype == "mel16" else 4.0
+        tail = 0.0 if transfer_resolved == "mel16" else 4.0
         itemsize = ((mel_cfg.n_mels * mel_seg_frames(seg_len, mel_cfg)
-                     * per_code[transfer_dtype] + tail) / seg_len)
+                     * per_code[transfer_resolved] + tail) / seg_len)
     else:
-        itemsize = {"mulaw8": 1, "int12": 1.5, "int16": 2,
-                    "float32": 4}[transfer_dtype]
+        itemsize = {"mulaw8": 1, "int12": 1.5, "int16": 2, "int16d": 2,
+                    "float32": 4}[transfer_resolved]
     transfer_mb = len(segments) * seg_len * itemsize / 1e6
 
     # ---- device-side stage timings (whisper-base ASR path, batch rows).
@@ -409,6 +414,7 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
         "int8_cross_kv": int8_kv,
         "fused_layer": fused_layer,
         "transfer_dtype": transfer_dtype,
+        "transfer_resolved": transfer_resolved,
         "host_ms": host_ms,
         "stage_ms": {
             "mel": round(mel_t * 1e3, 2),
@@ -543,15 +549,18 @@ def _main() -> None:
             return {"error": f"{type(e).__name__}: {e}"[:300]}
 
     # fast_lossless = only the levers measured TRANSCRIPT-EXACT on the
-    # self-trained oracle (docs/BENCHMARKS.md drift table): int12 packed
-    # transfer + fused decode/encode kernels, full 30 s context, f32
-    # index — the recommended production configuration and the HEADLINE
+    # self-trained oracle (docs/BENCHMARKS.md drift table): auto-probed
+    # lossless transfer (fastest of int16/int16d/int12 on the live link
+    # — round 4 measured the per-mode tunnel rates flipping between
+    # sessions with payload compressibility) + fused decode/encode
+    # kernels, full 30 s context, f32 index — the recommended production
+    # configuration and the HEADLINE
     # (VERDICT r3 #3: the headline must not ride measured-lossy levers).
     # Measured FIRST so the headline number exists even if a later
     # mode's fresh compile fails.
     lossless = guarded("fast_lossless", short_context=False,
                        int8_kv=False, fused_layer=on_tpu,
-                       transfer_dtype="int12", fused_encoder=on_tpu,
+                       transfer_dtype="auto", fused_encoder=on_tpu,
                        index_dtype=jnp.float32, **common)
     # mel16 variant of fast_lossless: host-computed log-mel transfer
     # (2/3 the tunnel bytes of int12 AND no device STFT; roundtrip

@@ -244,8 +244,16 @@ class EngineConfig:
     # to 12 bits over the RELATIVE [gmax-8, gmax] window the epilogue
     # keeps — 2x fewer tunnel bytes than int12 at step 2e-3 log units),
     # or "mel8" (1 B relative codes — half of mulaw8's bytes with the
-    # loss in feature space; drift on the synth oracle). Set
-    # MAS_TRANSFER_DTYPE=float32 for the unconditional-exact path.
+    # loss in feature space; drift on the synth oracle), or "int16d"
+    # (int16 delta-coded with wraparound arithmetic: bit-identical
+    # samples on device, same wire bytes pre-compression, but far lower
+    # byte entropy — tunnels/links with transparent compression move it
+    # much faster), or "auto" (probe the transcript-exact candidates
+    # int16/int16d/int12 ONCE with the first real payload and lock the
+    # fastest — the round-4 on-chip finding is that per-mode link rates
+    # depend on payload compressibility and flip between sessions, so
+    # no static choice is safe). Set MAS_TRANSFER_DTYPE=float32 for the
+    # unconditional-exact path.
     transfer_dtype: str = "int16"
     # multi-chip execution (SURVEY §2c; the reference is single-device,
     # audio_search.py:89,181). data_parallel shards ingest segment batches
@@ -271,10 +279,11 @@ def apply_profile(cfg: EngineConfig, profile: str) -> EngineConfig:
 
       * "parity"        — engine defaults, exact reference-parity math
       * "fast_lossless" — every lever measured TRANSCRIPT-EXACT on the
-                          self-trained oracle: int12 packed transfer +
-                          fused decode/encoder kernels, full 30 s
-                          context, f32 index. Recommended production
-                          mode.
+                          self-trained oracle: auto-probed lossless
+                          transfer (fastest of int16/int16d/int12 on
+                          the live link) + fused decode/encoder
+                          kernels, full 30 s context, f32 index.
+                          Recommended production mode.
       * "fast"          — maximum throughput: additionally
                           short-context encode, mu-law 8-bit transfer,
                           bf16 index — each with a measured, documented
@@ -284,7 +293,7 @@ def apply_profile(cfg: EngineConfig, profile: str) -> EngineConfig:
         return cfg
     if profile == "fast_lossless":
         return cfg.replace(
-            transfer_dtype="int12",
+            transfer_dtype="auto",
             asr_decode=dataclasses.replace(
                 cfg.asr_decode, fused_layer=True, fused_encoder=True),
             caption_decode=dataclasses.replace(

@@ -95,6 +95,46 @@ class DualPipelineIngest:
         self.caption.use_mesh(mesh)
         self.embedder.use_mesh(mesh)
 
+    # transcript-exact transfer encodings "auto" may pick between
+    # (int16/int16d are bit-identical on device; int12 measured
+    # transcript-exact on both drift oracles — docs/BENCHMARKS.md)
+    AUTO_TRANSFER_CANDIDATES = ("int16", "int16d", "int12")
+
+    def _resolve_auto_transfer(self, encode_transfer, waves, seg_len) -> str:
+        """One-time live probe for transfer_dtype="auto": encode + ship a
+        slice of the first real payload in each lossless candidate mode and
+        lock the fastest. A static choice is wrong somewhere: the tunnel's
+        effective rate per mode depends on payload compressibility and
+        session weather (round 3 vs round 4 measured opposite int16/int12
+        orderings on the same rig)."""
+        choice = getattr(self, "_auto_transfer_choice", None)
+        if choice is not None:
+            return choice
+        import jax
+        sample = waves[: min(len(waves), 16)]
+        best, best_t = "int16", float("inf")
+        for mode in self.AUTO_TRANSFER_CANDIDATES:
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                q = encode_transfer(sample, len(sample), mode)
+                # plain put (no mesh sharding): the probe measures the
+                # host link rate, and an arbitrary sample count need not
+                # divide the mesh's data axis
+                x = jax.device_put(q)
+                # force the transfer: on the tunneled backend
+                # block_until_ready returns before the bytes land, so
+                # read one element back to host (~1 RTT)
+                np.asarray(x[:1, :1])
+                times.append(time.perf_counter() - t0)
+            t = min(times)  # 2nd rep is warm; min de-noises RTT jitter
+            if t < best_t:
+                best, best_t = mode, t
+        self._auto_transfer_choice = best
+        if self.stats is not None:
+            self.stats.log.log("transfer_auto_choice", best_t, mode=best)
+        return best
+
     def process_file(
         self, src, source_name: str = "upload"
     ) -> list[dict[str, Any]]:
@@ -118,8 +158,8 @@ class DualPipelineIngest:
         # containing device time (future drain = transfer + compute that
         # did NOT overlap with host work).
         tr = {k: 0.0 for k in (
-            "resample", "segment", "quantize", "put", "dispatch", "wait",
-            "detok", "validate", "embed", "build")}
+            "resample", "segment", "probe", "quantize", "put", "dispatch",
+            "wait", "detok", "validate", "embed", "build")}
         self.last_trace = tr
         target_sr = self.asr.mel_cfg.sample_rate
         if sr != target_sr:
@@ -165,6 +205,116 @@ class DualPipelineIngest:
         shared_mel = (self.asr.mel_cfg == self.caption.mel_cfg)
         seg_len = min(int(cfg.segment.segment_seconds * sr), n_samples)
         transfer = getattr(cfg, "transfer_dtype", "int16")
+
+        from ..audio import native as _native
+        have_native = _native.available()
+
+        def encode_transfer(chunk, b, mode):
+            # every branch first applies the deferred normalization scale
+            # (w * scale in f32 == slicing the normalized waveform); the
+            # native path fuses scale+quantize+LUT into ONE pass with no
+            # temporaries (native/audio_kernels.cc, bit-identical — the
+            # numpy closed form below needed five passes and was the
+            # largest quantize cost on the 1-core ingest host)
+            if mode in ("mel16", "mel12", "mel8"):
+                # host-side HF-f64-exact log-mel, quantized to 16-bit
+                # absolute / packed 12-bit relative / 8-bit relative
+                # codes (ops/mel.py): 1.5-4x fewer tunnel bytes than
+                # int12 and the device skips its STFT entirely. Deferred
+                # norm scale applies to the waveform before the
+                # transform.
+                from ..ops.mel import (encode_mel8, encode_mel12,
+                                       encode_mel16, mel_seg_frames)
+                t_seg = mel_seg_frames(seg_len, self.asr.mel_cfg)
+                w = np.zeros((b, seg_len), np.float32)
+                for i, src in enumerate(chunk):
+                    m = min(len(src), seg_len)
+                    w[i, :m] = np.nan_to_num(
+                        src[:m] * scale if scale != 1.0 else src[:m])
+                enc = {"mel16": encode_mel16, "mel12": encode_mel12,
+                       "mel8": encode_mel8}[mode]
+                return enc(w, self.asr.mel_cfg, t_seg)
+            if mode == "mulaw8":
+                q = np.zeros((b, seg_len), np.int8)
+                lut = _mulaw_lut()
+                for i, w in enumerate(chunk):
+                    m = min(len(w), seg_len)
+                    if have_native and _native.quantize_mulaw(
+                            w[:m], float(scale), lut, q[i, :m]):
+                        continue
+                    wn = w[:m] * scale if scale != 1.0 else w[:m]
+                    # rint before the uint16 cast: flooring would bias
+                    # boundary samples one grid code low vs the closed
+                    # form; nan_to_num keeps NaN from indexing undefined
+                    idx = np.clip(
+                        np.rint(np.nan_to_num(wn) * 32767.5 + 32767.5),
+                        0.0, 65535.0).astype(np.uint16)
+                    q[i, :m] = lut[idx]
+            elif mode == "int12":
+                # 1.5 B/sample: 25% fewer tunnel bytes than int16 with a
+                # 16x finer grid than mulaw8's companded 8-bit (the mode
+                # for links where int16 is too slow and mulaw8's measured
+                # transcript drift is too costly; docs/BENCHMARKS.md)
+                q = np.zeros((b, 3 * ((seg_len + 1) // 2)), np.uint8)
+                for i, w in enumerate(chunk):
+                    m = min(len(w), seg_len)
+                    if have_native and _native.quantize_int12(
+                            w[:m], float(scale), q[i]):
+                        continue
+                    wn = w[:m] * scale if scale != 1.0 else w[:m]
+                    pk = _pack_int12(wn)
+                    q[i, : len(pk)] = pk
+            elif mode in ("int16", "int16d"):
+                q = np.zeros((b, seg_len), np.int16)
+                for i, w in enumerate(chunk):
+                    m = min(len(w), seg_len)
+                    if have_native and _native.quantize_int16(
+                            w[:m], float(scale), q[i, :m]):
+                        continue
+                    wn = w[:m] * scale if scale != 1.0 else w[:m]
+                    # nan_to_num matches the native kernel (NaN -> 0);
+                    # clip(NaN) would cast undefined int16 codes
+                    q[i, :m] = np.clip(np.nan_to_num(wn),
+                                       -1.0, 1.0) * 32767.0
+                if mode == "int16d":
+                    # delta coding over the int16 grid (wraparound
+                    # arithmetic, bit-lossless): audio samples are
+                    # strongly correlated, so first differences have
+                    # far lower byte entropy than raw PCM and the
+                    # tunnel's transparent compressor shrinks them much
+                    # further (measured on-chip round 4: raw int16
+                    # already moved at ~1.4x the calibrated link rate
+                    # while high-entropy int12 packing moved BELOW it —
+                    # docs/BENCHMARKS.md). Same byte count on the wire
+                    # pre-compression; device undoes it with one cumsum.
+                    d = np.empty_like(q)
+                    d[:, 0] = q[:, 0]
+                    np.subtract(q[:, 1:], q[:, :-1], out=d[:, 1:])
+                    q = d
+            else:
+                q = np.zeros((b, seg_len), np.float32)
+                for i, w in enumerate(chunk):
+                    m = min(len(w), seg_len)
+                    q[i, :m] = np.nan_to_num(
+                        w[:m] * scale if scale != 1.0 else w[:m])
+            return q
+
+        if transfer == "auto":
+            # Adaptive lossless transfer (round-4 on-chip finding): the
+            # tunnel's effective rate per mode is NOT proportional to
+            # byte count — it depends on payload compressibility, and it
+            # swings between sessions (round 3 measured int12 1.45x
+            # faster than int16; round 4 measured it 1.7x SLOWER on the
+            # same rig). No static choice is right, so "auto" probes the
+            # transcript-exact candidates ONCE with the first real
+            # payload (encode + put + device drain) and locks the winner
+            # for the pipeline's lifetime. docs/BENCHMARKS.md "Transfer
+            # mode economics".
+            t0p = time.perf_counter()
+            transfer = self._resolve_auto_transfer(
+                encode_transfer, waves, seg_len)
+            tr["probe"] = time.perf_counter() - t0p
+        self.last_transfer_resolved = transfer
         if shared_mel and getattr(self, "_mel16_key", None) != \
                 (seg_len, self.asr.mel_cfg, transfer):
             from ..ops.mel import log_mel_spectrogram
@@ -203,6 +353,14 @@ class DualPipelineIngest:
                     w = q.astype(jnp.float32) / 2047.0
                 elif transfer == "int16":
                     w = wq.astype(jnp.float32) / 32767.0
+                elif transfer == "int16d":
+                    # un-delta the wraparound first differences: cumsum
+                    # in int32 (overflow wraps mod 2^32, consistent mod
+                    # 2^16) then re-center into the int16 range —
+                    # bit-identical to the int16 path's codes
+                    c = jnp.cumsum(wq.astype(jnp.int32), axis=1)
+                    q = ((c + 32768) % 65536) - 32768
+                    w = q.astype(jnp.float32) / 32767.0
                 else:
                     w = wq.astype(jnp.float32)
                 w = jnp.pad(w, ((0, 0), (0, n_samples - w.shape[1])))
@@ -210,84 +368,6 @@ class DualPipelineIngest:
 
             self._mel16_fn = _mel16
             self._mel16_key = (seg_len, mel_cfg, transfer)
-
-        from ..audio import native as _native
-        have_native = _native.available()
-
-        def encode_transfer(chunk, b):
-            # every branch first applies the deferred normalization scale
-            # (w * scale in f32 == slicing the normalized waveform); the
-            # native path fuses scale+quantize+LUT into ONE pass with no
-            # temporaries (native/audio_kernels.cc, bit-identical — the
-            # numpy closed form below needed five passes and was the
-            # largest quantize cost on the 1-core ingest host)
-            if transfer in ("mel16", "mel12", "mel8"):
-                # host-side HF-f64-exact log-mel, quantized to 16-bit
-                # absolute / packed 12-bit relative / 8-bit relative
-                # codes (ops/mel.py): 1.5-4x fewer tunnel bytes than
-                # int12 and the device skips its STFT entirely. Deferred
-                # norm scale applies to the waveform before the
-                # transform.
-                from ..ops.mel import (encode_mel8, encode_mel12,
-                                       encode_mel16, mel_seg_frames)
-                t_seg = mel_seg_frames(seg_len, self.asr.mel_cfg)
-                w = np.zeros((b, seg_len), np.float32)
-                for i, src in enumerate(chunk):
-                    m = min(len(src), seg_len)
-                    w[i, :m] = np.nan_to_num(
-                        src[:m] * scale if scale != 1.0 else src[:m])
-                enc = {"mel16": encode_mel16, "mel12": encode_mel12,
-                       "mel8": encode_mel8}[transfer]
-                return enc(w, self.asr.mel_cfg, t_seg)
-            if transfer == "mulaw8":
-                q = np.zeros((b, seg_len), np.int8)
-                lut = _mulaw_lut()
-                for i, w in enumerate(chunk):
-                    m = min(len(w), seg_len)
-                    if have_native and _native.quantize_mulaw(
-                            w[:m], float(scale), lut, q[i, :m]):
-                        continue
-                    wn = w[:m] * scale if scale != 1.0 else w[:m]
-                    # rint before the uint16 cast: flooring would bias
-                    # boundary samples one grid code low vs the closed
-                    # form; nan_to_num keeps NaN from indexing undefined
-                    idx = np.clip(
-                        np.rint(np.nan_to_num(wn) * 32767.5 + 32767.5),
-                        0.0, 65535.0).astype(np.uint16)
-                    q[i, :m] = lut[idx]
-            elif transfer == "int12":
-                # 1.5 B/sample: 25% fewer tunnel bytes than int16 with a
-                # 16x finer grid than mulaw8's companded 8-bit (the mode
-                # for links where int16 is too slow and mulaw8's measured
-                # transcript drift is too costly; docs/BENCHMARKS.md)
-                q = np.zeros((b, 3 * ((seg_len + 1) // 2)), np.uint8)
-                for i, w in enumerate(chunk):
-                    m = min(len(w), seg_len)
-                    if have_native and _native.quantize_int12(
-                            w[:m], float(scale), q[i]):
-                        continue
-                    wn = w[:m] * scale if scale != 1.0 else w[:m]
-                    pk = _pack_int12(wn)
-                    q[i, : len(pk)] = pk
-            elif transfer == "int16":
-                q = np.zeros((b, seg_len), np.int16)
-                for i, w in enumerate(chunk):
-                    m = min(len(w), seg_len)
-                    if have_native and _native.quantize_int16(
-                            w[:m], float(scale), q[i, :m]):
-                        continue
-                    wn = w[:m] * scale if scale != 1.0 else w[:m]
-                    # nan_to_num matches the native kernel (NaN -> 0);
-                    # clip(NaN) would cast undefined int16 codes
-                    q[i, :m] = np.clip(np.nan_to_num(wn),
-                                       -1.0, 1.0) * 32767.0
-            else:
-                q = np.zeros((b, seg_len), np.float32)
-                for i, w in enumerate(chunk):
-                    m = min(len(w), seg_len)
-                    q[i, :m] = np.nan_to_num(
-                        w[:m] * scale if scale != 1.0 else w[:m])
-            return q
 
         pending = []  # (lo, hi, t0, asr_future, cap_future) per batch
         for lo in range(0, len(wins), cfg.ingest_batch):
@@ -297,7 +377,7 @@ class DualPipelineIngest:
             if shared_mel:
                 tq = time.perf_counter()
                 b = _bucket(n, self.asr.batch_floor())
-                q = encode_transfer(waves[lo:hi], b)
+                q = encode_transfer(waves[lo:hi], b, transfer)
                 tp = time.perf_counter()
                 tr["quantize"] += tp - tq
                 qd = jax.device_put(q) if self._batch_sharding is None \
@@ -362,7 +442,7 @@ class DualPipelineIngest:
                 try:
                     if a_fut is not None:
                         b = _bucket(n, self.asr.batch_floor())
-                        q = encode_transfer(waves[lo:hi], b)
+                        q = encode_transfer(waves[lo:hi], b, transfer)
                         qd = jax.device_put(q) \
                             if self._batch_sharding is None \
                             else jax.device_put(q, self._batch_sharding)

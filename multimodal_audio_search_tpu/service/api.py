@@ -350,8 +350,8 @@ class AudioSearchEngine:
     }
     # host->device transfer encodings, fastest-exact first
     # (config.py transfer_dtype; measured drift in docs/BENCHMARKS.md)
-    TRANSFER_CHOICES = ("int16", "int12", "mel16", "mel12", "mel8",
-                        "mulaw8", "float32")
+    TRANSFER_CHOICES = ("int16", "int16d", "int12", "auto", "mel16",
+                        "mel12", "mel8", "mulaw8", "float32")
 
     def reconfigure(
         self,

@@ -75,7 +75,12 @@ def caption_loss(
     tokens [B, T] includes the decoder prompt; loss_mask [B, T-1] selects
     which next-token predictions count (0 on prompt/padding).
     """
-    enc = W.encode(params, mel, cfg)
+    # fused_attention=False: training differentiates the encoder, and the
+    # Pallas attention kernels have no VJP (inference-only perf modes).
+    # On TPU at t>=512 the auto-select would otherwise pick them and
+    # value_and_grad fails with "Linearization failed ..." (seen on-chip,
+    # docs/onchip_r4/drift_prod.out round 4).
+    enc = W.encode(params, mel, cfg, fused_attention=False)
     logits = W.decode_train(params, enc, tokens[:, :-1], cfg)  # [B,T-1,V]
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

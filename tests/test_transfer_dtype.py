@@ -32,8 +32,8 @@ def make_ingest(transfer):
 
 
 @pytest.mark.parametrize("transfer",
-                         ["float32", "int16", "int12", "mulaw8", "mel16",
-                          "mel12", "mel8"])
+                         ["float32", "int16", "int16d", "int12", "mulaw8",
+                          "mel16", "mel12", "mel8", "auto"])
 def test_transfer_dtypes_agree(rng, transfer):
     """All transfer encodings produce identical decoded tokens on the same
     audio (the models are coarse enough that 8/16-bit waveform quantization
@@ -44,6 +44,42 @@ def test_transfer_dtypes_agree(rng, transfer):
     ref = make_ingest("float32").process_waveform(wave, 16000, "x")
     ref_texts = [(s["asr_text"], s["audio_description"]) for s in ref]
     assert texts == ref_texts
+
+
+def test_int16d_delta_roundtrip_bit_exact(rng):
+    """int16d transfer: wraparound first differences undone by the device
+    cumsum must reproduce the int16 codes BIT-exactly, including extreme
+    alternating samples (per-delta wrap) and rows long enough that the
+    int32 cumsum itself overflows (mod-2^32 wrap is consistent mod 2^16,
+    which the re-centering keeps)."""
+    import jax.numpy as jnp
+    q = rng.integers(-32768, 32768, size=(2, 200_000)).astype(np.int16)
+    q[0, :4] = [32767, -32768, 32767, -32768]
+    q[1, :] = 32767                      # max-magnitude running sum
+    # host encode (the int16d branch of encode_transfer)
+    d = np.empty_like(q)
+    d[:, 0] = q[:, 0]
+    np.subtract(q[:, 1:], q[:, :-1], out=d[:, 1:])
+    # device decode (the int16d branch of _mel16)
+    c = jnp.cumsum(jnp.asarray(d).astype(jnp.int32), axis=1)
+    r = ((c + 32768) % 65536) - 32768
+    np.testing.assert_array_equal(np.asarray(r, np.int32),
+                                  q.astype(np.int32))
+
+
+def test_auto_transfer_resolves_and_caches(rng):
+    """transfer_dtype="auto" probes the lossless candidates once with the
+    first real payload, locks a candidate, and never re-probes."""
+    ing = make_ingest("auto")
+    wave = (rng.normal(size=16000 * 7) * 0.3).astype(np.float32)
+    ing.process_waveform(wave, 16000, "x")
+    assert ing.last_transfer_resolved in ing.AUTO_TRANSFER_CANDIDATES
+    assert ing.last_trace["probe"] > 0.0
+    first = ing._auto_transfer_choice
+    ing.process_waveform(wave, 16000, "y")
+    # cached: the resolver returns immediately (µs, vs ms for a probe)
+    assert ing.last_trace["probe"] < 1e-3
+    assert ing._auto_transfer_choice == first
 
 
 def test_mulaw_roundtrip_accuracy(rng):
