@@ -231,14 +231,13 @@ def encode(
         return L.layer_norm(params["encoder"]["ln"], x, cfg.ln_eps)
     for blk in params["encoder"]["blocks"]:
         h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
-        if fused_attention:
-            a = blk["self_attn"]
-            q = L.split_heads(L.dense(a["q"], h), cfg.heads)
-            k = L.split_heads(L.dense(a["k"], h), cfg.heads)
-            v = L.split_heads(L.dense(a["v"], h), cfg.heads)
-            attn = L.merge_heads(fused_encoder_attention(q, k, v))
-            x = x + L.dense(a["o"], attn)
-        elif os.environ.get("MAS_ENC_INT8", "0").lower() in ("1", "true"):
+        # the MAS_ENC_INT8 override outranks the plain fused kernel: the
+        # drift oracle uses it to measure the int8-dot lever's accuracy,
+        # and on TPU fused_attention auto-selects True at t>=512 — were
+        # this an elif after it, the "int8" drift row would silently
+        # re-measure the bf16 kernel (caught in round 4's first
+        # production-geometry drift run)
+        if os.environ.get("MAS_ENC_INT8", "0").lower() in ("1", "true"):
             # plain-XLA twin of the int8-dot kernel's math — lets the
             # CPU drift oracle measure the lever without Pallas
             from ..ops.encoder_block import int8_attention_xla
@@ -249,6 +248,13 @@ def encode(
             x = x + L.dense(a["o"],
                             L.merge_heads(int8_attention_xla(q, k, v))
                             .astype(x.dtype))
+        elif fused_attention:
+            a = blk["self_attn"]
+            q = L.split_heads(L.dense(a["q"], h), cfg.heads)
+            k = L.split_heads(L.dense(a["k"], h), cfg.heads)
+            v = L.split_heads(L.dense(a["v"], h), cfg.heads)
+            attn = L.merge_heads(fused_encoder_attention(q, k, v))
+            x = x + L.dense(a["o"], attn)
         else:
             x = x + L.mha(blk["self_attn"], h, h, cfg.heads)
         h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)

@@ -135,6 +135,16 @@ def main() -> None:
     ap.add_argument("--clip-seconds", type=float, default=1.0)
     ap.add_argument("--mel-seconds", type=float, default=2.0)
     ap.add_argument("--max-events", type=int, default=3)
+    ap.add_argument("--save-model", default=None,
+                    help="save trained params (utils/checkpoint.py "
+                         "pytree npz) so later runs can --load-model "
+                         "instead of retraining")
+    ap.add_argument("--load-model", default=None,
+                    help="skip training; load params saved by a prior "
+                         "--save-model run with the SAME geometry flags")
+    ap.add_argument("--modes", nargs="*", default=None,
+                    help="measure only these mode names (parity is "
+                         "always computed as the baseline)")
     ap.add_argument("--production", action="store_true",
                     help="round-3 verdict item 5 geometry: whisper-tiny "
                          "preset, 10 s clips, full 30 s mel context, up "
@@ -159,10 +169,27 @@ def main() -> None:
         make_clip, train_synth_captioner, transcribe)
 
     n_events = (1 if args.max_events <= 3 else 2, args.max_events)
-    model = train_synth_captioner(
-        steps=args.steps, batch=args.batch, seed=args.seed,
-        preset=args.preset, clip_seconds=args.clip_seconds,
-        mel_seconds=args.mel_seconds, n_events=n_events)
+    if args.load_model:
+        from multimodal_audio_search_tpu.models import whisper as W
+        from multimodal_audio_search_tpu.training.synth import (
+            SynthModel, SynthVocab)
+        from multimodal_audio_search_tpu.utils.checkpoint import (
+            load_pytree)
+        wcfg = W.PRESETS[args.preset]
+        template = W.init_params(jax.random.PRNGKey(0), wcfg)
+        model = SynthModel(
+            params=load_pytree(template, args.load_model), cfg=wcfg,
+            vocab=SynthVocab(wcfg), mel_seconds=args.mel_seconds,
+            losses=[0.0], n_events=n_events)   # loss unknown: loaded
+    else:
+        model = train_synth_captioner(
+            steps=args.steps, batch=args.batch, seed=args.seed,
+            preset=args.preset, clip_seconds=args.clip_seconds,
+            mel_seconds=args.mel_seconds, n_events=n_events)
+        if args.save_model:
+            from multimodal_audio_search_tpu.utils.checkpoint import (
+                save_pytree)
+            save_pytree(model.params, args.save_model)
     rng = np.random.default_rng(args.seed + 1)
     waves, truths = zip(*(make_clip(rng, args.clip_seconds, n_events)
                           for _ in range(args.clips)))
@@ -186,37 +213,53 @@ def main() -> None:
                 "truth_exact": round(truth, 3)}
 
     import dataclasses
-    modes = {
-        "parity": drift(parity),
-        "short_context": drift(transcribe(
-            model, waves, mel_seconds=short_ctx_s)),
-        "mulaw8": drift(transcribe(model, mulaw_roundtrip(waves))),
-        "int16": drift(transcribe(model, int16_roundtrip(waves))),
-        "int12": drift(transcribe(model, int12_roundtrip(waves))),
-        "bf16": drift(transcribe(model, waves, dtype=jnp.bfloat16)),
-        "int8_dec": drift(transcribe(
+    wanted = set(args.modes) if args.modes else None
+
+    def want(name):
+        return wanted is None or name in wanted
+
+    modes = {"parity": drift(parity)}
+    if want("short_context"):
+        modes["short_context"] = drift(transcribe(
+            model, waves, mel_seconds=short_ctx_s))
+    if want("mulaw8"):
+        modes["mulaw8"] = drift(transcribe(model, mulaw_roundtrip(waves)))
+    if want("int16"):
+        modes["int16"] = drift(transcribe(model, int16_roundtrip(waves)))
+    if want("int12"):
+        modes["int12"] = drift(transcribe(model, int12_roundtrip(waves)))
+    if want("bf16"):
+        modes["bf16"] = drift(transcribe(model, waves,
+                                         dtype=jnp.bfloat16))
+    if want("int8_dec"):
+        modes["int8_dec"] = drift(transcribe(
             dataclasses.replace(
                 model, params=quantize_whisper_decoder(model.params)),
-            waves)),
-    }
+            waves))
     # int8 encoder attention (ops/encoder_block.py int8 variant; the
-    # plain path routes through its XLA twin, same math)
-    os.environ["MAS_ENC_INT8"] = "1"
-    try:
-        modes["int8_enc"] = drift(transcribe(model, waves))
-    finally:
-        os.environ.pop("MAS_ENC_INT8", None)
+    # MAS_ENC_INT8 override routes encode through the XLA twin of the
+    # kernel's math on every backend — models/whisper.py)
+    if want("int8_enc"):
+        os.environ["MAS_ENC_INT8"] = "1"
+        try:
+            modes["int8_enc"] = drift(transcribe(model, waves))
+        finally:
+            os.environ.pop("MAS_ENC_INT8", None)
     # mel16 transfer: host HF-f64-exact log-mel -> uint16 codes ->
     # device reconstruction (the exact ingest path, pipelines/ingest.py)
-    modes["mel16"] = drift(transcribe_hostmel(model, waves, 16))
-    modes["mel12"] = drift(transcribe_hostmel(model, waves, 12))
-    modes["mel8"] = drift(transcribe_hostmel(model, waves, 8))
+    if want("mel16"):
+        modes["mel16"] = drift(transcribe_hostmel(model, waves, 16))
+    if want("mel12"):
+        modes["mel12"] = drift(transcribe_hostmel(model, waves, 12))
+    if want("mel8"):
+        modes["mel8"] = drift(transcribe_hostmel(model, waves, 8))
     out = {
         "metric": "synth_drift",
-        "train": {"steps": args.steps,
+        "train": {"steps": 0 if args.load_model else args.steps,
                   "final_loss": round(float(
                       np.mean(model.losses[-20:])), 4),
-                  "preset": args.preset},
+                  "preset": args.preset,
+                  "loaded": bool(args.load_model)},
         "geometry": {"clip_seconds": args.clip_seconds,
                      "mel_seconds": args.mel_seconds,
                      "max_events": args.max_events,
