@@ -193,17 +193,15 @@ def encode(
         # measured on-chip (B=64, 10 s ctx): one whole-T step per batch
         # (blk_q=512) beats 256 (16.2 vs 17.7 ms encode) — K/V are
         # fetched once and the /l divide defers to the [blk, D] output.
-        # Longer contexts: the streaming online-softmax formulation
-        # (blk_k chunks) shrinks the f32 [blk, T] score tile that forced
-        # blk 128 + in-tile divide at the 30 s context — but it has
-        # NEVER compiled on real Mosaic (the axon backend spent the
-        # whole session wedged), so it is opt-in (MAS_ENC_STREAM=1, the
-        # A/B runbook docs/ONCHIP_RUNBOOK.md) until measured; the
-        # default stays the chip-proven full-T config.
+        # Long-context fork RESOLVED by the round-4 on-chip A/B
+        # (docs/onchip_r4/stream_ab.out): every streaming (blk_k-
+        # chunked) variant crashes the real Mosaic compile helper at
+        # t=1500, so full-T is the ONLY 30 s path — the former
+        # MAS_ENC_STREAM opt-in is ignored above t=512 (the kernel
+        # stays interpret-tested for the short-context sizes where it
+        # compiles and wins, see below).
         if t <= 512:
             blk_q, blk_k = 512, None
-        elif os.environ.get("MAS_ENC_STREAM", "0").lower() in ("1", "true"):
-            blk_q, blk_k = 256, 512
         else:
             blk_q, blk_k = (256 if t <= 1024 else 128), None
         # int8-dot attention (2x MXU throughput; int8 rounding on q and

@@ -71,7 +71,11 @@ def main() -> None:
     # production formulation)
     cases = [(128, None, False), (256, 512, False), (512, 512, False),
              (256, 256, False), (512, 768, False), (128, 512, False),
-             (256, 512, True), (512, 512, True)]
+             (256, 512, True), (512, 512, True),
+             # the t<=512 production default (full-T single step) and its
+             # exp2 twin — the round-4 promotion decision compares these
+             # against the streaming 512/512 rows
+             (512, None, False), (512, None, True)]
     ref = None
     for blk_q, blk_k, x2 in cases:
         tag = f"t={t_ctx} blk_q={blk_q} blk_k={blk_k} exp2={x2}"
