@@ -193,27 +193,23 @@ def encode(
         # measured on-chip (B=64, 10 s ctx): one whole-T step per batch
         # (blk_q=512) beats 256 (16.2 vs 17.7 ms encode) — K/V are
         # fetched once and the /l divide defers to the [blk, D] output.
-        # Long-context fork RESOLVED by the round-4 on-chip A/B
-        # (docs/onchip_r4/stream_ab.out): every streaming (blk_k-
-        # chunked) variant crashes the real Mosaic compile helper at
-        # t=1500, so full-T is the ONLY 30 s path — the former
-        # MAS_ENC_STREAM opt-in is ignored above t=512 (the kernel
-        # stays interpret-tested for the short-context sizes where it
-        # compiles and wins, see below).
-        if t <= 512:
-            blk_q, blk_k = 512, None
-        else:
-            blk_q, blk_k = (256 if t <= 1024 else 128), None
+        # Long-context fork RESOLVED by the round-4 on-chip A/Bs
+        # (docs/BENCHMARKS.md "Round-4 on-chip A/Bs"): the streaming
+        # (blk_k-chunked) online-softmax variant crashed the real
+        # Mosaic compile helper at t=1500 and was within noise of
+        # full-T at t=500 once timed at decision grade, so it was
+        # DELETED — these full-T configs are the only encoder path
+        # (the former MAS_ENC_STREAM opt-in is gone).
+        blk_q = 512 if t <= 512 else (256 if t <= 1024 else 128)
         # int8-dot attention (2x MXU throughput; int8 rounding on q and
         # softmax rows — measured transcript-exact on the toy synth
-        # oracle, docs/BENCHMARKS.md r4). Select via
+        # oracle, docs/BENCHMARKS.md r4; on-chip at t=1500 it runs the
+        # attention kernel at MFU 0.536 vs bf16's 0.293). Select via
         # fused_blocks="int8" (DecodeConfig.fused_encoder) or the
-        # MAS_ENC_INT8 env override the drift tool uses; speed A/B
-        # chip-queued (docs/ONCHIP_RUNBOOK.md).
+        # MAS_ENC_INT8 env override the drift tool uses; stays opt-in
+        # until the production-geometry oracle confirms exactness.
         qk_int8 = fused_blocks == "int8" or os.environ.get(
             "MAS_ENC_INT8", "0").lower() in ("1", "true")
-        if qk_int8:
-            blk_k = None
         for blk in params["encoder"]["blocks"]:
             a = blk["self_attn"]
             h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
@@ -222,7 +218,7 @@ def encode(
             v = L.split_heads(L.dense(a["v"], h), cfg.heads)
             x = fused_attention_o_residual(
                 q, k, v, x, a["o"]["w"], a["o"]["b"], blk_q=blk_q,
-                blk_k=blk_k, qk_int8=qk_int8)
+                qk_int8=qk_int8)
             h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
             x = x + L.dense(blk["mlp_out"],
                             L.gelu(L.dense(blk["mlp_in"], h)))

@@ -38,71 +38,24 @@ NEG_INF = -1e30
 
 def _attn_o_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
                    *, t_real: int, scale: float, heads: int,
-                   defer_div: bool, blk_k: int | None = None,
-                   use_exp2: bool = False):
+                   defer_div: bool, use_exp2: bool = False):
     """One query block, every head, + o-proj + residual.
 
     q_ref [1, H, blk_q, D]; k_ref/v_ref [1, H, T_pad, D];
     x_ref/o_ref [1, blk_q, H*D]; wo_ref [H*D, H*D]; bo_ref [1, H*D].
 
-    ``blk_k`` set (and < T_pad) selects the streaming formulation:
-    online softmax over static K chunks — the f32 score tile shrinks
-    from [blk_q, T_pad] to [blk_q, blk_k] (the tile whose VMEM
-    footprint forced blk_q down to 128 at the 30 s parity context) and
-    the /l divide lands on the [blk_q, D] accumulator (the deferred
-    form that the full-T multi-block grid could not take without
-    crashing the Mosaic compile helper). Fully-padded chunks are
-    skipped at trace time.
+    A streaming online-softmax variant (static blk_k chunks) lived here
+    through round 4; the round-4 on-chip A/B removed it — it crashed
+    the real Mosaic compile helper at the 30 s context and was within
+    noise of this full-T formulation at 10 s once timed at decision
+    grade (docs/BENCHMARKS.md "Round-4 on-chip A/Bs"; recoverable from
+    git history if a future TPU generation lifts the VMEM wall).
     """
     t_pad = k_ref.shape[2]
     # use_exp2: log2(e) is folded into ``scale`` by the wrapper, so the
     # softmax exponential is a bare exp2 — one fewer VPU multiply pass
     # over every score tile; softmax output is identical to f32 rounding
     _exp = jnp.exp2 if use_exp2 else jnp.exp
-    if blk_k is not None and blk_k < t_pad:
-        outs = []
-        for h in range(heads):                  # static unroll
-            q = (q_ref[0, h].astype(jnp.float32) * scale).astype(
-                k_ref.dtype)                               # [blk_q, D]
-            m = l = acc = None
-            for c in range(t_pad // blk_k):     # static unroll
-                c0 = c * blk_k
-                if c0 >= t_real:
-                    break                       # chunk is all padding
-                s = jax.lax.dot_general(
-                    q, k_ref[0, h, c0:c0 + blk_k],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [blk_q, blk_k]
-                if t_real < c0 + blk_k:
-                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                    s = jnp.where(col < t_real - c0, s, NEG_INF)
-                if m is None:
-                    m = jnp.max(s, axis=1, keepdims=True)
-                    p = _exp(s - m)
-                    l = jnp.sum(p, axis=1, keepdims=True)
-                    acc = jax.lax.dot_general(
-                        p.astype(v_ref.dtype), v_ref[0, h, c0:c0 + blk_k],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # [blk_q, D]
-                else:
-                    m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-                    p = _exp(s - m_new)
-                    alpha = _exp(m - m_new)
-                    l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-                    acc = acc * alpha + jax.lax.dot_general(
-                        p.astype(v_ref.dtype), v_ref[0, h, c0:c0 + blk_k],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    m = m_new
-            outs.append(acc / l)
-        attn = jnp.concatenate(outs, axis=-1)              # [blk_q, H*D]
-        y = jax.lax.dot_general(
-            attn.astype(wo_ref.dtype), wo_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) \
-            + bo_ref[0].astype(jnp.float32)
-        o_ref[0] = (x_ref[0].astype(jnp.float32) + y).astype(o_ref.dtype)
-        return
     outs = []
     for h in range(heads):                      # static unroll
         q = q_ref[0, h].astype(jnp.float32) * scale        # [blk_q, D]
@@ -305,13 +258,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("blk_q", "blk_k", "use_exp2", "pair_heads",
+    jax.jit, static_argnames=("blk_q", "use_exp2", "pair_heads",
                               "qk_int8", "interpret"))
 def fused_attention_o_residual(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,   # [B, H, T, D]
     x: jnp.ndarray,                                   # [B, T, HD_out]
     wo: jnp.ndarray, bo: jnp.ndarray,                 # [H*D, HD_out], [HD_out]
-    blk_q: int = 256, blk_k: int | None = None, use_exp2: bool = False,
+    blk_q: int = 256, use_exp2: bool = False,
     pair_heads: bool = False, qk_int8: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -319,8 +272,7 @@ def fused_attention_o_residual(
 
     Non-causal, padding-masked (keys >= T are masked), f32 softmax and
     accumulation. Output is [B, T, HD_out] — the next LN consumes it
-    directly, no head merge transpose. ``blk_k`` (< T_pad) selects the
-    streaming online-softmax formulation (see _attn_o_kernel).
+    directly, no head merge transpose.
 
     Single-device: ``HD_out == H*D`` (square Wo). Under tensor
     parallelism, each device holds an H/mp head shard and the matching
@@ -334,9 +286,6 @@ def fused_attention_o_residual(
         (wo.shape, bo.shape, (h * d, hd))
     scale = 1.0 / math.sqrt(d)
     t_pad = _round_up(t, blk_q)
-    if blk_k is not None:
-        t_pad = _round_up(t_pad, blk_k)
-        assert t_pad % blk_q == 0, (t_pad, blk_q, blk_k)
     if t_pad != t:
         pad4 = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
         q = jnp.pad(q, pad4)
@@ -349,7 +298,7 @@ def fused_attention_o_residual(
         # q scale so every in-kernel exponential is a bare exp2
         scale *= math.log2(math.e)
     if qk_int8:
-        assert blk_k is None and not pair_heads, (blk_k, pair_heads)
+        assert not pair_heads, pair_heads
         from .cached_attention import quantize_kv
         k8, ks, v8, vs = quantize_kv(k, v)
         kernel = functools.partial(
@@ -391,7 +340,7 @@ def fused_attention_o_residual(
           wo.astype(dt), bo.reshape(1, hd).astype(dt))
         return out[:, :t, :]
     if pair_heads:
-        assert h % 2 == 0 and blk_k is None, (h, blk_k)
+        assert h % 2 == 0, h
         pairs = h // 2
         # block-diagonal packing, built XLA-side (doubles K/V bytes with
         # structural zeros — part of what the A/B measures)
@@ -445,7 +394,7 @@ def fused_attention_o_residual(
         return out[:, :t, :]
     kernel = functools.partial(
         _attn_o_kernel, t_real=t, scale=scale, heads=h,
-        defer_div=(t_pad == blk_q), blk_k=blk_k, use_exp2=use_exp2)
+        defer_div=(t_pad == blk_q), use_exp2=use_exp2)
     qkv_spec = pl.BlockSpec((1, h, t_pad, d), lambda bi, i: (bi, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(

@@ -59,42 +59,10 @@ def test_attn_o_residual_padding_mask(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-def test_attn_o_residual_streaming_matches_xla(rng):
-    """blk_k < T_pad: online-softmax streaming over K chunks (the 30 s
-    -context formulation) must match the XLA reference, including a
-    partially masked tail chunk."""
-    b, heads, t, d = 2, 4, 40, 16
-    hd = heads * d
-    q, k, v = (jnp.asarray(rng.normal(size=(b, heads, t, d)), jnp.float32)
-               for _ in range(3))
-    x = jnp.asarray(rng.normal(size=(b, t, hd)), jnp.float32)
-    o = L.init_dense(jax.random.PRNGKey(3), hd, hd)
-    out = fused_attention_o_residual(
-        q, k, v, x, o["w"], o["b"], blk_q=16, blk_k=16, interpret=True)
-    ref = x + L.dense(o, L.merge_heads(L.attention_scores(q, k, v)))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
-
-
-def test_attn_o_residual_streaming_skips_padded_chunk(rng):
-    """A chunk made entirely of padding (T=18, blk_q=16 -> T_pad=32,
-    blk_k=8: chunk [24,32) is all pad) is skipped at trace time and must
-    not perturb the softmax."""
-    b, heads, t, d = 1, 2, 18, 8
-    hd = heads * d
-    q, k, v = (jnp.asarray(rng.normal(size=(b, heads, t, d)), jnp.float32)
-               for _ in range(3))
-    x = jnp.asarray(rng.normal(size=(b, t, hd)), jnp.float32)
-    o = L.init_dense(jax.random.PRNGKey(4), hd, hd)
-    out = fused_attention_o_residual(
-        q, k, v, x, o["w"], o["b"], blk_q=16, blk_k=8, interpret=True)
-    ref = x + L.dense(o, L.merge_heads(L.attention_scores(q, k, v)))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
-
-
 def test_attn_o_residual_exp2_matches(rng):
     """use_exp2 folds log2(e) into the score scale (bare exp2 on the
     VPU); softmax output must be identical to float tolerance in both
-    the single-block deferred and streaming formulations."""
+    the single-block deferred and multi-block in-tile formulations."""
     b, heads, t, d = 1, 2, 40, 16
     hd = heads * d
     q, k, v = (jnp.asarray(rng.normal(size=(b, heads, t, d)), jnp.float32)
@@ -102,7 +70,7 @@ def test_attn_o_residual_exp2_matches(rng):
     x = jnp.asarray(rng.normal(size=(b, t, hd)), jnp.float32)
     o = L.init_dense(jax.random.PRNGKey(5), hd, hd)
     ref = x + L.dense(o, L.merge_heads(L.attention_scores(q, k, v)))
-    for kw in ({"blk_q": 48}, {"blk_q": 16, "blk_k": 16}):
+    for kw in ({"blk_q": 48}, {"blk_q": 16}):
         out = fused_attention_o_residual(
             q, k, v, x, o["w"], o["b"], use_exp2=True, interpret=True,
             **kw)
@@ -110,9 +78,9 @@ def test_attn_o_residual_exp2_matches(rng):
                                    atol=1e-5)
 
 
-def test_attn_o_residual_bf16_streaming_close(rng):
-    """Production dtype sanity: the streaming path at bf16 stays within
-    bf16 rounding of the f32 XLA reference."""
+def test_attn_o_residual_bf16_multiblock_close(rng):
+    """Production dtype sanity: the multi-block (long-context) path at
+    bf16 stays within bf16 rounding of the f32 XLA reference."""
     b, heads, t, d = 1, 2, 40, 16
     hd = heads * d
     q, k, v = (jnp.asarray(rng.normal(size=(b, heads, t, d)), jnp.float32)
@@ -124,27 +92,26 @@ def test_attn_o_residual_bf16_streaming_close(rng):
         q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
         v.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
         o["w"].astype(jnp.bfloat16), o["b"].astype(jnp.bfloat16),
-        blk_q=16, blk_k=16, interpret=True)
+        blk_q=16, interpret=True)
     err = np.max(np.abs(np.asarray(out, np.float32) - np.asarray(ref)))
     assert err < 0.15, err  # bf16 rounding through 3 matmuls
 
 
-def test_encode_long_context_streaming_wiring(rng, monkeypatch):
-    """Long-context fork RESOLVED (round-4 on-chip A/B, docs/onchip_r4/
-    stream_ab.out): streaming crashes real Mosaic at t=1500, so W.encode
-    at t > 512 routes through the full-T kernel even under the former
-    MAS_ENC_STREAM opt-in, and the output matches the plain path
-    (interpret mode on CPU)."""
+def test_encode_long_context_wiring(rng, monkeypatch):
+    """Long-context fork RESOLVED (round-4 on-chip A/Bs, docs/
+    BENCHMARKS.md): the streaming variant is deleted; W.encode at
+    t > 512 routes through the multi-block full-T kernel (even under
+    the former MAS_ENC_STREAM env, now meaningless) and the output
+    matches the plain path (interpret mode on CPU)."""
     import multimodal_audio_search_tpu.ops.encoder_block as eb_mod
 
-    monkeypatch.setenv("MAS_ENC_STREAM", "1")
+    monkeypatch.setenv("MAS_ENC_STREAM", "1")  # must be inert
 
     orig = eb_mod.fused_attention_o_residual
     seen = {}
 
     def spy(*a, **kw):
-        seen.update({k: v for k, v in kw.items()
-                     if k in ("blk_q", "blk_k")})
+        seen.update({k: v for k, v in kw.items() if k == "blk_q"})
         return orig(*a, **{**kw, "interpret": True})
 
     monkeypatch.setattr(eb_mod, "fused_attention_o_residual", spy)
@@ -157,7 +124,7 @@ def test_encode_long_context_streaming_wiring(rng, monkeypatch):
                       jnp.float32)
     ref = W.encode(params, mel, cfg, fused_attention=False)
     out = W.encode(params, mel, cfg, fused_blocks=True)
-    assert seen == {"blk_q": 256, "blk_k": None}, seen
+    assert seen == {"blk_q": 256}, seen
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5)
 
@@ -262,7 +229,6 @@ def test_encode_int8_env_path_matches_kernel(rng, monkeypatch):
     def forced(*a, **kw):
         kw["interpret"] = True
         kw["qk_int8"] = True
-        kw["blk_k"] = None
         return orig(*a, **kw)
     monkeypatch.setattr(eb, "fused_attention_o_residual", forced)
     fused = W.encode(params, mel, cfg, fused_blocks=True)

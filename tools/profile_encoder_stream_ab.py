@@ -28,6 +28,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--t", type=int, default=1500)
+    ap.add_argument("--reps", type=int, default=None,
+                    help="in-jit dependent reps per case (default 8 on "
+                         "TPU). At t=500 a rep is ~0.5 ms, so 8 reps sit "
+                         "inside the ±10 ms tunnel-RTT jitter — use 64+ "
+                         "for decision-grade short-context numbers")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run only cases whose 'blkq/blkk/exp2' tag is "
+                         "listed, e.g. --only 512/None/True 512/512/True")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +59,7 @@ def main() -> None:
             [(b, h, t_ctx, d)] * 3 + [(b, t_ctx, hd)]]
     wo = jnp.asarray(rng.normal(size=(hd, hd)) * 0.05, dt)
     bo = jnp.asarray(rng.normal(size=hd) * 0.01, dt)
-    reps = 8 if on_tpu else 1
+    reps = args.reps or (8 if on_tpu else 1)
 
     def stage_time(blk_q, blk_k, use_exp2=False):
         # arrays as jit operands (closure bake -> HTTP 413 at t=1500)
@@ -76,6 +84,9 @@ def main() -> None:
              # exp2 twin — the round-4 promotion decision compares these
              # against the streaming 512/512 rows
              (512, None, False), (512, None, True)]
+    if args.only:
+        cases = [c for c in cases
+                 if f"{c[0]}/{c[1]}/{c[2]}" in set(args.only)]
     ref = None
     for blk_q, blk_k, x2 in cases:
         tag = f"t={t_ctx} blk_q={blk_q} blk_k={blk_k} exp2={x2}"
