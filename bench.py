@@ -8,9 +8,12 @@ over a 100k-segment index. Prints ONE JSON line.
 Three configurations are measured every run:
 
   * fast_lossless — HEADLINE: only levers measured transcript-exact on
-              the drift oracle (auto-probed lossless transfer — fastest
-              of int16/int16d/int12 on the live link — fused kernels,
-              full 30 s context, f32 index).
+              BOTH drift oracles incl. the production geometry
+              (auto-probed lossless transfer — fastest of the bit-exact
+              int16/int16d on the live link; int12 was dropped from the
+              auto set after the production-geometry oracle measured it
+              0.922 agree-exact — fused kernels, full 30 s context, f32
+              index).
   * parity  — the engine's defaults: 30 s mel context, bf16 KV cache,
               f32 device index (exact top-10 parity mode).
   * fast    — every opt-in perf mode incl. measured-LOSSY ones: 10 s
@@ -548,13 +551,15 @@ def _main() -> None:
         except Exception as e:  # noqa: BLE001
             return {"error": f"{type(e).__name__}: {e}"[:300]}
 
-    # fast_lossless = only the levers measured TRANSCRIPT-EXACT on the
-    # self-trained oracle (docs/BENCHMARKS.md drift table): auto-probed
-    # lossless transfer (fastest of int16/int16d/int12 on the live link
-    # — round 4 measured the per-mode tunnel rates flipping between
-    # sessions with payload compressibility) + fused decode/encode
-    # kernels, full 30 s context, f32 index — the recommended production
-    # configuration and the HEADLINE
+    # fast_lossless = only the levers measured TRANSCRIPT-EXACT on BOTH
+    # self-trained oracles — toy AND production geometry
+    # (docs/BENCHMARKS.md drift tables): auto-probed BIT-EXACT transfer
+    # (fastest of int16/int16d on the live link — round 4 measured the
+    # per-mode tunnel rates flipping between sessions with payload
+    # compressibility; int12 was dropped from the auto set after the
+    # production-geometry oracle measured it 0.922 agree-exact) + fused
+    # decode/encode kernels, full 30 s context, f32 index — the
+    # recommended production configuration and the HEADLINE
     # (VERDICT r3 #3: the headline must not ride measured-lossy levers).
     # Measured FIRST so the headline number exists even if a later
     # mode's fresh compile fails.
@@ -563,16 +568,20 @@ def _main() -> None:
                        transfer_dtype="auto", fused_encoder=on_tpu,
                        index_dtype=jnp.float32, **common)
     # mel16 variant of fast_lossless: host-computed log-mel transfer
-    # (2/3 the tunnel bytes of int12 AND no device STFT; roundtrip
+    # (half the tunnel bytes of int16 AND no device STFT; roundtrip
     # error 3e-5 — an order below the device's own f32 mel deviation).
-    # Extra until the production-geometry oracle confirms it, then the
-    # headline candidate (docs/ONCHIP_RUNBOOK.md).
+    # The production-geometry oracle CONFIRMED the whole mel family
+    # transcript-exact (1.0, docs/onchip_r4/drift_prod_s4.out); it stays
+    # an extra rather than an auto candidate because its host encode is
+    # the bottleneck on this 1-core rig (docs/BENCHMARKS.md "Transfer-
+    # mode economics") — on a multi-core host it is the headline
+    # candidate.
     lossless_mel16 = guarded("fast_lossless_mel16", short_context=False,
                              int8_kv=False, fused_layer=on_tpu,
                              transfer_dtype="mel16", fused_encoder=on_tpu,
                              index_dtype=jnp.float32, **common)
-    # mel12: the same host log-mel packed to 12-bit codes (half the
-    # int12 waveform's tunnel bytes); drift pending the synth oracle
+    # mel12: the same host log-mel packed to 12-bit codes (3/8 of
+    # int16's tunnel bytes); transcript-exact on both oracles too
     lossless_mel12 = guarded("fast_lossless_mel12", short_context=False,
                              int8_kv=False, fused_layer=on_tpu,
                              transfer_dtype="mel12", fused_encoder=on_tpu,

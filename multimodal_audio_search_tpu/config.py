@@ -233,7 +233,10 @@ class EngineConfig:
     # FLAC decode to the int16 grid, so re-quantizing to it is the
     # identity; mp3/m4a decode to float and round at -96 dB, measured
     # transcript-exact on the synthetic oracle), "int12" (packed
-    # 1.5 B/sample, 72 dB SNR, also transcript-exact on the oracle), or
+    # 1.5 B/sample, 72 dB SNR; transcript-exact at the toy oracle
+    # geometry but NOT at production geometry — 0.922 agree-exact at
+    # 10 s/30 s, docs/BENCHMARKS.md production drift table — so it is
+    # an explicit opt-in, never auto-picked), or
     # "mulaw8" (telephony-grade 8-bit companding for bandwidth-starved
     # hosts; has measured transcript drift, docs/BENCHMARKS.md), or
     # "mel16" (host-computed HF-f64-exact log-mel shipped as uint16
@@ -248,12 +251,13 @@ class EngineConfig:
     # (int16 delta-coded with wraparound arithmetic: bit-identical
     # samples on device, same wire bytes pre-compression, but far lower
     # byte entropy — tunnels/links with transparent compression move it
-    # much faster), or "auto" (probe the transcript-exact candidates
-    # int16/int16d/int12 ONCE with the first real payload and lock the
-    # fastest — the round-4 on-chip finding is that per-mode link rates
-    # depend on payload compressibility and flip between sessions, so
-    # no static choice is safe). Set MAS_TRANSFER_DTYPE=float32 for the
-    # unconditional-exact path.
+    # much faster), or "auto" (probe the BIT-EXACT candidates
+    # int16/int16d with a slice of the real payload and pick the
+    # fastest, re-probing every 256 MB shipped — the round-4 on-chip
+    # finding is that per-mode link rates depend on payload
+    # compressibility and flip between sessions, so no static choice is
+    # safe). Set MAS_TRANSFER_DTYPE=float32 for the unconditional-exact
+    # path.
     transfer_dtype: str = "int16"
     # multi-chip execution (SURVEY §2c; the reference is single-device,
     # audio_search.py:89,181). data_parallel shards ingest segment batches
@@ -278,12 +282,13 @@ def apply_profile(cfg: EngineConfig, profile: str) -> EngineConfig:
     (docs/BENCHMARKS.md):
 
       * "parity"        — engine defaults, exact reference-parity math
-      * "fast_lossless" — every lever measured TRANSCRIPT-EXACT on the
-                          self-trained oracle: auto-probed lossless
-                          transfer (fastest of int16/int16d/int12 on
-                          the live link) + fused decode/encoder
-                          kernels, full 30 s context, f32 index.
-                          Recommended production mode.
+      * "fast_lossless" — every lever measured TRANSCRIPT-EXACT on
+                          BOTH self-trained oracles (toy AND production
+                          geometry): auto-probed BIT-EXACT transfer
+                          (fastest of int16/int16d on the live link) +
+                          fused decode/encoder kernels, full 30 s
+                          context, f32 index. Recommended production
+                          mode.
       * "fast"          — maximum throughput: additionally
                           short-context encode, mu-law 8-bit transfer,
                           bf16 index — each with a measured, documented

@@ -210,6 +210,11 @@ def encode(
         # until the production-geometry oracle confirms exactness.
         qk_int8 = fused_blocks == "int8" or os.environ.get(
             "MAS_ENC_INT8", "0").lower() in ("1", "true")
+        # off-TPU (CPU drift oracle, debugging) the block kernel runs in
+        # Pallas interpret mode — same math, slow but correct — instead
+        # of failing to lower; decided at trace time, so jitted programs
+        # are unaffected on chip
+        interp = jax.default_backend() != "tpu"
         for blk in params["encoder"]["blocks"]:
             a = blk["self_attn"]
             h = L.layer_norm(blk["self_ln"], x, cfg.ln_eps)
@@ -218,7 +223,7 @@ def encode(
             v = L.split_heads(L.dense(a["v"], h), cfg.heads)
             x = fused_attention_o_residual(
                 q, k, v, x, a["o"]["w"], a["o"]["b"], blk_q=blk_q,
-                qk_int8=qk_int8)
+                qk_int8=qk_int8, interpret=interp)
             h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
             x = x + L.dense(blk["mlp_out"],
                             L.gelu(L.dense(blk["mlp_in"], h)))

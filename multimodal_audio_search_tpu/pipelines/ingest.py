@@ -95,27 +95,49 @@ class DualPipelineIngest:
         self.caption.use_mesh(mesh)
         self.embedder.use_mesh(mesh)
 
-    # transcript-exact transfer encodings "auto" may pick between
-    # (int16/int16d are bit-identical on device; int12 measured
-    # transcript-exact on both drift oracles — docs/BENCHMARKS.md)
-    AUTO_TRANSFER_CANDIDATES = ("int16", "int16d", "int12")
+    # LOSSLESS transfer encodings "auto" may pick between: only the
+    # modes whose device-side samples are BIT-IDENTICAL to the host f32
+    # quantize (int16 raw, int16d delta-coded — one cumsum undoes it).
+    # int12 was REMOVED from the auto set in round 5: the
+    # production-geometry drift oracle measured it NOT transcript-exact
+    # (agree_exact 0.922 at 10 s clips / 30 s context,
+    # docs/onchip_r4/drift_prod_s4.out) — its earlier "transcript-exact"
+    # standing came from the toy 2 s geometry only. It remains an
+    # explicit opt-in (transfer_dtype="int12") with its measured bound
+    # documented in docs/BENCHMARKS.md.
+    AUTO_TRANSFER_CANDIDATES = ("int16", "int16d")
+
+    # re-probe cadence: after this many MB shipped, the next batch
+    # re-measures the candidates ("session weather": the tunnel's
+    # per-mode effective rate swung 2.5x between back-to-back runs and
+    # FLIPPED ordering between rounds 3 and 4 — a one-shot probe locked
+    # a stale choice for the pipeline lifetime, round-4 verdict item 4)
+    AUTO_REPROBE_MB = 256.0
 
     def _resolve_auto_transfer(self, encode_transfer, waves, seg_len) -> str:
-        """One-time live probe for transfer_dtype="auto": encode + ship a
-        slice of the first real payload in each lossless candidate mode and
-        lock the fastest. A static choice is wrong somewhere: the tunnel's
-        effective rate per mode depends on payload compressibility and
-        session weather (round 3 vs round 4 measured opposite int16/int12
-        orderings on the same rig)."""
+        """Live probe for transfer_dtype="auto": encode + ship a slice of
+        the current payload in each lossless candidate mode and pick the
+        fastest; re-probe after AUTO_REPROBE_MB shipped. A static choice
+        is wrong somewhere: the tunnel's effective rate per mode depends
+        on payload compressibility and session weather (round 3 vs round
+        4 measured opposite int16/int12 orderings on the same rig).
+
+        Decision discipline (round-4 verdict: a 16-wave min-of-2 probe
+        once picked a mode that measured 40% slower in the same-session
+        sweep): 4 reps per mode, the cold first rep is DISCARDED
+        (compile + first-touch), decision on the MEDIAN of the rest."""
         choice = getattr(self, "_auto_transfer_choice", None)
-        if choice is not None:
+        if choice is not None and getattr(
+                self, "_bytes_since_probe", 0.0) < \
+                self.AUTO_REPROBE_MB * 1e6:
             return choice
         import jax
-        sample = waves[: min(len(waves), 16)]
+        sample = waves[: min(len(waves), 32)]
         best, best_t = "int16", float("inf")
+        probe = {}
         for mode in self.AUTO_TRANSFER_CANDIDATES:
             times = []
-            for _ in range(2):
+            for _ in range(4):
                 t0 = time.perf_counter()
                 q = encode_transfer(sample, len(sample), mode)
                 # plain put (no mesh sharding): the probe measures the
@@ -127,10 +149,13 @@ class DualPipelineIngest:
                 # read one element back to host (~1 RTT)
                 np.asarray(x[:1, :1])
                 times.append(time.perf_counter() - t0)
-            t = min(times)  # 2nd rep is warm; min de-noises RTT jitter
+            t = float(np.median(times[1:]))
+            probe[mode] = round(t, 4)
             if t < best_t:
                 best, best_t = mode, t
         self._auto_transfer_choice = best
+        self._bytes_since_probe = 0.0
+        self.last_probe = probe
         if self.stats is not None:
             self.stats.log.log("transfer_auto_choice", best_t, mode=best)
         return best
@@ -384,6 +409,11 @@ class DualPipelineIngest:
                     else jax.device_put(q, self._batch_sharding)
                 td = time.perf_counter()
                 tr["put"] += td - tp
+                # weather-aware "auto": count shipped bytes so the probe
+                # refreshes after AUTO_REPROBE_MB instead of locking one
+                # session-weather sample for the pipeline lifetime
+                self._bytes_since_probe = getattr(
+                    self, "_bytes_since_probe", 0.0) + q.nbytes
                 mel = self._mel16_fn(qd)
                 a_fut = self.asr.dispatch_mel(mel)
                 c_fut = self.caption.dispatch_mel(mel)

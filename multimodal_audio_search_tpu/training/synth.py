@@ -141,6 +141,10 @@ def train_synth_captioner(
     mesh=None,
     n_events: tuple[int, int] = (1, 3),
     dtype=None,
+    params_init=None,
+    save_cb=None,
+    save_every: int = 0,
+    transfer_int16: bool = False,
 ) -> SynthModel:
     """Train the preset captioner on procedural clips until transcripts
     are non-degenerate. Prompt = <sot>; tokens = <sot> words <eot>.
@@ -154,7 +158,22 @@ def train_synth_captioner(
     30 s-context geometry instead of the 2 s toy — run it on the chip
     (tools/synth_drift.py --production, MAS_DRIFT_TPU=1); the tiny
     encoder at 30 s context is not CPU-sized. ``dtype`` casts params for
-    training (e.g. bf16 on chip)."""
+    training (e.g. bf16 on chip).
+
+    ``params_init`` resumes from previously trained params (round-4
+    verdict: the production-geometry oracle needs far more than one
+    session's steps to reach decision strength — resuming from a
+    --save-model checkpoint amortizes the cost; the optimizer and LR
+    schedule restart, which is fine for "train until strong").
+    ``save_cb(step, params, losses)`` fires every ``save_every`` steps
+    so a multi-hour chip run survives interruption.
+
+    ``transfer_int16`` ships each step's waveforms as int16 and
+    dequantizes inside the jitted mel program — the production ingest
+    default's exact roundtrip (pipelines/ingest.py), halving the
+    host->device bytes on the ~18-45 MB/s tunnel where the production
+    training step is transfer-bound (46 MB/step of f32 at the 30 s
+    geometry)."""
     import jax.numpy as jnp
     from ..config import MelConfig
     from ..ops.mel import log_mel_spectrogram
@@ -167,13 +186,14 @@ def train_synth_captioner(
             f"({cfg.enc_positions / 50:.0f} s)")
     vocab = SynthVocab(cfg)
     mel_cfg = MelConfig(padded_seconds=mel_seconds)
-    params = W.init_params(jax.random.PRNGKey(seed), cfg)
+    params = (params_init if params_init is not None
+              else W.init_params(jax.random.PRNGKey(seed), cfg))
     if dtype is not None:
         from ..models import layers as L
         params = L.cast_floats(params, dtype)
     tcfg = TrainConfig(learning_rate=lr, schedule="warmup_cosine",
-                       warmup_steps=20, total_steps=steps,
-                       weight_decay=0.0)
+                       warmup_steps=min(20, max(1, steps // 4)),
+                       total_steps=steps, weight_decay=0.0)
     train_step, opt = make_train_step(cfg, tcfg, donate=False)
     opt_state = opt.init(params)
     if mesh is not None:
@@ -181,7 +201,11 @@ def train_synth_captioner(
         params = jax.device_put(params, NamedSharding(mesh, P()))
         opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
 
-    mel_fn = jax.jit(lambda w: log_mel_spectrogram(w, mel_cfg))
+    if transfer_int16:
+        mel_fn = jax.jit(lambda q: log_mel_spectrogram(
+            q.astype(jnp.float32) / 32767.0, mel_cfg))
+    else:
+        mel_fn = jax.jit(lambda w: log_mel_spectrogram(w, mel_cfg))
     rng = np.random.default_rng(seed)
     kmax = n_events[1]
     max_words = kmax * 2 + (kmax - 1)    # k two-word events + k-1 'then's
@@ -201,6 +225,8 @@ def train_synth_captioner(
                 + [cfg.eos_token_id]
             tokens[i, : len(ids)] = ids
             mask[i, : len(ids) - 1] = 1.0
+        if transfer_int16:
+            waves = (np.clip(waves, -1.0, 1.0) * 32767.0).astype(np.int16)
         b = {"mel": mel_fn(jnp.asarray(waves)),
              "tokens": jnp.asarray(tokens),
              "loss_mask": jnp.asarray(mask)}
@@ -209,6 +235,8 @@ def train_synth_captioner(
             b = jax.device_put(b, NamedSharding(mesh, P("data")))
         params, opt_state, metrics = train_step(params, opt_state, b)
         losses.append(float(metrics["loss"]))
+        if save_cb is not None and save_every and (step + 1) % save_every == 0:
+            save_cb(step + 1, params, losses)
     return SynthModel(params=params, cfg=cfg, vocab=vocab,
                       mel_seconds=mel_seconds, losses=losses,
                       n_events=n_events)
@@ -220,10 +248,13 @@ def transcribe(
     mel_seconds: float | None = None,
     max_new: int | None = None,
     dtype=None,
+    fused_encoder: bool | str = False,
 ) -> list[str]:
     """Greedy decode through the PRODUCTION pipeline machinery (the same
     WhisperTextPipeline the engine uses), at an optionally overridden mel
-    context (the short_context lever) or compute dtype."""
+    context (the short_context lever), compute dtype, or encoder path
+    (``fused_encoder`` routes through the Pallas block kernels — the
+    lever whose parity-default promotion the drift oracle decides)."""
     import jax.numpy as jnp
     from ..config import DecodeConfig, MelConfig
     from ..pipelines.whisper_pipeline import WhisperTextPipeline
@@ -232,7 +263,8 @@ def transcribe(
         max_new = model.max_new
     pipe = WhisperTextPipeline(
         params=model.params, cfg=model.cfg, tokenizer=model.vocab,
-        decode=DecodeConfig(max_new_tokens=max_new),
+        decode=DecodeConfig(max_new_tokens=max_new,
+                            fused_encoder=fused_encoder),
         mel_cfg=MelConfig(
             padded_seconds=mel_seconds or model.mel_seconds),
         prefix_ids=[model.cfg.bos_token_id],

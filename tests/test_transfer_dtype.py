@@ -68,18 +68,47 @@ def test_int16d_delta_roundtrip_bit_exact(rng):
 
 
 def test_auto_transfer_resolves_and_caches(rng):
-    """transfer_dtype="auto" probes the lossless candidates once with the
-    first real payload, locks a candidate, and never re-probes."""
+    """transfer_dtype="auto" probes the lossless candidates with the
+    first real payload, locks a candidate, and does not re-probe until
+    the shipped-bytes cadence elapses."""
     ing = make_ingest("auto")
     wave = (rng.normal(size=16000 * 7) * 0.3).astype(np.float32)
     ing.process_waveform(wave, 16000, "x")
     assert ing.last_transfer_resolved in ing.AUTO_TRANSFER_CANDIDATES
     assert ing.last_trace["probe"] > 0.0
+    # every candidate got a decision-grade probe entry (median of warm
+    # reps — the round-4 verdict's min-of-2 probe made a bad pick)
+    assert set(ing.last_probe) == set(ing.AUTO_TRANSFER_CANDIDATES)
     first = ing._auto_transfer_choice
     ing.process_waveform(wave, 16000, "y")
     # cached: the resolver returns immediately (µs, vs ms for a probe)
     assert ing.last_trace["probe"] < 1e-3
     assert ing._auto_transfer_choice == first
+    # shipped bytes accumulate toward the re-probe cadence
+    assert ing._bytes_since_probe > 0
+
+
+def test_auto_transfer_reprobes_on_weather_cadence(rng):
+    """Session weather flips per-mode tunnel rates (round-4 verdict item
+    4): after AUTO_REPROBE_MB shipped, the next ingest re-measures the
+    candidates instead of trusting a stale one-shot choice."""
+    ing = make_ingest("auto")
+    wave = (rng.normal(size=16000 * 7) * 0.3).astype(np.float32)
+    ing.process_waveform(wave, 16000, "x")
+    assert ing.last_trace["probe"] > 0.0
+    ing._bytes_since_probe = ing.AUTO_REPROBE_MB * 1e6   # cadence elapsed
+    ing.process_waveform(wave, 16000, "y")
+    assert ing.last_trace["probe"] > 0.0                 # re-probed
+    assert ing._bytes_since_probe < ing.AUTO_REPROBE_MB * 1e6  # reset
+
+
+def test_auto_transfer_candidates_bit_exact_only():
+    """The lossless auto set must contain only BIT-EXACT transfer modes:
+    int12 was measured NOT transcript-exact at production geometry
+    (0.922 agree-exact, docs/onchip_r4/drift_prod_s4.out) and must never
+    ride the fast_lossless headline again."""
+    assert set(DualPipelineIngest.AUTO_TRANSFER_CANDIDATES) == {
+        "int16", "int16d"}
 
 
 def test_mulaw_roundtrip_accuracy(rng):

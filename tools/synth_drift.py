@@ -142,6 +142,16 @@ def main() -> None:
     ap.add_argument("--load-model", default=None,
                     help="skip training; load params saved by a prior "
                          "--save-model run with the SAME geometry flags")
+    ap.add_argument("--resume", action="store_true",
+                    help="with --load-model: continue training --steps "
+                         "MORE steps from the checkpoint instead of "
+                         "skipping training (fresh optimizer/schedule)")
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="checkpoint params to --save-model every N "
+                         "steps (plus a .meta.json with step/loss) so a "
+                         "multi-hour chip run survives interruption")
+    ap.add_argument("--train-only", action="store_true",
+                    help="train + save and exit without measuring modes")
     ap.add_argument("--modes", nargs="*", default=None,
                     help="measure only these mode names (parity is "
                          "always computed as the baseline)")
@@ -169,27 +179,55 @@ def main() -> None:
         make_clip, train_synth_captioner, transcribe)
 
     n_events = (1 if args.max_events <= 3 else 2, args.max_events)
+    loaded_params = None
     if args.load_model:
         from multimodal_audio_search_tpu.models import whisper as W
-        from multimodal_audio_search_tpu.training.synth import (
-            SynthModel, SynthVocab)
         from multimodal_audio_search_tpu.utils.checkpoint import (
             load_pytree)
         wcfg = W.PRESETS[args.preset]
         template = W.init_params(jax.random.PRNGKey(0), wcfg)
+        loaded_params = load_pytree(template, args.load_model)
+    if args.load_model and not args.resume:
+        from multimodal_audio_search_tpu.models import whisper as W
+        from multimodal_audio_search_tpu.training.synth import (
+            SynthModel, SynthVocab)
+        wcfg = W.PRESETS[args.preset]
         model = SynthModel(
-            params=load_pytree(template, args.load_model), cfg=wcfg,
+            params=loaded_params, cfg=wcfg,
             vocab=SynthVocab(wcfg), mel_seconds=args.mel_seconds,
             losses=[0.0], n_events=n_events)   # loss unknown: loaded
     else:
+        save_cb = None
+        if args.save_model and args.save_every:
+            from multimodal_audio_search_tpu.utils.checkpoint import (
+                save_pytree)
+
+            def save_cb(step, params, losses):
+                save_pytree(params, args.save_model)
+                with open(args.save_model + ".meta.json", "w") as f:
+                    json.dump({"step": step,
+                               "loss_recent": round(float(
+                                   np.mean(losses[-20:])), 4)}, f)
         model = train_synth_captioner(
             steps=args.steps, batch=args.batch, seed=args.seed,
             preset=args.preset, clip_seconds=args.clip_seconds,
-            mel_seconds=args.mel_seconds, n_events=n_events)
+            mel_seconds=args.mel_seconds, n_events=n_events,
+            params_init=loaded_params, save_cb=save_cb,
+            save_every=args.save_every,
+            # on the tunneled chip the production step is transfer-bound;
+            # int16 wave transfer is the ingest default's exact roundtrip
+            transfer_int16=bool(os.environ.get("MAS_DRIFT_TPU")))
         if args.save_model:
             from multimodal_audio_search_tpu.utils.checkpoint import (
                 save_pytree)
             save_pytree(model.params, args.save_model)
+    if args.train_only:
+        print(json.dumps({
+            "metric": "synth_drift_train_only",
+            "steps": args.steps,
+            "final_loss": round(float(np.mean(model.losses[-20:])), 4),
+            "saved": args.save_model}))
+        return
     rng = np.random.default_rng(args.seed + 1)
     waves, truths = zip(*(make_clip(rng, args.clip_seconds, n_events)
                           for _ in range(args.clips)))
@@ -245,6 +283,12 @@ def main() -> None:
             modes["int8_enc"] = drift(transcribe(model, waves))
         finally:
             os.environ.pop("MAS_ENC_INT8", None)
+    # fused bf16 encoder block kernels (ops/encoder_block.py) — the
+    # parity-default promotion decision (ROADMAP item 23): the real
+    # Pallas kernel on chip, interpret-mode twin on CPU
+    if want("fused_enc"):
+        modes["fused_enc"] = drift(transcribe(
+            model, waves, fused_encoder=True))
     # mel16 transfer: host HF-f64-exact log-mel -> uint16 codes ->
     # device reconstruction (the exact ingest path, pipelines/ingest.py)
     if want("mel16"):
@@ -255,7 +299,8 @@ def main() -> None:
         modes["mel8"] = drift(transcribe_hostmel(model, waves, 8))
     out = {
         "metric": "synth_drift",
-        "train": {"steps": 0 if args.load_model else args.steps,
+        "train": {"steps": (0 if (args.load_model and not args.resume)
+                            else args.steps),
                   "final_loss": round(float(
                       np.mean(model.losses[-20:])), 4),
                   "preset": args.preset,

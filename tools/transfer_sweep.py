@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--modes", nargs="*",
-                    default=["int16", "int12", "mulaw8"])
+                    default=["int16", "int16d", "int12", "mulaw8"])
     ap.add_argument("--audio-seconds", type=float, default=1280.0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
