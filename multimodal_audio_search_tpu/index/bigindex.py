@@ -87,6 +87,71 @@ def build_host_index(store, path, dtype: str = "float32",
     return HostIndex(p)
 
 
+class HostIndexWriter:
+    """Stream a host index to disk without materializing the source
+    in RAM (build_host_index needs a whole SegmentStore; ingest at the
+    10M+ scale produces embeddings in batches). Append [n_i, 2, D] f32
+    chunks; rows are quantized to the storage dtype on the fly.
+
+        w = HostIndexWriter(path, n_total, d, dtype="int8")
+        for emb_chunk, success_chunk, meta_chunk in batches:
+            w.append(emb_chunk, success_chunk, meta_chunk)
+        hi = w.finalize()
+    """
+
+    def __init__(self, path, n: int, d: int, dtype: str = "float32"):
+        self.p = pathlib.Path(path)
+        self.p.mkdir(parents=True, exist_ok=True)
+        self.n, self.d, self.dtype = n, d, dtype
+        np_dtype = {"float32": np.float32, "bfloat16": np.float32,
+                    "int8": np.int8}[dtype]
+        if dtype == "bfloat16":
+            import ml_dtypes
+            np_dtype = ml_dtypes.bfloat16
+        self._emb = np.memmap(self.p / "emb.dat", mode="w+",
+                              dtype=np_dtype, shape=(n, 2, d))
+        self._scale = np.memmap(
+            self.p / "scale.dat", mode="w+", dtype=np.float32,
+            shape=(n, 2)) if dtype == "int8" else None
+        self._ok = np.memmap(self.p / "success.dat", mode="w+",
+                             dtype=np.bool_, shape=(n, 2))
+        self._meta = open(self.p / "meta.jsonl", "w")
+        self._row = 0
+
+    def append(self, emb: np.ndarray, success: np.ndarray,
+               meta: list[dict] | None = None) -> None:
+        lo, hi = self._row, self._row + len(emb)
+        if hi > self.n:
+            raise ValueError(f"writer sized for {self.n} rows, got {hi}")
+        if self.dtype == "int8":
+            s = np.maximum(np.abs(emb).max(axis=-1), 1e-12) / 127.0
+            self._scale[lo:hi] = s
+            self._emb[lo:hi] = np.clip(np.round(emb / s[..., None]),
+                                       -127, 127).astype(np.int8)
+        else:
+            self._emb[lo:hi] = emb.astype(self._emb.dtype)
+        self._ok[lo:hi] = success
+        for m in (meta if meta is not None else
+                  ({} for _ in range(len(emb)))):
+            self._meta.write(json.dumps(m, default=float) + "\n")
+        self._row = hi
+
+    def finalize(self, chunk: int = 262_144) -> "HostIndex":
+        if self._row != self.n:
+            raise ValueError(f"wrote {self._row} of {self.n} rows")
+        self._emb.flush()
+        if self._scale is not None:
+            self._scale.flush()
+        self._ok.flush()
+        self._meta.close()
+        import uuid
+        (self.p / "ivf.npz").unlink(missing_ok=True)
+        with open(self.p / "index.json", "w") as f:
+            json.dump({"n": self.n, "dim": self.d, "dtype": self.dtype,
+                       "build_id": uuid.uuid4().hex}, f)
+        return HostIndex(self.p, chunk=chunk)
+
+
 class HostIndex:
     """Memory-mapped [N, 2, D] index searched in device-streamed chunks."""
 
@@ -217,6 +282,9 @@ class HostIndex:
                                       + (8 if self.scale is not None
                                          else 0))
         if cand_bytes > self.max_candidate_bytes:
+            self.last_query_bytes = self.emb.nbytes + self.success.nbytes \
+                + (self.scale.nbytes if self.scale is not None else 0)
+            self.last_query_candidates = self.n
             return self.search(query_emb, asr_weight, audio_weight, k=k,
                                threshold=threshold)
         # pad to a power-of-two bucket so the jitted program compiles
@@ -224,6 +292,13 @@ class HostIndex:
         b = 1024
         while b < cand.size:
             b *= 2
+        # observability: host->device bytes this query actually ships
+        # (the whole point of the IVF path at beyond-HBM scale — tens of
+        # MB instead of the full index; asserted by test_bigindex)
+        self.last_query_bytes = b * (2 * self.dim * self.emb.itemsize
+                                     + 1 + (8 if self.scale is not None
+                                            else 0))
+        self.last_query_candidates = int(cand.size)
         emb_c = np.zeros((b, 2, self.dim), self.emb.dtype)
         ok_c = np.zeros((b, 2), np.bool_)
         emb_c[: cand.size] = self.emb[cand]

@@ -130,3 +130,66 @@ def test_host_index_threshold_and_meta(rng, tmp_path):
         r["fusion_score"] > 0.999 for r in idx.records(i, s))
     # meta carries no array payloads
     assert "audio_data" not in idx.meta[0]
+
+
+def test_host_index_writer_matches_build(rng, tmp_path):
+    """HostIndexWriter (streamed chunks, no store) must produce a
+    byte-compatible layout: searches equal build_host_index's on the
+    same data, and int8 quantization matches chunk-for-chunk."""
+    from multimodal_audio_search_tpu.index.bigindex import HostIndexWriter
+    store, emb = make_store(rng, n=200)
+    ok = np.asarray(store.success[:200])
+    build_host_index(store, tmp_path / "ref", dtype="int8")
+    ref = HostIndex(tmp_path / "ref", chunk=64)
+    w = HostIndexWriter(tmp_path / "w", 200, emb.shape[-1], dtype="int8")
+    full = np.asarray(store.embeddings[:200], np.float32)
+    for lo in range(0, 200, 64):                   # uneven final chunk
+        w.append(full[lo:lo + 64], ok[lo:lo + 64],
+                 store.meta[lo:min(lo + 64, 200)])
+    idx = w.finalize(chunk=64)
+    np.testing.assert_array_equal(np.asarray(idx.emb),
+                                  np.asarray(ref.emb))
+    np.testing.assert_allclose(np.asarray(idx.scale),
+                               np.asarray(ref.scale))
+    q = emb[11, 0]
+    s1, i1 = ref.search(q, 0.6, 0.4, k=10)
+    s2, i2 = idx.search(q, 0.6, 0.4, k=10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+    assert idx.meta[11]["segment_id"] == "s11"
+
+
+def test_host_ivf_candidate_gather_byte_bound(rng, tmp_path):
+    """The beyond-HBM claim (docs/BENCHMARKS.md; proven at 10M by
+    tools/bench_ivf_10m.py): search_ivf ships only the probed buckets
+    (+spill), never the index. last_query_bytes must respect the
+    static bound 2*pow2(n_probe*cap + spill) row-bytes and sit far
+    under the full index footprint. Built via HostIndexWriter at a
+    size where the pow2-padded bucket is a small fraction of the
+    index (at a few hundred rows the 1024-row minimum bucket exceeds
+    the index and the bound is vacuous)."""
+    from multimodal_audio_search_tpu.index.bigindex import HostIndexWriter
+    n, d = 20_000, 48
+    w = HostIndexWriter(tmp_path / "bb", n, d, dtype="int8")
+    emb = rng.normal(size=(n, 2, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    ok = rng.random((n, 2)) > 0.25
+    emb[~ok] = 0.0
+    w.append(emb, ok)
+    idx = w.finalize(chunk=4096)
+    idx.build_ivf(n_clusters=64, seed=3)
+    _, members, spill = idx._ivf
+    n_probe = 2
+    s, gi = idx.search_ivf(emb[5, 0], 0.6, 0.4, k=10, n_probe=n_probe)
+    assert s.size and gi.size
+    cap = members.shape[1]
+    worst = n_probe * cap + spill.size
+    b = 1024
+    while b < worst:
+        b *= 2
+    row_bytes = 2 * idx.dim * idx.emb.itemsize + 1 + 8   # emb+ok+scale
+    assert idx.last_query_bytes <= b * row_bytes
+    assert idx.last_query_candidates <= worst
+    full = idx.emb.nbytes + idx.success.nbytes + idx.scale.nbytes
+    assert idx.last_query_bytes < full, \
+        (idx.last_query_bytes, full)
