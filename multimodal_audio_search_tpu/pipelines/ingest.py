@@ -114,6 +114,14 @@ class DualPipelineIngest:
     # a stale choice for the pipeline lifetime, round-4 verdict item 4)
     AUTO_REPROBE_MB = 256.0
 
+    # per-put probe payload cap (round-5 self-review): uncapped, a probe
+    # at production seg_len (160k samples) shipped 32 waves x 320 KB x
+    # 8 puts = 82 MB per probe event — 24% of the 256 MB cadence spent
+    # re-measuring. 2 MB/put keeps each timed put ~45-110 ms on the
+    # 18-45 MB/s tunnel (>> the ±10 ms RTT jitter, so the median-of-3
+    # decision stays clean) at 16 MB per probe event (~6% of cadence).
+    AUTO_PROBE_PUT_BYTES = 2_000_000
+
     def _resolve_auto_transfer(self, encode_transfer, waves, seg_len) -> str:
         """Live probe for transfer_dtype="auto": encode + ship a slice of
         the current payload in each lossless candidate mode and pick the
@@ -132,7 +140,8 @@ class DualPipelineIngest:
                 self.AUTO_REPROBE_MB * 1e6:
             return choice
         import jax
-        sample = waves[: min(len(waves), 32)]
+        cap = max(1, int(self.AUTO_PROBE_PUT_BYTES // (seg_len * 2)))
+        sample = waves[: min(len(waves), cap, 32)]
         best, best_t = "int16", float("inf")
         probe = {}
         for mode in self.AUTO_TRANSFER_CANDIDATES:

@@ -311,3 +311,28 @@ def test_mel8_roundtrip_and_accuracy(rng):
     assert np.allclose(rec[:, :, t_seg:],
                        ((packed[:, -4:].copy().view("<f4")[:, 0]
                          - M.MEL_REL_RANGE)[:, None, None] + 4.0) / 4.0)
+
+
+def test_auto_probe_payload_byte_capped(rng):
+    """Round-5 self-review: at production seg_len (160k samples) an
+    uncapped probe shipped 82 MB per probe event (32 waves x 320 KB x
+    4 reps x 2 modes) — ~24% of the AUTO_REPROBE_MB cadence spent on
+    measurement. The per-put sample must respect AUTO_PROBE_PUT_BYTES."""
+    ing = make_ingest("auto")
+    seg_len = 160_000
+    waves = [np.zeros(seg_len, np.float32) for _ in range(64)]
+    seen = []
+
+    def fake_encode(sample, b, mode):
+        seen.append(len(sample))
+        return np.zeros((len(sample), 8), np.int16)
+
+    ing._resolve_auto_transfer(fake_encode, waves, seg_len)
+    cap = max(1, int(ing.AUTO_PROBE_PUT_BYTES // (seg_len * 2)))
+    assert seen and all(n == cap for n in seen)
+    assert cap * seg_len * 2 <= ing.AUTO_PROBE_PUT_BYTES
+    # and at toy seg_len the old 32-wave cap still applies
+    ing2 = make_ingest("auto")
+    seen.clear()
+    ing2._resolve_auto_transfer(fake_encode, waves, 1000)
+    assert seen and all(n == 32 for n in seen)
