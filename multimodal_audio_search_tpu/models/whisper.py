@@ -200,7 +200,20 @@ def encode(
         # full-T at t=500 once timed at decision grade, so it was
         # DELETED — these full-T configs are the only encoder path
         # (the former MAS_ENC_STREAM opt-in is gone).
-        blk_q = 512 if t <= 512 else (256 if t <= 1024 else 128)
+        # f32 activations double every VMEM-resident tile (the full-T
+        # K/V blocks plus the per-head [blk_q, T] score temps), and at
+        # t=1500 the 128-row query block overflowed Mosaic's 16 MB
+        # scoped-VMEM budget (19.5 MB requested — the round-5 drift
+        # oracle's first on-chip fused_enc attempt, docs/onchip_r5/
+        # drift_prod_s5.out). Halve the block for 4-byte dtypes; bf16
+        # (the production pipeline dtype) keeps the measured-best blocks.
+        wide = jnp.dtype(x.dtype).itemsize >= 4
+        if t <= 512:
+            blk_q = 256 if wide else 512
+        elif t <= 1024:
+            blk_q = 128 if wide else 256
+        else:
+            blk_q = 64 if wide else 128
         # int8-dot attention (2x MXU throughput; int8 rounding on q and
         # softmax rows — measured transcript-exact on the toy synth
         # oracle, docs/BENCHMARKS.md r4; on-chip at t=1500 it runs the

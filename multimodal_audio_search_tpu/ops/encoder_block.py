@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -76,15 +77,21 @@ def _attn_o_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
             # and one fewer T-wide f32 temp — measured 2.0x kernel
             # speedup at the 10 s context
             # (tools/profile_encoder_kernel_ab.py); math identical up to
-            # f32 rounding. Gated to single-query-block grids: at
-            # t_pad > blk_q (30 s parity context) this formulation
-            # crashes the Mosaic compile helper (exit 1, same A/B tool),
-            # so multi-step grids keep the original in-tile divide.
+            # f32 rounding. Gated to single-query-block grids by the
+            # wrapper: at t_pad > blk_q (30 s parity context) the "div"
+            # form crashed the Mosaic compile helper (exit 1) — the
+            # round-5 probe (tools/probe_deferdiv.py) tests the
+            # alternative formulations below at the multi-step grid.
             pv = jax.lax.dot_general(
                 p.astype(v_ref.dtype), v_ref[0, h],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)        # [blk_q, D]
-            outs.append(pv / l)
+            if defer_div == "recip":
+                # same deferral, divide-free: one [blk_q, 1] reciprocal
+                # + a broadcast multiply instead of a broadcast divide
+                outs.append(pv * (1.0 / l))
+            else:
+                outs.append(pv / l)
         else:
             p = (p / l).astype(v_ref.dtype)
             outs.append(jax.lax.dot_general(
@@ -392,9 +399,20 @@ def fused_attention_o_residual(
         )(qp.astype(dt), kb.astype(dt), vb.astype(dt), x,
           wo.astype(dt), bo.reshape(1, hd).astype(dt))
         return out[:, :t, :]
+    # defer_div default: single-step grids only ("div" form; the
+    # multi-step "div" form crashed Mosaic, docs/BENCHMARKS.md). The
+    # MAS_ENC_DEFER override ("div" | "recip" | "off") exists for
+    # tools/probe_deferdiv.py to test formulations at multi-step
+    # grids on chip; read at trace time, so jitted programs are fixed.
+    defer = True if t_pad == blk_q else False
+    ov = os.environ.get("MAS_ENC_DEFER", "")
+    if ov == "off":
+        defer = False
+    elif ov in ("div", "recip"):
+        defer = True if ov == "div" else "recip"
     kernel = functools.partial(
         _attn_o_kernel, t_real=t, scale=scale, heads=h,
-        defer_div=(t_pad == blk_q), use_exp2=use_exp2)
+        defer_div=defer, use_exp2=use_exp2)
     qkv_spec = pl.BlockSpec((1, h, t_pad, d), lambda bi, i: (bi, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(

@@ -124,9 +124,20 @@ def test_encode_long_context_wiring(rng, monkeypatch):
                       jnp.float32)
     ref = W.encode(params, mel, cfg, fused_attention=False)
     out = W.encode(params, mel, cfg, fused_blocks=True)
-    assert seen == {"blk_q": 256}, seen
+    # round-5: blk_q is dtype-aware — f32 activations double every
+    # VMEM tile, so 4-byte dtypes get half the query block (the f32
+    # 128-block overflowed scoped VMEM at t=1500 on real Mosaic,
+    # docs/onchip_r5/drift_prod_s5.out); bf16 keeps the measured-best
+    # 256 at this context
+    assert seen == {"blk_q": 128}, seen
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5)
+    seen.clear()
+    p16 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, params)
+    W.encode(p16, mel.astype(jnp.bfloat16), cfg, fused_blocks=True)
+    assert seen == {"blk_q": 256}, seen
 
 
 def test_encode_fused_blocks_matches_plain(rng, monkeypatch):

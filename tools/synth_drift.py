@@ -284,10 +284,21 @@ def main() -> None:
         finally:
             os.environ.pop("MAS_ENC_INT8", None)
     # fused bf16 encoder block kernels (ops/encoder_block.py) — the
-    # parity-default promotion decision (ROADMAP item 23): the real
-    # Pallas kernel on chip, interpret-mode twin on CPU
+    # parity-default promotion decision (ROADMAP item 23). The promotion
+    # candidate IS bf16+fused: the production pipeline computes in bf16
+    # (pipelines/whisper_pipeline.py dtype default), so scoring the
+    # fused path at f32 would measure a config that never ships — and
+    # the first on-chip attempt did exactly that and overflowed the
+    # kernel's scoped VMEM at the 30 s context (docs/onchip_r5/
+    # drift_prod_s5.out). Real Pallas kernel on chip, interpret twin
+    # on CPU; the "bf16" row above is the einsum-path control.
     if want("fused_enc"):
         modes["fused_enc"] = drift(transcribe(
+            model, waves, fused_encoder=True, dtype=jnp.bfloat16))
+    # f32 fused isolation row (opt-in via --modes): kernel-formulation
+    # rounding alone, without the bf16 cast
+    if wanted is not None and "fused_enc_f32" in wanted:
+        modes["fused_enc_f32"] = drift(transcribe(
             model, waves, fused_encoder=True))
     # mel16 transfer: host HF-f64-exact log-mel -> uint16 codes ->
     # device reconstruction (the exact ingest path, pipelines/ingest.py)
