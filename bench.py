@@ -243,7 +243,7 @@ def calibrate(on_tpu: bool) -> dict:
 def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
                  int8_kv: bool, fused_layer: bool, index_dtype,
                  transfer_dtype: str = "int16",
-                 fused_encoder: bool = False,
+                 fused_encoder: bool | str | None = None,
                  audio_seconds: float,
                  batch: int, max_new: int, n_index: int, n_queries: int,
                  asr_preset: str, cap_preset: str, cal: dict) -> dict:
@@ -265,6 +265,12 @@ def measure_mode(name: str, *, on_tpu: bool, short_context: bool,
     from multimodal_audio_search_tpu.utils import roofline
 
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    # None = the engine's auto default (round-5 parity promotion,
+    # config.py::DecodeConfig.fused_encoder): fused bf16 block kernels
+    # on the real chip, einsum elsewhere. Resolved HERE so the
+    # stage-timing enc_fn below measures exactly what the pipeline runs.
+    if fused_encoder is None:
+        fused_encoder = on_tpu
     mel_cfg = MelConfig(padded_seconds=10.0) if short_context \
         else MelConfig()
     decode = DecodeConfig(method="greedy", max_new_tokens=max_new,
@@ -586,7 +592,12 @@ def _main() -> None:
                              int8_kv=False, fused_layer=on_tpu,
                              transfer_dtype="mel12", fused_encoder=on_tpu,
                              index_dtype=jnp.float32, **common)
-    # parity mode = engine defaults (exact reference-parity search results)
+    # parity mode = engine defaults (exact reference-parity search
+    # results). Round 5: this now rides the fused bf16 encoder kernel
+    # on chip — promoted to the default after the decision-strength
+    # production-geometry oracle measured it transcript-exact
+    # (agree_exact 1.000 at truth_exact 0.948, docs/onchip_r5/
+    # drift_s5_c.json).
     parity = guarded("parity", short_context=False, int8_kv=False,
                      fused_layer=False, index_dtype=jnp.float32,
                      **common)
@@ -600,10 +611,12 @@ def _main() -> None:
                    index_dtype=jnp.bfloat16 if on_tpu
                    else jnp.float32, **common)
     # fast_mel8: mulaw8 swapped for mel8 relative-window codes — HALF
-    # the tunnel bytes AND transcript-exact on the toy oracle where
-    # mulaw8 drifts (docs/BENCHMARKS.md r4 drift table); still carries
-    # short_context's measured cost. Headline candidate for lossy-
-    # tolerant deployments once the production-geometry oracle confirms.
+    # the tunnel bytes AND transcript-exact on BOTH oracles where
+    # mulaw8 drifts (confirmed at decision strength in round 5: mel8
+    # agree_exact 1.000 vs mulaw8 0.573, docs/onchip_r5/
+    # drift_s5_d.json); the mode still carries short_context's measured
+    # cost (0.792 agree-exact at production geometry), which is why it
+    # stays an extra rather than the headline.
     fast_mel8 = guarded("fast_mel8", short_context=True, int8_kv=False,
                         fused_layer=on_tpu, transfer_dtype="mel8",
                         fused_encoder=on_tpu,

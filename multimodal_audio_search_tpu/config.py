@@ -113,14 +113,21 @@ class DecodeConfig:
     # (whisper-small: 12). Math identical to the plain path; forces the
     # merged-head cross-KV format. A/B tool: tools/profile_decode_scan_ab.py.
     scan_layers: bool = False
-    # encoder fused blocks (ops/encoder_block.py): fold LN+qkv and
-    # LN+MLP+residual into Pallas kernels around the fused attention
-    # kernel — the ROADMAP-17 encoder MFU lever. bf16-rounding equal to
-    # the XLA path; opt-in like every perf mode. "int8" additionally
-    # runs both attention dots as int8 x int8 -> int32 (2x MXU rate;
-    # transcript-exact on the toy synth oracle, docs/BENCHMARKS.md r4
-    # drift table; production-geometry confirmation chip-queued).
-    fused_encoder: bool | str = False
+    # encoder fused blocks (ops/encoder_block.py): fold the all-heads
+    # attention + o-proj + residual into one Pallas kernel — the
+    # ROADMAP-17 encoder MFU lever. None = AUTO: the fused kernel on a
+    # real TPU backend, the plain einsum path elsewhere (interpret-mode
+    # kernels would be pure slowdown on CPU). PROMOTED to the parity
+    # default in round 5: the decision-strength production-geometry
+    # oracle (truth_exact 0.948, 96 clips, 10 s clips / 30 s context)
+    # measured bf16+fused transcript-exact — agree_exact 1.000
+    # (docs/onchip_r5/drift_s5_c.json) — on top of the round-4 on-chip
+    # 0/1152 token-flip check. False forces the einsum path (the drift
+    # oracle's baseline); "int8" additionally runs both attention dots
+    # as int8 x int8 -> int32 (2x MXU rate; agree_exact 1.000 on the
+    # same decision-strength oracle, drift_s5_b.json) — kept opt-in as
+    # a fast-mode lever because its win is MFU, not exactness.
+    fused_encoder: bool | str | None = None
 
 
 def asr_parity_decode() -> DecodeConfig:

@@ -183,6 +183,22 @@ def encode(
     x = x + enc["positions"][: x.shape[1]][None].astype(x.dtype)
     if fused_attention is None:
         fused_attention = fused_blocks or use_pallas_attention(x.shape[1])
+    if (fused_blocks and fused_blocks != "int8"
+            and jnp.dtype(x.dtype).itemsize >= 4 and x.shape[1] > 1024
+            and not os.environ.get("MAS_ENC_INT8")):
+        # f32 + block kernel at the 30 s context cannot fit scoped
+        # VMEM: the kernel holds full-T K/V per grid step and BlockSpec
+        # inputs are double-buffered, so K+V alone cost 4*H*T*D*4 B
+        # (~9.4 MB at tiny, 12.6 at base) before any score temp — both
+        # the 128- and 64-row query blocks OOMed on real Mosaic
+        # (docs/onchip_r5/drift_prod_s5.out, drift_s5_c.out). Wide
+        # dtypes at long context route through the per-head fused
+        # attention kernel instead (K/V blocked per head — same math,
+        # f32 softmax, ~1.6 MB K/V per step); the production bf16
+        # pipeline stays on the all-heads block kernel. The int8
+        # variant's K/V blocks are int8 and fit at any dtype.
+        fused_blocks = False
+        fused_attention = True
     if fused_blocks:
         # Round-3 profile (tools/profile_encode.py): XLA already runs the
         # LN and MLP sub-blocks at MFU ~1.0 — the only kernel that pays
@@ -215,12 +231,15 @@ def encode(
         else:
             blk_q = 64 if wide else 128
         # int8-dot attention (2x MXU throughput; int8 rounding on q and
-        # softmax rows — measured transcript-exact on the toy synth
-        # oracle, docs/BENCHMARKS.md r4; on-chip at t=1500 it runs the
-        # attention kernel at MFU 0.536 vs bf16's 0.293). Select via
+        # softmax rows — transcript-exact on BOTH self-trained oracles,
+        # incl. the round-5 decision-strength production-geometry run
+        # (agree_exact 1.000 at truth_exact 0.948, docs/onchip_r5/
+        # drift_s5_b.json); on-chip at t=1500 it runs the attention
+        # kernel at MFU 0.536 vs bf16's 0.293). Select via
         # fused_blocks="int8" (DecodeConfig.fused_encoder) or the
-        # MAS_ENC_INT8 env override the drift tool uses; stays opt-in
-        # until the production-geometry oracle confirms exactness.
+        # MAS_ENC_INT8 env override the drift tool uses; kept opt-in as
+        # a fast-mode lever — the parity default promoted to the bf16
+        # fused kernel, whose rounding class matches the einsum path.
         qk_int8 = fused_blocks == "int8" or os.environ.get(
             "MAS_ENC_INT8", "0").lower() in ("1", "true")
         # off-TPU (CPU drift oracle, debugging) the block kernel runs in

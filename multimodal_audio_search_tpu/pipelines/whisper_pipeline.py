@@ -62,9 +62,15 @@ class WhisperTextPipeline:
             f"{name} pipeline", name)
         self.name = name
 
-        # bool or "int8" (the int8-dot attention variant) — pass the
-        # value through, encode() dispatches on it
-        fused_enc = getattr(self.decode, "fused_encoder", False)
+        # None = auto (round-5 parity promotion, config.py): the fused
+        # bf16 block kernels on a real TPU backend — measured
+        # transcript-exact at decision strength on the production-
+        # geometry oracle (docs/onchip_r5/drift_s5_c.json) — and the
+        # einsum path elsewhere. bool or "int8" pass through; encode()
+        # dispatches on the value.
+        fused_enc = getattr(self.decode, "fused_encoder", None)
+        if fused_enc is None:
+            fused_enc = jax.default_backend() == "tpu"
 
         @functools.partial(jax.jit, static_argnames=())
         def _run(params, waves, prefix, rng):

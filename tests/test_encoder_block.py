@@ -140,6 +140,46 @@ def test_encode_long_context_wiring(rng, monkeypatch):
     assert seen == {"blk_q": 256}, seen
 
 
+def test_encode_wide_dtype_long_context_routes_per_head(rng, monkeypatch):
+    """f32 + fused_blocks at t > 1024 must NOT call the all-heads block
+    kernel (full-T K/V double-buffered at 4 B/elt exceeds scoped VMEM
+    at any query block — OOMed twice on real Mosaic, docs/onchip_r5/
+    drift_s5_c.out); it routes through the per-head fused attention
+    kernel and still matches the plain path. bf16 keeps the block
+    kernel."""
+    import multimodal_audio_search_tpu.ops.attention as attn_mod
+    import multimodal_audio_search_tpu.ops.encoder_block as eb_mod
+
+    called = {"block": 0, "per_head": 0}
+    orig_blk = eb_mod.fused_attention_o_residual
+    orig_ph = attn_mod.fused_encoder_attention
+
+    def spy_blk(*a, **kw):
+        called["block"] += 1
+        return orig_blk(*a, **{**kw, "interpret": True})
+
+    def spy_ph(*a, **kw):
+        called["per_head"] += 1
+        return orig_ph(*a, **{**kw, "interpret": True})
+
+    monkeypatch.setattr(eb_mod, "fused_attention_o_residual", spy_blk)
+    monkeypatch.setattr(attn_mod, "fused_encoder_attention", spy_ph)
+    # W.encode imports fused_encoder_attention inside the function body,
+    # so the module-attr patch is picked up
+    cfg = W.WhisperConfig(
+        vocab_size=64, d_model=32, enc_layers=1, dec_layers=1, heads=2,
+        ffn=64, enc_positions=1100, dec_positions=8,
+        bos_token_id=60, eos_token_id=61, pad_token_id=61)
+    params = W.init_params(jax.random.PRNGKey(2), cfg)
+    mel = jnp.asarray(rng.normal(size=(1, cfg.n_mels, 2200)) * 0.5,
+                      jnp.float32)
+    ref = W.encode(params, mel, cfg, fused_attention=False)
+    out = W.encode(params, mel, cfg, fused_blocks=True)
+    assert called == {"block": 0, "per_head": 1}, called
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+
 def test_encode_fused_blocks_matches_plain(rng, monkeypatch):
     """Full encode with fused_blocks=True == plain encode (f32, CPU via
     the interpret-mode kernel)."""

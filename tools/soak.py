@@ -44,6 +44,14 @@ def main() -> None:
                     help="force the CPU backend (the axon TPU plugin "
                          "ignores JAX_PLATFORMS; local verification runs "
                          "must opt out before first backend use)")
+    ap.add_argument("--loop-minutes", type=float, default=0.0,
+                    help="after the single-pass smoke, run a mixed "
+                         "ingest/search/delete/save load until the "
+                         "deadline, sampling RSS / segment count / "
+                         "search p50, and ASSERT bounded growth "
+                         "(round-4 verdict item 7). Emits one timeline "
+                         "sample line per iteration so a killed run "
+                         "still leaves evidence.")
     args = ap.parse_args()
 
     if args.cpu:
@@ -90,10 +98,87 @@ def main() -> None:
     out["stats"] = {"status": st}
     st, body = req("POST", "/api/delete?source=soak.wav")
     out["delete"] = {"status": st, "body": json.loads(body)}
+
+    if args.loop_minutes > 0:
+        _soak_loop(req, wav, args.loop_minutes, out)
+
     srv.shutdown()
     print(json.dumps({"metric": "service_soak", "ok": all(
-        v.get("status") in (200,) for v in out.values()), **out}),
+        v.get("status") in (200,) for v in out.values()
+        if isinstance(v, dict)), **out}),
         flush=True)
+
+
+def _soak_loop(req, wav: bytes, minutes: float, out: dict) -> None:
+    """Mixed ingest/search/delete/save load with resource-growth
+    assertions (round-4 verdict item 7): after the warm first third,
+    RSS must plateau (final-third median within 10% + 100 MB of the
+    middle-third median), the segment store must stay bounded by the
+    delete cadence, and search p50 must not degrade >2x between the
+    first and final thirds. All programs compile during the smoke pass
+    above, so the loop itself is compile-free — no wedge risk."""
+    import psutil
+
+    proc = psutil.Process()
+    hdr = {"Content-Type": "application/octet-stream"}
+    queries = ["music and tones", "speech sounds", "a dog barking",
+               "rain and wind"]
+    samples: list[dict] = []
+    kept: list[str] = []
+    t_start = time.time()
+    deadline = t_start + minutes * 60.0
+    i = 0
+    while time.time() < deadline:
+        name = f"soak_loop_{i}.wav"
+        st, _ = req("POST", f"/api/ingest?name={name}", wav, hdr)
+        assert st == 200, ("ingest", i, st)
+        kept.append(name)
+        lat = []
+        for q in queries:
+            t0 = time.perf_counter()
+            st, _ = req("GET", "/api/search?q=" + q.replace(" ", "+"))
+            lat.append(time.perf_counter() - t0)
+            assert st == 200, ("search", i, st)
+        total = None
+        if len(kept) > 8:                 # bounded store via deletes
+            st, body = req("POST", f"/api/delete?source={kept.pop(0)}")
+            assert st == 200, ("delete", i, st)
+            total = json.loads(body)["total"]
+        if i % 5 == 4:                    # periodic checkpoint
+            st, _ = req("POST", "/api/save?path=soak_ckpt")
+            assert st == 200, ("save", i, st)
+        st, _ = req("GET", "/api/stats")
+        assert st == 200, ("stats", i, st)
+        s = {"t_s": round(time.time() - t_start, 1),
+             "rss_mb": round(proc.memory_info().rss / 1e6, 1),
+             "p50_ms": round(sorted(lat)[len(lat) // 2] * 1e3, 1)}
+        if total is not None:
+            s["segments"] = total
+        samples.append(s)
+        print(json.dumps({"soak_sample": s}), flush=True)
+        i += 1
+
+    third = max(1, len(samples) // 3)
+    med = lambda xs: sorted(xs)[len(xs) // 2]          # noqa: E731
+    rss_mid = med([s["rss_mb"] for s in samples[third:2 * third]])
+    rss_end = med([s["rss_mb"] for s in samples[-third:]])
+    p50_first = med([s["p50_ms"] for s in samples[:third]])
+    p50_end = med([s["p50_ms"] for s in samples[-third:]])
+    segs = [s["segments"] for s in samples if "segments" in s]
+    checks = {
+        "rss_plateau": rss_end <= rss_mid * 1.10 + 100.0,
+        "store_bounded": (not segs) or max(segs) <= max(segs[0], 16) * 2,
+        "p50_stable": p50_end <= max(p50_first * 2.0, p50_first + 50.0),
+    }
+    out["loop"] = {
+        "minutes": round((time.time() - t_start) / 60.0, 1),
+        "iterations": len(samples),
+        "rss_mb_mid_median": rss_mid, "rss_mb_final_median": rss_end,
+        "p50_ms_first_median": p50_first, "p50_ms_final_median": p50_end,
+        "segments_max": max(segs) if segs else None,
+        "checks": checks,
+        "status": 200 if all(checks.values()) else 500,
+    }
 
 
 if __name__ == "__main__":
