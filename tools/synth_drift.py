@@ -99,7 +99,11 @@ def transcribe_hostmel(model, waves: np.ndarray, bits: int = 16
     mel_cfg = MelConfig(padded_seconds=model.mel_seconds)
     pipe = WhisperTextPipeline(
         params=model.params, cfg=model.cfg, tokenizer=model.vocab,
-        decode=DecodeConfig(max_new_tokens=model.max_new),
+        # fused_encoder PINNED off: since the round-5 parity promotion
+        # the default is auto-on-TPU, and this row must keep measuring
+        # ONLY the mel codec lever against the einsum baseline
+        decode=DecodeConfig(max_new_tokens=model.max_new,
+                            fused_encoder=False),
         mel_cfg=mel_cfg, prefix_ids=[model.cfg.bos_token_id],
         dtype=jnp.float32, name=f"synth_mel{bits}")
     seg_len = max(len(w) for w in waves)
