@@ -78,10 +78,15 @@ def _attn_o_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
             # speedup at the 10 s context
             # (tools/profile_encoder_kernel_ab.py); math identical up to
             # f32 rounding. Gated to single-query-block grids by the
-            # wrapper: at t_pad > blk_q (30 s parity context) the "div"
-            # form crashed the Mosaic compile helper (exit 1) — the
-            # round-5 probe (tools/probe_deferdiv.py) tests the
-            # alternative formulations below at the multi-step grid.
+            # wrapper: at t_pad > blk_q (30 s parity context) the
+            # deferral keeps one extra [blk_q, T] live temp per unrolled
+            # head and overflows scoped VMEM by ~440 KB at blk_q=128
+            # (16.43M vs the 16M budget — the round-4 "Mosaic crash"
+            # root-caused by tools/probe_deferdiv.py, round 5); at
+            # blk_q=64, where it fits, both the div and recip forms
+            # measured SLOWER than off:128 on chip (9.0 vs 8.18 ms,
+            # docs/onchip_r5/deferdiv2.out), so the gate stands on
+            # evidence, not on a compiler mystery.
             pv = jax.lax.dot_general(
                 p.astype(v_ref.dtype), v_ref[0, h],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -399,11 +404,13 @@ def fused_attention_o_residual(
         )(qp.astype(dt), kb.astype(dt), vb.astype(dt), x,
           wo.astype(dt), bo.reshape(1, hd).astype(dt))
         return out[:, :t, :]
-    # defer_div default: single-step grids only ("div" form; the
-    # multi-step "div" form crashed Mosaic, docs/BENCHMARKS.md). The
-    # MAS_ENC_DEFER override ("div" | "recip" | "off") exists for
-    # tools/probe_deferdiv.py to test formulations at multi-step
-    # grids on chip; read at trace time, so jitted programs are fixed.
+    # defer_div default: single-step grids only ("div" form). At
+    # multi-step grids the deferral overflows scoped VMEM at blk_q=128
+    # and loses to off:128 at blk_q=64 (round-5 on-chip probe,
+    # docs/onchip_r5/deferdiv2.out) — so off is the measured optimum
+    # there, not a workaround. The MAS_ENC_DEFER override
+    # ("div" | "recip" | "off") exists for tools/probe_deferdiv.py;
+    # read at trace time, so jitted programs are fixed.
     defer = True if t_pad == blk_q else False
     ov = os.environ.get("MAS_ENC_DEFER", "")
     if ov == "off":

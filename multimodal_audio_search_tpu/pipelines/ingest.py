@@ -101,10 +101,11 @@ class DualPipelineIngest:
     # int12 was REMOVED from the auto set in round 5: the
     # production-geometry drift oracle measured it NOT transcript-exact
     # (agree_exact 0.922 at 10 s clips / 30 s context,
-    # docs/onchip_r4/drift_prod_s4.out) — its earlier "transcript-exact"
-    # standing came from the toy 2 s geometry only. It remains an
-    # explicit opt-in (transfer_dtype="int12") with its measured bound
-    # documented in docs/BENCHMARKS.md.
+    # docs/onchip_r4/drift_prod_s4.out; CONFIRMED at decision strength —
+    # 0.990 at truth_exact 0.948, docs/onchip_r5/drift_s5_a.json) — its
+    # earlier "transcript-exact" standing came from the toy 2 s geometry
+    # only. It remains an explicit opt-in (transfer_dtype="int12") with
+    # its measured bound documented in docs/BENCHMARKS.md.
     AUTO_TRANSFER_CANDIDATES = ("int16", "int16d")
 
     # re-probe cadence: after this many MB shipped, the next batch

@@ -30,7 +30,14 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-CASES = ("off:128", "div:128", "recip:128", "recip:256")
+# Round-5 finding (docs/onchip_r5/deferdiv.out + /tmp child log): the
+# "Mosaic crash" of the deferred-div form at multi-step grids is a
+# MARGINAL scoped-VMEM overflow — 16.43M vs the 16M budget (+440 KB) at
+# blk_q=128, bf16 whisper-base t=1500 — not a compiler bug. The
+# deferral keeps an extra live temp per unrolled head, and 128-row
+# blocks sit exactly at the budget edge. So the decision cases are the
+# 64-row blocks (comfortably inside budget) vs the production off:128.
+CASES = ("off:128", "off:64", "div:64", "recip:64")
 
 
 def child(case: str, batch: int) -> None:
@@ -113,10 +120,15 @@ def main() -> None:
         if r.returncode == 0 and line:
             print(line, flush=True)
         else:
-            tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+            # surface the actual exception lines, not JAX's trailing
+            # "internal frames removed" banner
+            text = (r.stderr or "") + "\n" + (r.stdout or "")
+            errs = [ln for ln in text.splitlines()
+                    if "Error" in ln or "error:" in ln]
+            tail = (errs or text.strip().splitlines())[-3:]
             print(json.dumps({"case": case, "ok": False,
                               "rc": r.returncode,
-                              "tail": " | ".join(tail)[:300]}),
+                              "tail": " | ".join(tail)[:400]}),
                   flush=True)
 
 
