@@ -127,6 +127,13 @@ class DecodeConfig:
     # as int8 x int8 -> int32 (2x MXU rate; agree_exact 1.000 on the
     # same decision-strength oracle, drift_s5_b.json) — kept opt-in as
     # a fast-mode lever because its win is MFU, not exactness.
+    # "paired" selects the head-paired block-diagonal variant (full
+    # 128-lane MXU depth; round-4 chip A/B at t=1500: 6.90 -> 6.19 ms,
+    # MFU 0.293 -> 0.326) — same bf16 rounding class as the default
+    # kernel (the extra block-diagonal terms are exact zero-products),
+    # so it is a layout lever; geometries whose doubled K/V overflow
+    # scoped VMEM (e.g. whisper-small at 30 s) auto-fall-back to the
+    # unpaired kernel (models/whisper.py::encode).
     fused_encoder: bool | str | None = None
 
 

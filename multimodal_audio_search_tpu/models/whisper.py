@@ -171,7 +171,9 @@ def encode(
     ``fused_blocks``: additionally fold LN+qkv and LN+MLP+residual into
     Pallas kernels (ops/encoder_block.py; opt-in perf mode, bf16-rounding
     equal to the XLA path). Implies the fused attention kernel. "int8"
-    selects the int8-dot attention variant of the block kernel.
+    selects the int8-dot attention variant of the block kernel; "paired"
+    the head-paired block-diagonal variant (full 128-lane MXU depth,
+    same bf16 rounding class — a pure layout lever).
     """
     from ..ops.attention import fused_encoder_attention, use_pallas_attention
     enc = params["encoder"]
@@ -199,6 +201,19 @@ def encode(
         # variant's K/V blocks are int8 and fit at any dtype.
         fused_blocks = False
         fused_attention = True
+    if fused_blocks == "paired":
+        # the paired kernel's block-diagonal K/V carry structural zeros
+        # — 2x the unpaired kernel's K/V bytes. Double-buffered full-T
+        # K+V cost 16*H*T_pad*D*itemsize: 12.6 MB at base/bf16/t=1500
+        # (fits — chip-proven, docs/onchip_r4/headpair_ab.out) but
+        # 18.9 MB at small (H=12), over the 16 MB scoped-VMEM budget.
+        # Route oversized geometries to the unpaired block kernel
+        # rather than letting Mosaic raise RESOURCE_EXHAUSTED.
+        t_pad = -(-x.shape[1] // 128) * 128
+        kv_bytes = 16 * cfg.heads * t_pad * (cfg.d_model // cfg.heads) \
+            * jnp.dtype(x.dtype).itemsize
+        if kv_bytes > 13 * 2**20:
+            fused_blocks = True
     if fused_blocks:
         # Round-3 profile (tools/profile_encode.py): XLA already runs the
         # LN and MLP sub-blocks at MFU ~1.0 — the only kernel that pays
@@ -242,6 +257,18 @@ def encode(
         # fused kernel, whose rounding class matches the einsum path.
         qk_int8 = fused_blocks == "int8" or os.environ.get(
             "MAS_ENC_INT8", "0").lower() in ("1", "true")
+        # head-paired block-diagonal K/V (fused_encoder="paired"): every
+        # score/PV dot contracts the full 128-lane MXU depth instead of
+        # D=64 — round-4 chip A/B at t=1500: 6.90 -> 6.19 ms, MFU
+        # 0.293 -> 0.326 (docs/onchip_r4/headpair_ab.out). Same bf16
+        # rounding class as the default kernel (the extra block-diagonal
+        # terms are exact zero-products; f32 accumulate), so it is a
+        # pure-layout lever, unlike int8 which changes arithmetic.
+        # int8 outranks it if both are requested; odd head counts
+        # (never a Whisper preset, but reachable under odd tensor-
+        # parallel shards) fall back to the unpaired kernel.
+        pair = (fused_blocks == "paired" and not qk_int8
+                and cfg.heads % 2 == 0)
         # off-TPU (CPU drift oracle, debugging) the block kernel runs in
         # Pallas interpret mode — same math, slow but correct — instead
         # of failing to lower; decided at trace time, so jitted programs
@@ -255,7 +282,7 @@ def encode(
             v = L.split_heads(L.dense(a["v"], h), cfg.heads)
             x = fused_attention_o_residual(
                 q, k, v, x, a["o"]["w"], a["o"]["b"], blk_q=blk_q,
-                qk_int8=qk_int8, interpret=interp)
+                pair_heads=pair, qk_int8=qk_int8, interpret=interp)
             h = L.layer_norm(blk["mlp_ln"], x, cfg.ln_eps)
             x = x + L.dense(blk["mlp_out"],
                             L.gelu(L.dense(blk["mlp_in"], h)))

@@ -200,6 +200,54 @@ def test_encode_fused_blocks_matches_plain(rng, monkeypatch):
                                atol=2e-5)
 
 
+def test_encode_fused_blocks_paired_routing(rng, monkeypatch):
+    """fused_blocks="paired" (round-5 wiring of the round-4 chip-proven
+    head-paired kernel) routes the block kernel to pair_heads=True and
+    matches the plain path; geometries whose doubled block-diagonal K/V
+    would overflow scoped VMEM (16*t_pad*d_model*itemsize > 13 MB, e.g.
+    whisper-small at the 30 s context) fall back to the unpaired
+    kernel instead of letting Mosaic raise RESOURCE_EXHAUSTED."""
+    import multimodal_audio_search_tpu.ops.encoder_block as eb_mod
+
+    orig = eb_mod.fused_attention_o_residual
+    seen = []
+
+    def spy(*a, **kw):
+        seen.append(bool(kw.get("pair_heads", False)))
+        return orig(*a, **{**kw, "interpret": True})
+
+    monkeypatch.setattr(eb_mod, "fused_attention_o_residual", spy)
+    cfg = W.WhisperConfig(
+        vocab_size=64, d_model=32, enc_layers=1, dec_layers=1, heads=2,
+        ffn=64, enc_positions=64, dec_positions=8,
+        bos_token_id=60, eos_token_id=61, pad_token_id=61)
+    params = W.init_params(jax.random.PRNGKey(3), cfg)
+    mel = jnp.asarray(rng.normal(size=(1, cfg.n_mels, 128)) * 0.5,
+                      jnp.float32)
+    ref = W.encode(params, mel, cfg, fused_attention=False)
+    out = W.encode(params, mel, cfg, fused_blocks="paired")
+    assert seen == [True], seen
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+    # VMEM fallback: 16 * t_pad * d_model * itemsize = 16.8 MB here
+    # (bf16, t_pad=512, d_model=1024) — same arithmetic class as
+    # whisper-small at t=1500 — must run the UNPAIRED block kernel
+    seen.clear()
+    cfg2 = W.WhisperConfig(
+        vocab_size=64, d_model=1024, enc_layers=1, dec_layers=1, heads=2,
+        ffn=64, enc_positions=512, dec_positions=8,
+        bos_token_id=60, eos_token_id=61, pad_token_id=61)
+    p2 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a,
+        W.init_params(jax.random.PRNGKey(4), cfg2))
+    mel2 = jnp.asarray(rng.normal(size=(1, cfg2.n_mels, 1024)) * 0.5,
+                       jnp.bfloat16)
+    W.encode(p2, mel2, cfg2, fused_blocks="paired")
+    assert seen == [False], seen
+
+
 def test_attn_o_residual_pair_heads_matches_xla(rng):
     """Head-paired block-diagonal variant (round-3 verdict item 6) must
     match the XLA reference, multi-query-block grid + padding mask."""
