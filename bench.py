@@ -592,6 +592,14 @@ def _main() -> None:
                              int8_kv=False, fused_layer=on_tpu,
                              transfer_dtype="mel12", fused_encoder=on_tpu,
                              index_dtype=jnp.float32, **common)
+    # NOTE on the int8-dot encoder (fused_encoder="int8"): it is
+    # transcript-exact at decision strength (drift_s5_b.json) but was
+    # measured speed-NEUTRAL at the parity context by the round-5
+    # in-jit re-measurement (docs/onchip_r5/int8_e2e.out: kernel 8.41
+    # vs bf16 8.56 ms; e2e encode 87.0 vs 86.1 — the round-4
+    # wall-minus-RTT "2x kernel win" was a timing artifact), so it has
+    # no bench row: one recorded A/B lives in docs/onchip_r5/
+    # int8enc_ab.out and the variant stays a config-selectable lever.
     # parity mode = engine defaults (exact reference-parity search
     # results). Round 5: this now rides the fused bf16 encoder kernel
     # on chip — promoted to the default after the decision-strength
@@ -660,6 +668,14 @@ def main() -> None:
     exits 0 (VERDICT r3 #2; BENCH_r03 was rc=1 with no JSON)."""
     try:
         _main()
+        # hard-exit after the JSON line is out: the axon backend's
+        # client teardown can hang indefinitely post-measurement (seen
+        # round 5: bench printed at 22:42, the process was still alive
+        # in wait_woken 15+ min later, holding the chip and starving
+        # every other client) — the driver's capture needs the process
+        # to EXIT, and nothing after this point produces value
+        sys.stdout.flush()
+        os._exit(0)
     except BaseException as e:  # noqa: BLE001 — last-resort capture guard
         if isinstance(e, KeyboardInterrupt):
             raise

@@ -124,16 +124,19 @@ class DecodeConfig:
     # (docs/onchip_r5/drift_s5_c.json) — on top of the round-4 on-chip
     # 0/1152 token-flip check. False forces the einsum path (the drift
     # oracle's baseline); "int8" additionally runs both attention dots
-    # as int8 x int8 -> int32 (2x MXU rate; agree_exact 1.000 on the
-    # same decision-strength oracle, drift_s5_b.json) — kept opt-in as
-    # a fast-mode lever because its win is MFU, not exactness.
-    # "paired" selects the head-paired block-diagonal variant (full
-    # 128-lane MXU depth; round-4 chip A/B at t=1500: 6.90 -> 6.19 ms,
-    # MFU 0.293 -> 0.326) — same bf16 rounding class as the default
-    # kernel (the extra block-diagonal terms are exact zero-products),
-    # so it is a layout lever; geometries whose doubled K/V overflow
-    # scoped VMEM (e.g. whisper-small at 30 s) auto-fall-back to the
-    # unpaired kernel (models/whisper.py::encode).
+    # as int8 x int8 -> int32 (agree_exact 1.000 on the same
+    # decision-strength oracle, drift_s5_b.json). Round-5 in-jit
+    # re-measurement (docs/onchip_r5/int8_e2e.out) REVISED both perf
+    # variants' standing: at t=1500 the kernel is softmax/VPU- and
+    # VMEM-traffic-bound, not dot-bound — "int8" is speed-NEUTRAL
+    # (8.41 vs 8.56 ms) and "paired" (head-paired block-diagonal K/V,
+    # full 128-lane depth, same bf16 rounding class) LOSES (11.77 ms;
+    # its structural-zero 2x K/V bytes cost more than full-depth dots
+    # save). The round-4 wall-minus-RTT rows claiming big wins were
+    # timing artifacts. Both stay selectable as research levers;
+    # "paired" geometries whose doubled K/V overflow scoped VMEM (e.g.
+    # whisper-small at 30 s) auto-fall-back to the unpaired kernel
+    # (models/whisper.py::encode).
     fused_encoder: bool | str | None = None
 
 

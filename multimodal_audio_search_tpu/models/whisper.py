@@ -203,14 +203,21 @@ def encode(
         fused_attention = True
     if fused_blocks == "paired":
         # the paired kernel's block-diagonal K/V carry structural zeros
-        # — 2x the unpaired kernel's K/V bytes. Double-buffered full-T
-        # K+V cost 16*H*T_pad*D*itemsize: 12.6 MB at base/bf16/t=1500
-        # (fits — chip-proven, docs/onchip_r4/headpair_ab.out) but
-        # 18.9 MB at small (H=12), over the 16 MB scoped-VMEM budget.
-        # Route oversized geometries to the unpaired block kernel
-        # rather than letting Mosaic raise RESOURCE_EXHAUSTED.
+        # — 2x the unpaired kernel's K/V bytes. Per grid step the kernel
+        # holds kb [P, 2D, 2T_pad] + vb [P, 2T_pad, 2D] (P = H/2 pairs),
+        # each double-buffered: 2 buffers x 2 blocks x (H/2)(2D)(2T_pad)
+        # = 8*H*T_pad*D*itemsize — 12.6 MB at base/bf16/t=1500 (fits;
+        # chip-proven, docs/onchip_r4/headpair_ab.out) but 18.9 MB at
+        # small (H=12), over the 16 MB scoped-VMEM budget. Route
+        # oversized geometries to the unpaired block kernel rather than
+        # letting Mosaic raise RESOURCE_EXHAUSTED. (Round-5 review fix:
+        # the first wiring used coefficient 16 — double-counting kb+vb —
+        # which read base/bf16/t=1500 as 25.2 MB and silently routed
+        # "paired" to the unpaired kernel at the exact geometry the A/B
+        # proved it wins at; tests/test_encoder_block.py now asserts
+        # engagement at base geometry.)
         t_pad = -(-x.shape[1] // 128) * 128
-        kv_bytes = 16 * cfg.heads * t_pad * (cfg.d_model // cfg.heads) \
+        kv_bytes = 8 * cfg.heads * t_pad * (cfg.d_model // cfg.heads) \
             * jnp.dtype(x.dtype).itemsize
         if kv_bytes > 13 * 2**20:
             fused_blocks = True
@@ -245,28 +252,34 @@ def encode(
             blk_q = 128 if wide else 256
         else:
             blk_q = 64 if wide else 128
-        # int8-dot attention (2x MXU throughput; int8 rounding on q and
-        # softmax rows — transcript-exact on BOTH self-trained oracles,
-        # incl. the round-5 decision-strength production-geometry run
-        # (agree_exact 1.000 at truth_exact 0.948, docs/onchip_r5/
-        # drift_s5_b.json); on-chip at t=1500 it runs the attention
-        # kernel at MFU 0.536 vs bf16's 0.293). Select via
-        # fused_blocks="int8" (DecodeConfig.fused_encoder) or the
-        # MAS_ENC_INT8 env override the drift tool uses; kept opt-in as
-        # a fast-mode lever — the parity default promoted to the bf16
-        # fused kernel, whose rounding class matches the einsum path.
+        # int8-dot attention (int8 x int8 -> int32 dots; int8 rounding
+        # on q and softmax rows — transcript-exact on BOTH self-trained
+        # oracles, incl. the round-5 decision-strength production-
+        # geometry run: agree_exact 1.000 at truth_exact 0.948,
+        # docs/onchip_r5/drift_s5_b.json). PERF STANDING REVISED round 5
+        # (docs/onchip_r5/int8_e2e.out, in-jit timer): at t=1500 the
+        # kernel is NOT dot-bound — int8 measures 8.41 ms vs bf16's
+        # 8.56 (equal within noise; the round-4 wall-minus-RTT rows
+        # claiming 3.77 vs 6.90 were timing artifacts). Kept as an
+        # opt-in research lever via fused_blocks="int8"
+        # (DecodeConfig.fused_encoder) or the MAS_ENC_INT8 env override
+        # the drift tool uses; the parity default stays the bf16 fused
+        # kernel, whose rounding class matches the einsum path.
         qk_int8 = fused_blocks == "int8" or os.environ.get(
             "MAS_ENC_INT8", "0").lower() in ("1", "true")
         # head-paired block-diagonal K/V (fused_encoder="paired"): every
         # score/PV dot contracts the full 128-lane MXU depth instead of
-        # D=64 — round-4 chip A/B at t=1500: 6.90 -> 6.19 ms, MFU
-        # 0.293 -> 0.326 (docs/onchip_r4/headpair_ab.out). Same bf16
+        # D=64. PERF STANDING REVISED round 5 (docs/onchip_r5/
+        # int8_e2e.out, in-jit timer): it LOSES at t=1500 — 11.77 ms vs
+        # the unpaired kernel's 8.56 (the structural-zero 2x K/V bytes
+        # cost more than the full-depth dots save; the round-4
+        # wall-minus-RTT "win" was a timing artifact). Same bf16
         # rounding class as the default kernel (the extra block-diagonal
-        # terms are exact zero-products; f32 accumulate), so it is a
-        # pure-layout lever, unlike int8 which changes arithmetic.
-        # int8 outranks it if both are requested; odd head counts
-        # (never a Whisper preset, but reachable under odd tensor-
-        # parallel shards) fall back to the unpaired kernel.
+        # terms are exact zero-products; f32 accumulate); kept as an
+        # opt-in layout-study lever. int8 outranks it if both are
+        # requested; odd head counts (never a Whisper preset, but
+        # reachable under odd tensor-parallel shards) fall back to the
+        # unpaired kernel.
         pair = (fused_blocks == "paired" and not qk_int8
                 and cfg.heads % 2 == 0)
         # off-TPU (CPU drift oracle, debugging) the block kernel runs in

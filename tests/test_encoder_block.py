@@ -204,9 +204,13 @@ def test_encode_fused_blocks_paired_routing(rng, monkeypatch):
     """fused_blocks="paired" (round-5 wiring of the round-4 chip-proven
     head-paired kernel) routes the block kernel to pair_heads=True and
     matches the plain path; geometries whose doubled block-diagonal K/V
-    would overflow scoped VMEM (16*t_pad*d_model*itemsize > 13 MB, e.g.
-    whisper-small at the 30 s context) fall back to the unpaired
-    kernel instead of letting Mosaic raise RESOURCE_EXHAUSTED."""
+    would overflow scoped VMEM (8*H*t_pad*D*itemsize > 13 MB double-
+    buffered, e.g. whisper-small at the 30 s context: 18.9 MB) fall
+    back to the unpaired kernel instead of letting Mosaic raise
+    RESOURCE_EXHAUSTED. Round-5 review regression: the first wiring
+    double-counted (coefficient 16) and silently disabled "paired" at
+    whisper-base/bf16/t=1500 — the exact chip-proven win geometry —
+    so this test pins engagement there."""
     import multimodal_audio_search_tpu.ops.encoder_block as eb_mod
 
     orig = eb_mod.fused_attention_o_residual
@@ -230,12 +234,12 @@ def test_encode_fused_blocks_paired_routing(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5)
 
-    # VMEM fallback: 16 * t_pad * d_model * itemsize = 16.8 MB here
-    # (bf16, t_pad=512, d_model=1024) — same arithmetic class as
-    # whisper-small at t=1500 — must run the UNPAIRED block kernel
+    # VMEM fallback: 8 * H * t_pad * D * itemsize = 16.8 MB here
+    # (bf16, heads=2, t_pad=512, D=1024) — same arithmetic class as
+    # whisper-small at t=1500 (18.9 MB) — must run the UNPAIRED kernel
     seen.clear()
     cfg2 = W.WhisperConfig(
-        vocab_size=64, d_model=1024, enc_layers=1, dec_layers=1, heads=2,
+        vocab_size=64, d_model=2048, enc_layers=1, dec_layers=1, heads=2,
         ffn=64, enc_positions=512, dec_positions=8,
         bos_token_id=60, eos_token_id=61, pad_token_id=61)
     p2 = jax.tree.map(
@@ -246,6 +250,30 @@ def test_encode_fused_blocks_paired_routing(rng, monkeypatch):
                        jnp.bfloat16)
     W.encode(p2, mel2, cfg2, fused_blocks="paired")
     assert seen == [False], seen
+
+    # ENGAGEMENT at the chip-proven geometry (whisper-base dims, bf16,
+    # t=1500 -> 12.6 MB double-buffered, inside the 13 MB gate): the
+    # paired kernel must actually run — the round-5 first wiring
+    # double-counted K/V bytes and silently fell back here. The spy
+    # short-circuits (returns x) so the CPU test only checks routing,
+    # not the interpret-mode kernel at production size.
+    seen.clear()
+    monkeypatch.setattr(eb_mod, "fused_attention_o_residual",
+                        lambda q, k, v, x, wo, bo, **kw:
+                        (seen.append(bool(kw.get("pair_heads", False)))
+                         or x))
+    cfg3 = W.WhisperConfig(
+        vocab_size=64, d_model=512, enc_layers=1, dec_layers=1, heads=8,
+        ffn=64, enc_positions=1500, dec_positions=8,
+        bos_token_id=60, eos_token_id=61, pad_token_id=61)
+    p3 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a,
+        W.init_params(jax.random.PRNGKey(5), cfg3))
+    mel3 = jnp.asarray(rng.normal(size=(1, cfg3.n_mels, 3000)) * 0.5,
+                       jnp.bfloat16)
+    W.encode(p3, mel3, cfg3, fused_blocks="paired")
+    assert seen == [True], seen
 
 
 def test_attn_o_residual_pair_heads_matches_xla(rng):

@@ -1,16 +1,16 @@
 #!/bin/bash
-# Sequential on-chip runbook executor (docs/ONCHIP_RUNBOOK.md, round 4).
+# Sequential on-chip runbook executor (docs/ONCHIP_RUNBOOK.md, round 5).
 # Launched by the health watcher (or by hand) the moment the tunnel is
 # healthy. Rules (.claude/skills/verify/SKILL.md): NO shell timeouts —
 # killing a TPU job mid-compile wedges the remote compile service for
 # ~45 min; steps run strictly sequentially (single chip, no contention);
-# every step streams into its own log under docs/onchip_r4/.
+# every step streams into its own log under docs/onchip_r5/.
 #
 # Order = capture value: the driver-visible bench first (the round-3
 # verdict's #1 miss was a round with zero captured numbers), then the
-# config-deciding A/Bs, then the scale sweeps.
+# config-deciding A/Bs, then the scale sweeps, then the long soak.
 set -u
-OUT=/root/repo/docs/onchip_r4
+OUT=/root/repo/docs/onchip_r5
 mkdir -p "$OUT"
 cd /root/repo
 LOCK="$OUT/.running"
@@ -44,13 +44,14 @@ if [ -n "$DRIFT_PID" ]; then
     echo "resumed drift pid $DRIFT_PID" >> "$OUT/runbook.log"
 fi
 run transfer     python tools/transfer_sweep.py \
-                     --modes int16 int12 mel16 mel12 mel8 mulaw8
-run scan_ab      python tools/profile_decode_scan_ab.py
-run stream_ab    python tools/profile_encoder_stream_ab.py
-run stream_ab10  python tools/profile_encoder_stream_ab.py --t 500
-run ivf_1m       python tools/bench_ivf.py
-run headpair_ab  python tools/profile_headpair_ab.py
+                     --modes int16 int16d int12 mel8 mulaw8
+run int8enc_ab   python tools/profile_int8enc_ab.py
+# production-geometry drift at decision strength: reuse the committed
+# 6000-step checkpoint (docs/onchip_r5/drift_tiny_prod.npz) — training
+# from scratch costs hours; --load-model makes the re-score ~15 min
 run drift_prod   env MAS_DRIFT_TPU=1 python tools/synth_drift.py \
-                     --production --steps 1200 --clips 64 \
-                     --out "$OUT/synth_drift_production.json"
+                     --production --steps 0 --clips 96 \
+                     --load-model "$OUT/drift_tiny_prod.npz" \
+                     --out "$OUT/drift_rescore.json"
+run soak30       python tools/soak.py --loop-minutes 30
 echo "=== runbook complete $(date -u +%F' '%T)" >> "$OUT/runbook.log"

@@ -336,3 +336,8 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    # hard-exit: the axon client teardown can hang post-measurement and
+    # starve every later chip client (seen round 5 with bench.py; same
+    # guard there). All output is flushed/written by main() already.
+    import os
+    os._exit(0)
