@@ -71,6 +71,9 @@ class WhisperTextPipeline:
         fused_enc = getattr(self.decode, "fused_encoder", None)
         if fused_enc is None:
             fused_enc = jax.default_backend() == "tpu"
+        # observable (bench/stats/tests): which encoder path this
+        # pipeline's jitted programs were built with
+        self.fused_encoder_resolved = fused_enc
 
         @functools.partial(jax.jit, static_argnames=())
         def _run(params, waves, prefix, rng):

@@ -44,6 +44,36 @@ def test_env_noop_without_vars():
     assert config_from_env() == EngineConfig()
 
 
+def test_fused_encoder_auto_default(monkeypatch):
+    """Round-5 parity promotion: DecodeConfig.fused_encoder defaults to
+    None = AUTO — the fused bf16 Pallas block kernels on a real TPU
+    backend (transcript-exact at decision strength on the production-
+    geometry oracle, docs/onchip_r5/drift_s5_c.json), the plain einsum
+    path elsewhere (interpret-mode kernels are pure slowdown on CPU).
+    The pipeline resolves the value once at build time and exposes it
+    as fused_encoder_resolved."""
+    import jax
+
+    from multimodal_audio_search_tpu.config import DecodeConfig
+    from multimodal_audio_search_tpu.models import whisper as W
+    from multimodal_audio_search_tpu.pipelines.whisper_pipeline import (
+        WhisperTextPipeline)
+
+    assert DecodeConfig().fused_encoder is None
+
+    cfg = W.PRESETS["test"]
+    pipe = WhisperTextPipeline(cfg=cfg, decode=DecodeConfig(max_new_tokens=4))
+    assert pipe.fused_encoder_resolved is False    # CPU backend -> einsum
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    pipe = WhisperTextPipeline(cfg=cfg, decode=DecodeConfig(max_new_tokens=4))
+    assert pipe.fused_encoder_resolved is True     # auto -> fused on TPU
+
+    pipe = WhisperTextPipeline(
+        cfg=cfg, decode=DecodeConfig(max_new_tokens=4, fused_encoder=False))
+    assert pipe.fused_encoder_resolved is False    # explicit False wins
+
+
 def test_profiles(monkeypatch):
     from multimodal_audio_search_tpu.config import apply_profile
     import pytest
