@@ -226,13 +226,18 @@ class DualPipelineIngest:
         if not wins:
             return []
         n_samples = self.asr.mel_cfg.n_samples
-        # Transfer/compute pipelining. Both models consume the same log-mel
+        # Transfer + dispatch. Both models consume the same log-mel
         # features when their mel configs agree, so per batch we ship the
         # waveform ONCE — as int16 at the true segment length (6x fewer
         # bytes than padded f32; the host link is the bottleneck on tunneled
         # chips) — dequantize + zero-pad + mel on device, then dispatch both
-        # decoders asynchronously so batch k+1's transfer overlaps batch k's
-        # compute.
+        # decoders asynchronously. NOTE: on the axon tunnel, batch k+1's
+        # put does NOT overlap batch k's compute — the runtime serializes
+        # H2D with compute, and threading the puts measures 1.7x WORSE
+        # (docs/onchip_r5/overlap.out; BENCHMARKS "Round-5 overlap probe").
+        # The interleaved order is kept because it is the best measured
+        # arrangement, not because it pipelines; byte reduction (int16d /
+        # mel codecs) is the only effective transfer lever.
         import jax
         import jax.numpy as jnp
         from ..utils.batching import bucket_pow2 as _bucket
