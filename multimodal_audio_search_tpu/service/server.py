@@ -731,6 +731,18 @@ def serve(
     data_root: str | os.PathLike | None = None,
     api_token: str | None = None,
 ) -> ThreadingHTTPServer:
+    """Build the engine + HTTP server (reference UI surface,
+    /root/reference/audio_search.py:702-711 re-expressed as an API).
+
+    Contract: with ``block=True`` this runs the accept loop itself and
+    never returns. With ``block=False`` it RETURNS the constructed
+    server WITHOUT serving — the caller owns the accept-loop thread
+    (``threading.Thread(target=srv.serve_forever, daemon=True)``), as
+    every test and tools/soak.py do. A client request against a
+    block=False server with no such thread waits in the TCP backlog
+    forever with zero CPU — indistinguishable from a backend hang
+    (this cost two sessions of round-4/5 soak attempts).
+    """
     from ..utils.compile_cache import enable_from_env
     enable_from_env()                   # MAS_COMPILE_CACHE=<dir> opt-in
     if engine is None:

@@ -54,6 +54,13 @@ def main() -> None:
                          "still leaves evidence.")
     args = ap.parse_args()
 
+    # The soak hung twice on the axon backend with zero CPU progress
+    # (lost client wakeup; tools/probe_thread_hang.py). Dump every
+    # thread's Python stack to stderr periodically so a hung run leaves
+    # the exact frame in its .out file instead of a bare warning line.
+    import faulthandler
+    faulthandler.dump_traceback_later(240.0, repeat=True)
+
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -61,6 +68,15 @@ def main() -> None:
     from multimodal_audio_search_tpu.service.server import serve
 
     srv = serve(block=False, port=args.port)
+    # serve(block=False) CONSTRUCTS the server but does not run its
+    # accept loop (the caller owns threading — every test does this
+    # too). Without this thread the first request sits in the TCP
+    # backlog forever with zero CPU: the "soak hang" of rounds 4-5
+    # was exactly this missing line, not a TPU/backend fault
+    # (docs/onchip_r5/soak_hang_rootcause.out).
+    import threading
+    threading.Thread(target=srv.serve_forever, daemon=True,
+                     name="http-accept").start()
     base = f"http://127.0.0.1:{args.port}"
     out = {}
 
